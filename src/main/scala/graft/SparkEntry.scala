@@ -1,13 +1,558 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Instant
+
+import graft.engine.Planners
+import graft.functions.{Analyzers, BanyanSemantics}
+import graft.model._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.{Catalog, TableDef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one entry per implemented operator from SURVEY.md §2
+ * (BanyanDB surface) plus the training-data pipeline extensions, each with
+ * an equivalent DuckDB oracle in [[oracleSql]]. Queries marked `rows-only`
+ * (no oracle entry) use hashing/LSH that is engine-specific by design.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // -- table handles -------------------------------------------------------
+  private def ev(s: SparkSession, d: String) = Catalog.load(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Catalog.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Catalog.load(s, d, "embeddings")
+  private def li(s: SparkSession, d: String) = Catalog.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Catalog.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Catalog.load(s, d, "customer")
+
+  private val evDef = Catalog.defs("events")
+  private val docsDef = TableDef("documents", arrayTags = Set("words"))
+
+  private def I(s: String) = Instant.parse(s)
+  private val T0 = I("2024-01-05T00:00:00Z")
+  private val T1 = I("2024-01-20T00:00:00Z")
+  private val tsMs: Column = expr("ts_ns DIV 1000000")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q07_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  // =========================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- S1/P1/P2/F7: time-range scan with projection + default limit 100
+    "q01_scan_timerange" -> ((s, d) => {
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events",
+        timeRange = Some(TimeRange(T0, T1)),
+        tagProjection = Seq("event_id", "user_id", "event_type", "ts_ns"),
+        fieldProjection = Seq("value")))
+        .withColumn("ts_ms", tsMs).drop("ts_ns")
+    }),
+
+    // --- F1/F2/F3: EQ + entity IN + range + NOT_IN criteria
+    "q02_filter_criteria" -> ((s, d) => {
+      val c = And(And(And(
+        Cond("event_type", Op.Eq, Seq("click")),
+        Cond("user_id", Op.In, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))),
+        Cond("value", Op.Ge, Seq(10.0))),
+        Cond("event_id", Op.NotIn, Seq(7L, 8L)))
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events", criteria = Some(c),
+        tagProjection = Seq("event_id", "user_id", "event_type"),
+        fieldProjection = Seq("value"), limit = 500))
+    }),
+
+    // --- F1-F2 OR-tree: nested AND/OR criteria
+    "q03_filter_or_tree" -> ((s, d) => {
+      val c = And(
+        Or(Cond("event_type", Op.Eq, Seq("click")), Cond("event_type", Op.Eq, Seq("error"))),
+        Or(Cond("value", Op.Lt, Seq(50.0)), Cond("value", Op.Ge, Seq(150.0))))
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events", criteria = Some(c),
+        tagProjection = Seq("event_id", "event_type"),
+        fieldProjection = Seq("value"), limit = 100000))
+    }),
+
+    // --- F4: HAVING (array tag contains-all) on a synthesized array tag
+    "q04_having_array" -> ((s, d) => {
+      val df = docs(s, d).withColumn("words", split(col("text"), " "))
+      Planners.measure(df, docsDef, MeasureQuery(
+        groups = Seq("testdata"), name = "documents",
+        criteria = Some(Cond("words", Op.Having, Seq("data", "spark"))),
+        tagProjection = Seq("doc_id"),
+        orderBy = Some(OrderBy(Some("doc_id"), desc = false)), limit = 100000))
+    }),
+
+    // --- F5: MATCH, standard analyzer, AND semantics
+    "q05_match_and" -> ((s, d) => {
+      Planners.measure(docs(s, d), docsDef, MeasureQuery(
+        groups = Seq("testdata"), name = "documents",
+        criteria = Some(Cond("text", Op.Match("standard", MatchOp.And), Seq("spark query"))),
+        tagProjection = Seq("doc_id", "lang"),
+        orderBy = Some(OrderBy(Some("doc_id"), desc = false)), limit = 100000))
+    }),
+
+    // --- F5: MATCH, standard analyzer, OR semantics
+    "q06_match_or" -> ((s, d) => {
+      Planners.measure(docs(s, d), docsDef, MeasureQuery(
+        groups = Seq("testdata"), name = "documents",
+        criteria = Some(Cond("text", Op.Match("standard", MatchOp.Or), Seq("window", "merge"))),
+        tagProjection = Seq("doc_id"),
+        orderBy = Some(OrderBy(Some("doc_id"), desc = false)), limit = 100000))
+    }),
+
+    // --- A1/A7: grouped SUM (float field → exact decimal accumulation)
+    "q07_groupby_agg" -> ((s, d) => {
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events",
+        groupByTags = Seq("event_type"), agg = Some((AggFn.Sum, "value"))))
+    }),
+
+    // --- A2: MEAN over INT field — integer division + <1→1 clamp
+    "q08_mean_clamp" -> ((s, d) => {
+      val df = ev(s, d).withColumn("val_int", floor(col("value") / 100).cast("long"))
+      Planners.measure(df, evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events",
+        groupByTags = Seq("user_id"), agg = Some((AggFn.Mean, "val_int")),
+        limit = 1000000))
+    }),
+
+    // --- A5: GROUP BY without aggregation → first-seen row per group
+    "q09_first_seen_group" -> ((s, d) => {
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events",
+        groupByTags = Seq("event_type"),
+        tagProjection = Seq("event_type", "event_id", "user_id"),
+        fieldProjection = Seq("value")))
+    }),
+
+    // --- A6: aggregation without GROUP BY → single-row scalar reduce
+    "q10_global_agg" -> ((s, d) => {
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events", agg = Some((AggFn.Max, "value"))))
+    }),
+
+    // --- A1 quirk (W8): COUNT over a float field emits float
+    "q11_count_float" -> ((s, d) => {
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events", agg = Some((AggFn.Count, "value"))))
+    }),
+
+    // --- T1 after A7: grouped SUM then TOP 5 by the aggregate
+    "q12_top_after_agg" -> ((s, d) => {
+      val df = ev(s, d).withColumn("val_int", floor(col("value")).cast("long"))
+      Planners.measure(df, evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events",
+        groupByTags = Seq("user_id"), agg = Some((AggFn.Sum, "val_int")),
+        top = Some(TopSpec(5, "sum_val_int", desc = true))))
+    }),
+
+    // --- T4/T5: ORDER BY field DESC + LIMIT/OFFSET paging
+    "q13_order_limit_offset" -> ((s, d) => {
+      Planners.measure(ev(s, d), evDef, MeasureQuery(
+        groups = Seq("testdata"), name = "events",
+        tagProjection = Seq("event_id", "ts_ns"), fieldProjection = Seq("value"),
+        orderBy = Some(OrderBy(Some("value"), desc = true)),
+        offset = 20, limit = 150))
+        .withColumn("ts_ms", tsMs).drop("ts_ns")
+    }),
+
+    // --- T7: stream element dedup (first-seen per element_id)
+    "q14_element_dedup" -> ((s, d) => {
+      val df = ev(s, d).withColumn("element_id",
+        concat(col("user_id").cast("string"), lit("-"), col("event_type")))
+      Planners.stream(df, evDef, StreamQuery(
+        groups = Seq("testdata"), name = "events",
+        projection = Seq("element_id", "event_id", "ts_ns", "value"), limit = 100),
+        elementIdCol = "element_id")
+        .withColumn("ts_ms", tsMs).drop("ts_ns")
+    }),
+
+    // --- T8: latest-version-wins dedup on (series, ts-bucket)
+    "q15_version_dedup" -> ((s, d) => {
+      val df = ev(s, d).withColumn("bucket_min", expr("ts_ns DIV 60000000000"))
+      BanyanSemantics.latestVersion(df, Seq("user_id"), "bucket_min", "event_id")
+        .select(col("user_id"), col("bucket_min"),
+          col("event_id").as("version"), col("value"))
+    }),
+
+    // --- T9/S4: trace span grouping, LIMIT counts traces not spans
+    "q16_trace_groups" -> ((s, d) => {
+      val df = ev(s, d).withColumn("trace_id", pmod(col("event_id"), lit(97L)))
+      val tdef = TableDef("traces", tsCol = Some("ts_ns"))
+      Planners.traceSpanGroups(df, tdef, TraceQuery(
+        groups = Seq("testdata"), name = "traces", limit = 20),
+        traceIdCol = "trace_id", spanStruct = Seq("event_id"))
+        .withColumn("start_ms", expr("start_ts DIV 1000000"))
+        .withColumn("span_ids", concat_ws(",",
+          transform(col("spans"), sp => sp.getField("event_id").cast("string"))))
+        .select("trace_id", "span_count", "start_ms", "span_ids")
+    }),
+
+    // --- S8/Property: last-writer-wins by mod_revision
+    "q17_property_latest" -> ((s, d) => {
+      Planners.propertyLatest(ord(s, d), Seq("o_custkey"), "o_orderkey")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
+    // --- ST1/ST3/ST5 (batch form): per-bucket grouped Top-N pre-aggregation
+    "q18_topn_buckets" -> ((s, d) => {
+      Planners.topNBuckets(ev(s, d), "ts_ns", "user_id",
+        floor(col("value")).cast("long"), intervalMs = 3600000L, n = 3)
+    }),
+
+    // --- T2/T3: TopN read with AGGREGATE BY SUM across buckets
+    "q19_topn_read_aggregate" -> ((s, d) => {
+      val buckets = Planners.topNBuckets(ev(s, d), "ts_ns", "user_id",
+        floor(col("value")).cast("long"), intervalMs = 3600000L, n = 3)
+        .withColumnRenamed("bucket_ms", "bucket_start").drop("rank")
+      Planners.topNRead(buckets, TopNQuery(
+        groups = Seq("testdata"), name = "events_topn", topN = 10,
+        agg = Some(AggFn.Sum)))
+    }),
+
+    // --- T6: multi-group union with schema merge (missing cols → null)
+    "q20_union_groups" -> ((s, d) => {
+      val e = ev(s, d)
+      val a = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val b = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("event_type"))
+      Planners.unionGroups(Seq(a, b))
+    }),
+
+    // --- pipeline: exact dedup by content hash
+    "q21_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d), "doc_id", "text")),
+
+    // --- pipeline: canonical-form fingerprint
+    "q22_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // --- pipeline: exact n-gram Jaccard near-dup pairs (inverted index)
+    "q23_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        w = 5, threshold = 0.15, maxDocFreq = 1000)),
+
+    // --- pipeline: MinHash+LSH candidate pairs (rows-only: engine hash)
+    "q24_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+        w = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)),
+
+    // --- pipeline: SimHash near-dup pairs (rows-only: engine hash)
+    "q25_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
+
+    // --- pipeline: brute-force cosine top-k similarity search
+    "q26_sim_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // --- pipeline: LSH-bucketed ANN (rows-only: recall<1 by design)
+    "q27_sim_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, dim = 64, nPlanes = 8)
+    }),
+
+    // --- pipeline: embedding-cosine near-dup pairs (blocked left side)
+    "q28_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35, col("vec_id") < 100)),
+
+    // --- pipeline: quality-scoring features
+    "q29_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(docs(s, d).select("doc_id", "text"), col("text"))
+        .drop("text")),
+
+    // --- pipeline: language id (marker-word heuristic)
+    "q30_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.languageId(col("text")).as("pred_lang"))),
+
+    // --- pipeline: token counting (whitespace + BPE-ish pre-tokenizer)
+    "q31_token_counts" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("n_bpeish_tokens"))),
+
+    // --- F5 analyzers: URL tokenizer term frequencies
+    "q32_url_tokens" -> ((s, d) =>
+      docs(s, d).select(explode(Analyzers.url(col("source"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
+
+    // --- pipeline: multimodal binary plumbing (stubbed decode)
+    "q33_multimodal_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeFeatures(Multimodal.blobsFromText(docs(s, d), "doc_id", "text")).toDF()
+    }),
+
+    // --- pipeline: video frame sampling work list
+    "q34_frame_sample" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(Multimodal.blobsFromText(docs(s, d), "doc_id", "text")),
+        stride = 30)
+    }),
+
+    // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
+    "q35_lineitem_pricing" -> ((s, d) => {
+      li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity").cast("decimal(25,6)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(25,6)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(25,6)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    // --- scale shape: broadcast dimension join
+    "q36_broadcast_join" -> ((s, d) => {
+      ord(s, d).join(broadcast(cust(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(
+          sum(col("o_totalprice").cast("decimal(25,6)")).cast("double").as("sum_total"),
+          count(lit(1)).as("n_orders"))
+    }))
+
+  // =========================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_timerange" ->
+      """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY ts LIMIT 100""".stripMargin,
+
+    "q02_filter_criteria" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'click' AND user_id IN (1,2,3,4,5,6,7)
+        |  AND value >= 10 AND event_id NOT IN (7,8)
+        |ORDER BY ts LIMIT 500""".stripMargin,
+
+    "q03_filter_or_tree" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE (event_type = 'click' OR event_type = 'error')
+        |  AND (value < 50 OR value >= 150)""".stripMargin,
+
+    "q04_having_array" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_has_all(string_split(text, ' '), ['data','spark'])
+        |ORDER BY doc_id""".stripMargin,
+
+    "q05_match_and" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_has_all(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''),
+        |                   ['spark','query'])
+        |ORDER BY doc_id""".stripMargin,
+
+    "q06_match_or" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_has_any(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''),
+        |                   ['window','merge'])
+        |ORDER BY doc_id""".stripMargin,
+
+    "q07_groupby_agg" ->
+      """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q08_mean_clamp" ->
+      """SELECT user_id, CASE WHEN m < 1 THEN 1 ELSE m END AS mean_val_int FROM (
+        |  SELECT user_id, SUM(CAST(floor(value/100) AS BIGINT)) // COUNT(*) AS m
+        |  FROM events GROUP BY user_id)""".stripMargin,
+
+    "q09_first_seen_group" ->
+      """SELECT event_type, event_id, user_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q10_global_agg" -> "SELECT MAX(value) AS max_value FROM events",
+
+    "q11_count_float" -> "SELECT CAST(COUNT(value) AS DOUBLE) AS count_value FROM events",
+
+    "q12_top_after_agg" ->
+      """SELECT user_id, SUM(CAST(floor(value) AS BIGINT)) AS sum_val_int
+        |FROM events GROUP BY user_id
+        |ORDER BY sum_val_int DESC, user_id LIMIT 5""".stripMargin,
+
+    "q13_order_limit_offset" ->
+      """SELECT event_id, value, epoch_ms(ts) AS ts_ms FROM events
+        |ORDER BY value DESC, ts, user_id LIMIT 150 OFFSET 20""".stripMargin,
+
+    "q14_element_dedup" ->
+      """SELECT element_id, event_id, epoch_ms(ts) AS ts_ms, value FROM (
+        |  SELECT *, user_id::VARCHAR || '-' || event_type AS element_id,
+        |         row_number() OVER (PARTITION BY user_id::VARCHAR || '-' || event_type ORDER BY ts) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY ts LIMIT 100""".stripMargin,
+
+    "q15_version_dedup" ->
+      """SELECT user_id, bucket_min, event_id AS version, value FROM (
+        |  SELECT user_id, epoch_ms(ts) // 60000 AS bucket_min, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // 60000
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q16_trace_groups" ->
+      """SELECT trace_id, COUNT(*) AS span_count, MIN(epoch_ms(ts)) AS start_ms,
+        |       string_agg(event_id::VARCHAR, ',' ORDER BY event_id) AS span_ids
+        |FROM (SELECT event_id % 97 AS trace_id, event_id, ts FROM events)
+        |GROUP BY trace_id ORDER BY MIN(ts), trace_id LIMIT 20""".stripMargin,
+
+    "q17_property_latest" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q18_topn_buckets" ->
+      """SELECT bucket_ms, entity, value, rank FROM (
+        |  SELECT bucket_ms, entity, value,
+        |         row_number() OVER (PARTITION BY bucket_ms ORDER BY value DESC, entity) AS rank
+        |  FROM (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |               user_id::VARCHAR AS entity,
+        |               SUM(CAST(floor(value) AS BIGINT)) AS value
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rank <= 3""".stripMargin,
+
+    "q19_topn_read_aggregate" ->
+      """WITH buckets AS (
+        |  SELECT bucket_ms, entity, value,
+        |         row_number() OVER (PARTITION BY bucket_ms ORDER BY value DESC, entity) AS rank
+        |  FROM (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |               user_id::VARCHAR AS entity,
+        |               SUM(CAST(floor(value) AS BIGINT)) AS value
+        |        FROM events GROUP BY 1, 2))
+        |SELECT entity, SUM(value) AS value FROM buckets WHERE rank <= 3
+        |GROUP BY entity ORDER BY value DESC, entity LIMIT 10""".stripMargin,
+
+    "q20_union_groups" ->
+      """SELECT event_id, user_id, value, NULL AS event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, NULL, NULL, event_type FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-4),
+        |                 i -> array_to_string(t[i:i+4], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, len(s) AS set_size FROM sh),
+        |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM ex a JOIN keep USING (shingle) JOIN ex b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN szs sa ON sa.doc_id = id_a
+        |JOIN szs sb ON sb.doc_id = id_b
+        |WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.15""".stripMargin,
+
+    "q26_sim_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q28_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin,
+
+    "q29_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_tokens,
+        |       round(CASE WHEN len(toks) > 0
+        |             THEN length(array_to_string(toks, '')) * 1.0 / len(toks) ELSE 0 END, 6) AS mean_token_len,
+        |       round(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 1.0
+        |             / greatest(length(text), 1), 6) AS punct_ratio,
+        |       round(len(list_filter(toks, t -> list_contains(
+        |             ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], t))) * 1.0
+        |             / greatest(len(toks), 1), 6) AS stopword_ratio
+        |FROM f""".stripMargin,
+
+    "q30_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+        |         len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
+        |         len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |         len(list_filter(toks, t -> list_contains(['el','la','los','las','es'], t))) AS s_es
+        |  FROM f)
+        |SELECT doc_id,
+        |       CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |            WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |            WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |            WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |            ELSE 'es' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "q31_token_counts" ->
+      """SELECT doc_id,
+        |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q32_url_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(source, '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "q33_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       octet_length(encode(text)) AS byte_len,
+        |       64 + (octet_length(encode(text)) * 31) % 1024 AS width,
+        |       64 + (octet_length(encode(text)) * 17) % 1024 AS height,
+        |       CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 240 ELSE 1 END AS n_frames,
+        |       md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+
+    "q34_frame_sample" ->
+      """SELECT media_id, unnest(generate_series(0, n_frames - 1, 30)) AS frame_idx FROM (
+        |  SELECT doc_id AS media_id,
+        |         1 + octet_length(encode(text)) % 240 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)""".stripMargin,
+
+    "q35_lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q36_broadcast_join" ->
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_total,
+        |       COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
 }

@@ -1,0 +1,64 @@
+package graft.engine
+
+import graft.functions.Analyzers
+import graft.model._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Criteria tree → Catalyst predicate.
+ *
+ * The reference splits every criteria tree into an index filter (pushed
+ * into inverted/skipping/tree indexes, index_filter.go:35-204) and a
+ * residual row filter (tag_filter.go:73-607). On Spark both are ONE
+ * `filter()` — Catalyst performs the pushdown split itself (parquet
+ * PushedFilters for EQ/range/IN, residual for array/match predicates), so
+ * this translator is the whole filtering layer.
+ */
+object CriteriaTranslator {
+
+  def toColumn(c: Criteria): Column = c match {
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r)  => toColumn(l) || toColumn(r)
+    case Cond(tag, op, values) => cond(col(tag), op, values)
+  }
+
+  private def litOf(v: Any): Column = lit(v)
+
+  private def cond(c: Column, op: Op, values: Seq[Any]): Column = op match {
+    // EQ/NE are also valid on array tags — exact array equality
+    // (tag_filter.go:413-442).
+    case Op.Eq if values.size > 1 => c === array(values.map(litOf): _*)
+    case Op.Eq => c === litOf(values.head)
+    case Op.Ne if values.size > 1 => c =!= array(values.map(litOf): _*)
+    case Op.Ne => c =!= litOf(values.head)
+    case Op.Lt => c < litOf(values.head)
+    case Op.Gt => c > litOf(values.head)
+    case Op.Le => c <= litOf(values.head)
+    case Op.Ge => c >= litOf(values.head)
+    case Op.In => c.isin(values: _*)
+    case Op.NotIn => !c.isin(values: _*)
+    // array tag ⊇ all given values (tag_filter.go:580-607).
+    case Op.Having => forall(array(values.map(litOf): _*), v => array_contains(c, v))
+    case Op.NotHaving => !forall(array(values.map(litOf): _*), v => array_contains(c, v))
+    case Op.Match(analyzer, mop) =>
+      Analyzers.matches(c, values.map(_.toString), analyzer, mop == MatchOp.And)
+  }
+
+  /**
+   * Entity-tag restriction (index_filter.go:50-60 ParseExprOrEntity): on
+   * entity (series-key) tags only EQ and IN are legal — they select series
+   * (partition pruning), any other operator is an error in the reference.
+   * Catalyst prunes automatically; we replicate the *validation*.
+   */
+  def validateEntityOps(c: Criteria, entityTags: Set[String]): Unit = c match {
+    case And(l, r) => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)
+    case Or(l, r)  => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)
+    case Cond(tag, op, _) if entityTags.contains(tag) => op match {
+      case Op.Eq | Op.In => ()
+      case other => throw new IllegalArgumentException(
+        s"only EQ and IN are supported on entity tag '$tag', got $other")
+    }
+    case _ => ()
+  }
+}

@@ -1,0 +1,267 @@
+package graft.engine
+
+import graft.functions.BanyanSemantics
+import graft.model._
+import graft.sources.TableDef
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Query model → DataFrame plan builders, one per data model
+ * (SURVEY.md §2, §3). These are the Spark analogue of the reference's
+ * analyzers (measure_analyzer.go / stream_analyzer.go / trace_analyzer.go):
+ * they produce a *declarative* plan — Limit ∘ Top? ∘ Agg? ∘ GroupBy? ∘
+ * Filter ∘ Scan — and leave physical strategy (pushdown, partial agg,
+ * exchange, sort) entirely to Catalyst. None of the reference's §4.1
+ * rewrites need a custom Rule: order/limit/predicate pushdown, column
+ * pruning and partial aggregation are all native.
+ */
+object Planners {
+
+  /** Default result limit when the request omits one
+    * (measure_analyzer.go:32; vec plan/analyzer.go:33). */
+  val DefaultLimit = 100
+
+  private def effLimit(l: Int): Int = if (l <= 0) DefaultLimit else l
+
+  private[engine] def applyTime(df: DataFrame, tdef: TableDef, tr: Option[TimeRange]): DataFrame =
+    tr match {
+      case Some(TimeRange(b, e)) =>
+        val name = tdef.tsCol.getOrElse("ts")
+        val ts = col(name)
+        // [begin, end) — model/v1/query.proto:125-130. A LongType ts column
+        // holds raw epoch nanos (parquet timestamp[ns] read via
+        // nanosAsLong): compare in nanos so the range reaches the parquet
+        // scan as a pushed int64 filter.
+        df.schema(name).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L + i.getNano
+            df.filter(ts >= lit(ns(b)) && ts < lit(ns(e)))
+          case _ =>
+            df.filter(ts >= lit(java.sql.Timestamp.from(b)) && ts < lit(java.sql.Timestamp.from(e)))
+        }
+      case None => df
+    }
+
+  private def applyCriteria(df: DataFrame, tdef: TableDef, c: Option[Criteria]): DataFrame =
+    c match {
+      case Some(cr) =>
+        CriteriaTranslator.validateEntityOps(cr, tdef.entity.toSet)
+        df.filter(CriteriaTranslator.toColumn(cr))
+      case None => df
+    }
+
+  /** Sort key plus deterministic tiebreaks (timestamp, then entity) — the
+    * reference's merge is effectively ordered by (sort key, series, ts), and
+    * a LIMIT without a total order would return a nondeterministic subset. */
+  private def orderCols(ob: Option[OrderBy], tdef: TableDef): Seq[Column] = {
+    val primary = ob match {
+      case Some(OrderBy(tag, desc)) =>
+        val c = col(tag.getOrElse(tdef.tsCol.getOrElse("ts")))
+        Seq(if (desc) c.desc else c.asc)
+      case None => tdef.tsCol.map(t => col(t).asc).toSeq
+    }
+    val ties = (tdef.tsCol.toSeq ++ tdef.entity)
+      .filterNot(c => ob.fold(tdef.tsCol.contains(c))(o => o.tag.contains(c)))
+      .map(col(_).asc)
+    primary ++ ties
+  }
+
+  /** Measure read path (§3.2): scan → version dedup → filter → group/agg →
+    * top → order → offset/limit. */
+  def measure(df0: DataFrame, tdef: TableDef, q: MeasureQuery,
+      meanIsIntegral: Boolean = true): DataFrame = {
+    // groupBy keys must be scalar — array/binary group tags are rejected
+    // (measure_plan_groupby.go:182-183).
+    q.groupByTags.foreach { t =>
+      if (tdef.arrayTags.contains(t))
+        throw new IllegalArgumentException(s"invalid group-by tag '$t': array tags not allowed")
+    }
+    var df = applyTime(df0, tdef, q.timeRange)
+    // Latest-version-wins dedup runs before filters touch fields and
+    // before any aggregation (banyand/measure/query.go:966-1026).
+    df = tdef.versionCol match {
+      case Some(v) if tdef.entity.nonEmpty && !q.indexMode =>
+        BanyanSemantics.latestVersion(df, tdef.entity, tdef.tsCol.getOrElse("ts"), v)
+      case _ => df
+    }
+    df = applyCriteria(df, tdef, q.criteria)
+
+    // Hidden-tag semantics (P3, pkg/query/logical/hidden_tags.go): WHERE /
+    // ORDER BY tags need not be projected — they stay materialized through
+    // sort+limit and are stripped at egress. Catalyst prunes everything
+    // else out of the scan either way.
+    val projected: Seq[String] =
+      if (q.tagProjection.nonEmpty || q.fieldProjection.nonEmpty)
+        (q.tagProjection ++ q.fieldProjection).distinct
+      else df.columns.toSeq
+
+    val afterAgg = q.agg.isDefined
+    val (core, postProject) = (q.groupByTags, q.agg) match {
+      case (Nil, None) => (df, Some(projected))
+      case (keys, Some((fn, field))) if keys.nonEmpty =>
+        (df.groupBy(keys.map(col): _*).agg(aggColumn(df, fn, field, meanIsIntegral)), None)
+      case (Nil, Some((fn, field))) =>
+        // scalar reduce to one row (measure_plan_aggregation.go:306-369)
+        (df.agg(aggColumn(df, fn, field, meanIsIntegral)), None)
+      case (keys, None) =>
+        // GROUP BY without aggregation → first-seen row per group (A5)
+        val ord = Seq(col(tdef.tsCol.getOrElse("ts")).asc) ++
+          tdef.versionCol.map(col(_).asc).toSeq
+        (BanyanSemantics.firstSeenRow(df, keys, ord), Some(projected))
+    }
+
+    val sorted = q.top match {
+      case Some(TopSpec(n, field, desc)) =>
+        val c = if (desc) col(field).desc else col(field).asc
+        // deterministic tiebreak on the remaining columns for stable results
+        val ties = core.columns.filterNot(_ == field).map(col(_).asc).toSeq
+        core.orderBy(c +: ties: _*).limit(n)
+      case None =>
+        if (!afterAgg) {
+          val oc = orderCols(q.orderBy, tdef)
+          if (oc.nonEmpty) core.orderBy(oc: _*) else core
+        } else q.orderBy match {
+          // post-agg ordering is only meaningful on a surviving group key
+          case Some(OrderBy(Some(tag), desc)) if core.columns.contains(tag) =>
+            core.orderBy(if (desc) col(tag).desc else col(tag).asc)
+          case _ => core
+        }
+    }
+    val paged = page(sorted, q.offset, effLimit(q.limit))
+    postProject.fold(paged)(p => paged.select(p.map(col): _*))
+  }
+
+  private def isFloat(df: DataFrame, field: String): Boolean =
+    df.schema(field).dataType == org.apache.spark.sql.types.DoubleType
+
+  /** Double sums accumulate via DECIMAL(25,6) then cast back — exact and
+    * order-independent, so results are identical run-to-run regardless of
+    * partial-aggregation merge order (plain double sums are not). */
+  private def exactSum(f: Column): Column =
+    sum(f.cast("decimal(25,6)")).cast("double")
+
+  private def aggColumn(df: DataFrame, fn: AggFn, field: String, integral: Boolean): Column = {
+    val f = col(field)
+    val float = isFloat(df, field)
+    fn match {
+      case AggFn.Sum => (if (float) exactSum(f) else sum(f)).as(s"sum_$field")
+      case AggFn.Count =>
+        // COUNT emits the field's type — float for FLOAT fields (W8,
+        // bench_test.go:208-218).
+        (if (float) count(f).cast("double") else count(f)).as(s"count_$field")
+      case AggFn.Max => max(f).as(s"max_$field")
+      case AggFn.Min => min(f).as(s"min_$field")
+      case AggFn.Mean =>
+        (if (float || !integral) {
+          val m = exactSum(f) / count(f)
+          when(m < 1.0, lit(1.0)).otherwise(m)
+        } else BanyanSemantics.banyanMeanLong(f)).as(s"mean_$field")
+    }
+  }
+
+  /** offset applied after top/order (measure_analyzer.go:123-150). */
+  private def page(df: DataFrame, offset: Int, limit: Int): DataFrame =
+    (if (offset > 0) df.offset(offset) else df).limit(limit)
+
+  /** Stream read path: filter → sort → element dedup → offset/limit
+    * (stream_analyzer.go; dedup after global merge,
+    * stream_plan_distributed.go:187-207). */
+  def stream(df0: DataFrame, tdef: TableDef, q: StreamQuery, elementIdCol: String): DataFrame = {
+    var df = applyTime(df0, tdef, q.timeRange)
+    df = applyCriteria(df, tdef, q.criteria)
+    val ord = orderCols(q.orderBy, tdef)
+    df = BanyanSemantics.dedupByElementId(df, elementIdCol, ord)
+    // order+limit on the full row (hidden tags usable as sort keys),
+    // project at egress
+    df = page(df.orderBy(ord: _*), q.offset, effLimit(q.limit))
+    if (q.projection.nonEmpty) df.select(q.projection.map(col): _*) else df
+  }
+
+  /** Trace read path: spans grouped per trace, LIMIT counts traces
+    * (dquery/trace.go:165 BuildTracesFromResult; T9 distinct-trace-id
+    * limit, vectorized/trace/distinct_trace_id.go:27-90). */
+  def traceSpanGroups(df0: DataFrame, tdef: TableDef, q: TraceQuery,
+      traceIdCol: String, spanStruct: Seq[String]): DataFrame = {
+    var df = applyTime(df0, tdef, q.timeRange)
+    df = applyCriteria(df, tdef, q.criteria)
+    val grouped = df.groupBy(col(traceIdCol)).agg(
+      count(lit(1)).as("span_count"),
+      min(col(tdef.tsCol.getOrElse("ts"))).as("start_ts"),
+      // deterministic span ordering inside each trace
+      sort_array(collect_list(struct(spanStruct.map(col): _*))).as("spans"))
+    val ranked = q.orderBy match {
+      case Some(OrderBy(tag, desc)) =>
+        val c = col(tag.getOrElse("start_ts"))
+        grouped.orderBy((if (desc) c.desc else c.asc), col(traceIdCol).asc)
+      case None => grouped.orderBy(col("start_ts").asc, col(traceIdCol).asc)
+    }
+    page(ranked, q.offset, effLimit(q.limit))
+  }
+
+  /** Property read path: last-writer-wins by mod_revision
+    * (property/v1/rpc.proto; docs/concept/data-model.md:256-293). */
+  def propertyLatest(df: DataFrame, keyCols: Seq[String], revCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(revCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Pre-aggregated TopN read (§3.3): per-bucket ranked lists with entity
+   * dedup (topn_plan_distinct.go:44-289) and optional cross-bucket
+   * AGGREGATE BY (topn.proto:63-64). Input is the derived topN result
+   * table (bucket_start, entity, value).
+   */
+  def topNRead(buckets: DataFrame, q: TopNQuery): DataFrame = {
+    // only EQ conditions are legal on a TopN query (topn.proto:66-67)
+    q.conditions.foreach { c =>
+      if (c.op != Op.Eq) throw new IllegalArgumentException(
+        s"topN query conditions must be EQ, got ${c.op} on ${c.tag}")
+    }
+    var df = buckets
+    q.conditions.foreach(c => df = df.filter(CriteriaTranslator.toColumn(c)))
+    val agged = q.agg match {
+      case Some(fn) =>
+        df.groupBy(col("entity")).agg(aggColumn(df, fn, "value", integral = true))
+          .withColumnRenamed(aggName(fn), "value")
+      case None =>
+        // entity dedup: best value per entity across buckets
+        val best = if (q.desc) max(col("value")) else min(col("value"))
+        df.groupBy(col("entity")).agg(best.as("value"))
+    }
+    val ord = if (q.desc) col("value").desc else col("value").asc
+    agged.orderBy(ord, col("entity").asc).limit(q.topN)
+  }
+
+  private def aggName(fn: AggFn): String = fn match {
+    case AggFn.Sum => "sum_value"; case AggFn.Count => "count_value"
+    case AggFn.Max => "max_value"; case AggFn.Min => "min_value"
+    case AggFn.Mean => "mean_value"
+  }
+
+  /** Multi-group union with schema merge (measure_analyzer.go:96-108;
+    * cross_group_merge.go): missing columns null-filled. */
+  def unionGroups(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /**
+   * Batch form of the TopNAggregation pre-compute (§2.7 write path,
+   * banyand/measure/topn.go:553-580): bucket event time to the measure
+   * interval, aggregate the ranked field per (bucket, entity), keep the
+   * top `n` entities per bucket. Output schema mirrors the derived
+   * `_top_n_result` table (FIXTURES.md A7) with typed columns.
+   * One shuffle for the agg; the rank window reuses the bucket hash.
+   */
+  def topNBuckets(df: DataFrame, tsNanosCol: String, entityCol: String,
+      valueExpr: Column, intervalMs: Long, n: Int, desc: Boolean = true): DataFrame = {
+    import graft.functions.BanyanSemantics.longDiv
+    val bucket = longDiv(longDiv(col(tsNanosCol).cast("long"), lit(1000000L)),
+      lit(intervalMs)) * lit(intervalMs)
+    val agged = df.groupBy(bucket.as("bucket_ms"), col(entityCol).cast("string").as("entity"))
+      .agg(sum(valueExpr).as("value"))
+    val ord = if (desc) col("value").desc else col("value").asc
+    val w = Window.partitionBy(col("bucket_ms")).orderBy(ord, col("entity").asc)
+    agged.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+  }
+}

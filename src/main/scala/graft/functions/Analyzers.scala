@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * The four full-text analyzers of the reference
+ * (pkg/index/analyzer/analyzer.go:36-62; semantics documented at
+ * database/v1/schema.proto:180-189) re-expressed as codegen-friendly
+ * Column expressions (no UDFs — `lower`/`split`/`filter` are all
+ * whole-stage-codegen built-ins, so MATCH stays inside the codegen span
+ * and is pushable wherever Catalyst can push array expressions).
+ *
+ * The reference tokenizes at *index build time*; we tokenize at query
+ * time. At 100 TB the indexed-column equivalent is materializing
+ * `standard(text)` as a generated column at ingest and filtering on it —
+ * same expression, write-side.
+ */
+object Analyzers {
+
+  private def tokens(c: Column, pattern: String): Column =
+    filter(split(c, pattern), t => t =!= lit(""))
+
+  /** bluge standard analyzer: unicode word tokens, lowercased. */
+  def standard(c: Column): Column = tokens(lower(c), "[^\\p{L}\\p{N}]+")
+
+  /** bluge simple analyzer: letter-run tokens, lowercased (digits split). */
+  def simple(c: Column): Column = tokens(lower(c), "[^\\p{L}]+")
+
+  /** bluge keyword analyzer: entire input as a single token, case kept. */
+  def keyword(c: Column): Column = array(c)
+
+  /** reference URL analyzer: letter-or-number runs, case preserved
+    * (analyzer.go:46-56 CharacterTokenizer + alphanumericFilter). */
+  def url(c: Column): Column = tokens(c, "[^\\p{L}\\p{N}]+")
+
+  def byName(name: String): Column => Column = name match {
+    case "standard" => standard
+    case "simple"   => simple
+    case "keyword"  => keyword
+    case "url"      => url
+    case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
+  }
+
+  /**
+   * MATCH predicate (tag_filter.go:546-578; QL docs
+   * docs/interacting/bydbql.md:262-389): tokenize both the column and the
+   * query values with the same analyzer; AND → column tokens ⊇ all query
+   * tokens, OR → any overlap.
+   */
+  def matches(col: Column, values: Seq[String], analyzer: String, andSemantics: Boolean): Column = {
+    val an = byName(analyzer)
+    val queryTokens = flatten(array(values.map(v => an(lit(v))): _*))
+    val docTokens = an(col)
+    if (andSemantics) forall(queryTokens, t => array_contains(docTokens, t))
+    else arrays_overlap(docTokens, queryTokens)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The semantic quirks of the reference that plain SQL gets WRONG, each as a
+ * composable Column/DataFrame transform (SURVEY.md §2.4, §7.3). All are
+ * built from codegen'd built-ins — no UDFs — so they stay inside
+ * whole-stage codegen and scale like any native aggregate.
+ */
+object BanyanSemantics {
+
+  /**
+   * MEAN over an INT field (pkg/query/aggregation/function.go:31-40,62-71):
+   * `sum / count` computed in the field's type — i.e. *integer division*
+   * for int64 fields — then clamped so any result < 1 becomes 1.
+   * Spark's `avg` (double division, no clamp) is wrong; this is the
+   * faithful aggregate. Works as a grouped or global aggregate; partial
+   * aggregation (map-side sum+count combine) is native.
+   */
+  def banyanMeanLong(field: Column): Column = {
+    val q = longDiv(sum(field), count(field))
+    when(q < 1, lit(1L)).otherwise(q)
+  }
+
+  /** int64 division with truncation toward zero (Go semantics) — Spark's
+    * `DIV` (IntegralDivide) has exactly this behavior. */
+  def longDiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /**
+   * MEAN over a FLOAT field: plain double division, same <1→1 clamp
+   * (function.go applies the clamp for both types).
+   */
+  def banyanMeanDouble(field: Column): Column = {
+    val m = sum(field) / count(field)
+    when(m < 1.0, lit(1.0)).otherwise(m)
+  }
+
+  /**
+   * Latest-version-wins dedup (banyand/measure/query.go:966-1026): among
+   * rows sharing (series, timestamp), only the highest `version` survives.
+   * Must run BEFORE any aggregation or counts drift (SURVEY §7.4.2).
+   *
+   * Scale note: the window shuffles once on (series, ts); downstream
+   * group-bys on the same keys reuse the exchange. On a partitioned layout
+   * the shuffle is avoided entirely when parquet is bucketed by entity.
+   */
+  def latestVersion(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      versionCol: String): DataFrame = {
+    val w = Window.partitionBy((seriesCols :+ tsCol).map(col): _*)
+      .orderBy(col(versionCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * GROUP BY without aggregation emits the FIRST-SEEN row per group with
+   * all projected tags/fields (measure_plan_aggregation.go absent-agg case;
+   * vec contract pkg/query/vectorized/measure/plan/analyzer.go:55-58).
+   * "First-seen" in the reference is scan order = (series, ts) order; we
+   * make it deterministic as (ts, version) — Spark's `first()` is
+   * explicitly non-deterministic and must not be used here.
+   */
+  def firstSeenRow(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Stream element dedup (stream_plan_distributed.go:187-207;
+   * vec distinct.go:31-60): first occurrence per element_id after the
+   * global sorted merge. Deterministic form: min over the sort key.
+   */
+  def dedupByElementId(df: DataFrame, elementIdCol: String, orderCols: Seq[Column]): DataFrame =
+    firstSeenRow(df, Seq(elementIdCol), orderCols)
+}

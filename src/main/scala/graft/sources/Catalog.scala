@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Schema registry + parquet source layer.
+ *
+ * The reference registers Groups/Measures/Streams with physical options
+ * (shard_num, segment_interval, ttl — common/v1/common.proto:96-189) and
+ * resolves series via an index (banyand/measure/query.go:314). On Spark the
+ * same responsibilities collapse to: a table → parquet path mapping, a
+ * declared entity (series key) used for partition/bucket pruning, and
+ * Catalyst's own predicate pushdown. At 100 TB the layout contract is:
+ * one parquet dataset per (group, resource), hive-partitioned by
+ * `seg=<date>` (segment_interval) and bucketed/sorted by the entity hash
+ * (shard_num) so entity-EQ queries prune to one shard of one segment.
+ *
+ * Local testdata is a single file per table, so `TableDef.load` only
+ * normalizes schema quirks (ns timestamps) — the partition layout is
+ * exercised by `storage.Layout` and its spec.
+ */
+final case class TableDef(
+    name: String,
+    /** entity = series key (docs/concept/data-model.md:382-391). */
+    entity: Seq[String] = Nil,
+    /** timestamp column (ms precision in the reference). */
+    tsCol: Option[String] = None,
+    /** version column for latest-version-wins dedup, if the table has one. */
+    versionCol: Option[String] = None,
+    /** columns that are array-typed tags (HAVING-able). */
+    arrayTags: Set[String] = Set.empty)
+
+object Catalog {
+
+  /** Parquet `timestamp[ns]` is not readable as TimestampType by Spark
+    * (PARQUET_TYPE_ILLEGAL); read nanos as long and truncate to micros —
+    * same truncation DuckDB applies casting ns→µs, so oracle results agree. */
+  def readParquet(spark: SparkSession, dir: String, table: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$table.parquet")
+    table match {
+      case "events" =>
+        // keep the raw nanos for exact arithmetic, expose a µs timestamp
+        raw.withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Registry for the driver testdata playing the reference's roles
+    * (FIXTURES.md §B). */
+  val defs: Map[String, TableDef] = Map(
+    // events has a unique (user_id, ts) per row, so the version-dedup merge
+    // is a no-op — leave versionCol unset and let the dedicated dedup
+    // queries attach one (skipping a provably-empty window pass, same
+    // outcome as the reference's merge when no duplicate versions exist).
+    // tsCol is the raw-nanos long column so time-range filters push down to
+    // the parquet scan as int64 predicates (ordering is identical to `ts`).
+    "events" -> TableDef("events", entity = Seq("user_id"), tsCol = Some("ts_ns")),
+    "documents" -> TableDef("documents"),
+    "embeddings" -> TableDef("embeddings"),
+    "lineitem" -> TableDef("lineitem", entity = Seq("l_suppkey"), tsCol = Some("l_shipdate")),
+    "orders" -> TableDef("orders", entity = Seq("o_custkey"), tsCol = Some("o_orderdate")),
+    "customer" -> TableDef("customer"),
+    "supplier" -> TableDef("supplier"),
+    "part" -> TableDef("part"),
+    "nation" -> TableDef("nation"),
+    "region" -> TableDef("region"))
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    readParquet(spark, dir, table)
+}
