@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
 /**
  * Driver contract: one entry per implemented operator from SURVEY.md §2
  * (BanyanDB surface) plus the training-data pipeline extensions, each with
- * an equivalent DuckDB oracle in [[oracleSql]]. Queries marked `rows-only`
- * (no oracle entry) use hashing/LSH that is engine-specific by design.
+ * an equivalent DuckDB oracle in [[oracleSql]] — including the LSH/sketch
+ * queries, whose hash functions are deliberately engine-portable (md5
+ * prefixes, literal LCG planes, exact-Jaccard verification) so the oracle
+ * can recompute them in SQL.
  */
 object SparkEntry {
 
@@ -236,12 +238,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
         w = 5, threshold = 0.15, maxDocFreq = 1000)),
 
-    // --- pipeline: MinHash+LSH candidate pairs (rows-only: engine hash)
+    // --- pipeline: MinHash+LSH near-dup pairs, exact-Jaccard verified
     "q24_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
-        w = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)),
+        w = 3, bands = 32, rowsPerBand = 2, threshold = 0.5)),
 
-    // --- pipeline: SimHash near-dup pairs (rows-only: engine hash)
+    // --- pipeline: SimHash near-dup pairs (md5-based portable signature)
     "q25_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
 
@@ -356,7 +358,7 @@ object SparkEntry {
 
     "q08_mean_clamp" ->
       """SELECT user_id, CASE WHEN m < 1 THEN 1 ELSE m END AS mean_val_int FROM (
-        |  SELECT user_id, SUM(CAST(floor(value/100) AS BIGINT)) // COUNT(*) AS m
+        |  SELECT user_id, CAST(SUM(CAST(floor(value/100) AS BIGINT)) AS BIGINT) // COUNT(*) AS m
         |  FROM events GROUP BY user_id)""".stripMargin,
 
     "q09_first_seen_group" ->
@@ -369,7 +371,7 @@ object SparkEntry {
     "q11_count_float" -> "SELECT CAST(COUNT(value) AS DOUBLE) AS count_value FROM events",
 
     "q12_top_after_agg" ->
-      """SELECT user_id, SUM(CAST(floor(value) AS BIGINT)) AS sum_val_int
+      """SELECT user_id, CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val_int
         |FROM events GROUP BY user_id
         |ORDER BY sum_val_int DESC, user_id LIMIT 5""".stripMargin,
 
@@ -408,7 +410,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY bucket_ms ORDER BY value DESC, entity) AS rank
         |  FROM (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
         |               user_id::VARCHAR AS entity,
-        |               SUM(CAST(floor(value) AS BIGINT)) AS value
+        |               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value
         |        FROM events GROUP BY 1, 2))
         |WHERE rank <= 3""".stripMargin,
 
@@ -418,9 +420,9 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY bucket_ms ORDER BY value DESC, entity) AS rank
         |  FROM (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
         |               user_id::VARCHAR AS entity,
-        |               SUM(CAST(floor(value) AS BIGINT)) AS value
+        |               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value
         |        FROM events GROUP BY 1, 2))
-        |SELECT entity, SUM(value) AS value FROM buckets WHERE rank <= 3
+        |SELECT entity, CAST(SUM(value) AS BIGINT) AS value FROM buckets WHERE rank <= 3
         |GROUP BY entity ORDER BY value DESC, entity LIMIT 10""".stripMargin,
 
     "q20_union_groups" ->
@@ -457,6 +459,65 @@ object SparkEntry {
         |JOIN szs sa ON sa.doc_id = id_a
         |JOIN szs sb ON sb.doc_id = id_b
         |WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.15""".stripMargin,
+
+    "q24_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, len(s) AS set_size FROM sh),
+        |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) >= 2),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM ex a JOIN keep USING (shingle) JOIN ex b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN szs sa ON sa.doc_id = id_a
+        |JOIN szs sb ON sb.doc_id = id_b
+        |WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.5""".stripMargin,
+
+    "q25_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(t, s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs
+        |      FROM toks),
+        |sig AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0,59), i ->
+        |    CASE WHEN 2 * len(list_filter(hs, x -> ((x >> i) & 1) = 1)) > len(hs)
+        |         THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM h)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+    "q27_sim_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |bk AS (SELECT vec_id, emb,
+        |  CAST(list_sum(list_transform(generate_series(0,7), p ->
+        |    CASE WHEN list_reduce(list_transform(generate_series(0,63), d ->
+        |           emb[d+1] * (CASE WHEN ((1103515245::BIGINT * (p*64+d+1) + 12345) % 2147483647)
+        |                                  < 1073741823 THEN 1.0 ELSE -1.0 END)),
+        |           (x,y) -> x+y) >= 0
+        |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v),
+        |q AS (SELECT vec_id AS query_id, emb AS qv, bucket FROM bk WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(q.qv, c.emb), 6) AS sim
+        |  FROM q JOIN bk c USING (bucket) WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q26_sim_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -262,6 +262,6 @@ object Planners {
       .agg(sum(valueExpr).as("value"))
     val ord = if (desc) col("value").desc else col("value").asc
     val w = Window.partitionBy(col("bucket_ms")).orderBy(ord, col("entity").asc)
-    agged.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+    agged.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= n)
   }
 }

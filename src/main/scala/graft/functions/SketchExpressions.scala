@@ -1,0 +1,184 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the dedup sketch kernels (shingling,
+ * MinHash, SimHash). Spark's higher-order functions (transform /
+ * aggregate / zip_with) are evaluated INTERPRETED — they never enter
+ * whole-stage codegen — so a 60-bit vote loop nested per token per row
+ * costs ~100× what the same loop costs as compiled Java. These
+ * expressions run the kernels as tight primitive loops (eval and
+ * doGenCode both dispatch to the static impls in [[SketchImpl]]), the
+ * same altitude as [[VectorExpressions]].
+ *
+ * Semantics are engine-portable by construction so a SQL oracle can
+ * recompute them: tokenization = lowercase split on /[^a-z0-9]+/,
+ * SimHash token hash = first 60 bits of md5 hex, MinHash lane hash =
+ * xxhash64(lane, shingle) (seed 42, identical to the SQL `xxhash64`
+ * builtin — MinHash output is verified via exact Jaccard, not by hash).
+ */
+object SketchImpl {
+  private val token = Pattern.compile("[^a-z0-9]+")
+  private val md5tl = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** lowercase alnum tokens, Spark `lower`+`split` semantics. */
+  def tokens(text: UTF8String): Array[String] = {
+    val parts = token.split(text.toLowerCase.toString)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (!parts(i).isEmpty) n += 1; i += 1 }
+    if (n == parts.length) parts
+    else {
+      val out = new Array[String](n)
+      var j = 0; i = 0
+      while (i < parts.length) {
+        if (!parts(i).isEmpty) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** distinct (first-seen order) w-token shingles joined by single spaces;
+    * empty array when fewer than w tokens. */
+  def shingles(text: UTF8String, w: Int): ArrayData = {
+    val t = tokens(text)
+    if (t.length < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= t.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(t(i + j)); j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** xxhash64(lane, shingle) with Spark's literal-int-then-string fold
+    * (seed 42) — bit-identical to the SQL builtin. */
+  private def laneHash(lane: Int, s: UTF8String): Long = {
+    val h = XXH64.hashInt(lane, 42L)
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+  }
+
+  /** k-lane MinHash signature over a shingle array; null-free long array.
+    * Lane loop outside, shingle loop inside — one UTF8String fetch per
+    * (lane, shingle), no per-lane array allocation. */
+  def minhashSig(shingleArr: ArrayData, k: Int): ArrayData = {
+    val n = shingleArr.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingleArr.getUTF8String(i)
+      var lane = 0
+      while (lane < k) {
+        val h = laneHash(lane, s)
+        if (h < sig(lane)) sig(lane) = h
+        lane += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** first 60 bits of md5(token) as a non-negative long — matches
+    * `('0x' || substr(md5(t),1,15))::BIGINT` in the SQL oracle. */
+  def md5hash60(t: String): Long = {
+    val d = md5tl.get()
+    d.reset()
+    val b = d.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // hex chars 1..15 = bytes 0..6 plus the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
+    (v << 4) | ((b(7) & 0xF0L) >>> 4)
+  }
+
+  /** 60-bit SimHash: per bit, strict majority vote (ties → 0) over the
+    * token multiset's md5-derived hashes. */
+  def simhash60(text: UTF8String): Long = {
+    val t = tokens(text)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < t.length) {
+      val h = md5hash60(t(i))
+      var bit = 0
+      while (bit < 60) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+}
+
+/** shingles(text, w) → array<string> (distinct, first-seen order). */
+case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.shingles(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.shingles($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhashSig(shingleArray, k) → array<long> of lane minima. */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash60(text) → long. */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+  def shingles(text: Column, w: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(text), w))
+  def minhashSig(shingleArr: Column, k: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(shingleArr), k))
+  def simhash60(text: Column): Column =
+    Bridge.column(SimHash60Expr(Bridge.expression(text)))
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,14 +9,19 @@ import org.apache.spark.sql.functions._
  *
  * - exact/fingerprint: one hash-partitioned groupBy — the minimum possible
  *   work; AQE handles skew from pathological duplicate clusters.
- * - MinHash/LSH: per-doc signatures are map-only; the only shuffle is the
- *   band-bucket self-join, whose fan-out is bounded by band width, not by
- *   corpus size. Candidate verification re-joins only candidate pairs.
- * - SimHash: map-only signature + 4×16-bit block join (Hamming ≤ 3 ⇒ at
- *   least one of 4 blocks equal) — the standard Manku/Jain/Sarma layout.
+ * - MinHash/LSH: per-doc signatures are map-only and materialized ONCE
+ *   behind a persist barrier (Catalyst's CollapseProject would otherwise
+ *   inline the tokenizer into every signature lane of every join side).
+ *   The band-bucket self-join carries ids only; singleton buckets are
+ *   pruned before the join; candidate pairs re-join the (persisted)
+ *   shingle sets to emit EXACT Jaccard — verifiable against an oracle.
+ * - SimHash: map-only signature + 4×15-bit block join (Hamming ≤ 3 ⇒ at
+ *   least one of 4 blocks equal, by pigeonhole — recall is exactly 1).
+ *   Token hashes are the first 60 bits of md5 so the whole computation is
+ *   reproducible in any engine (the oracle recomputes it in SQL).
  *
- * All hashing uses xxhash64 with fixed literal seeds — deterministic
- * across runs, executors, and Spark versions.
+ * MinHash lane hashing uses xxhash64 with fixed literal seeds —
+ * deterministic across runs, executors, and Spark versions.
  */
 object Dedup {
 
@@ -27,84 +31,110 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word w-shingles of a document, lowercased alnum tokens (distinct set). */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
-    val n = size(toks)
-    // 1-based windows [i, i+w); empty array when fewer than w tokens
-    when(n >= w, array_distinct(transform(sequence(lit(1), n - lit(w - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(w))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word w-shingles of a document, lowercased alnum tokens (distinct
+    * set, first-seen order); empty array below w tokens. Native codegen'd
+    * kernel — see [[graft.functions.SketchImpl.shingles]]. */
+  def shingles(text: Column, w: Int): Column =
+    graft.functions.SketchFunctions.shingles(text, w)
 
   /**
    * MinHash signature: k independent min-hashes over the shingle set.
-   * h_i(s) = xxhash64(i, s); signature[i] = min over shingles.
+   * h_i(s) = xxhash64(i, s); signature[i] = min over shingles. Native
+   * kernel ([[graft.functions.SketchImpl.minhashSig]]) — one fused
+   * lane×shingle loop instead of k interpreted array passes.
    */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+    graft.functions.SketchFunctions.minhashSig(shingleCol, k)
+
+  /** Exact Jaccard of two pre-computed shingle-set columns. */
+  private def exactJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   /**
-   * MinHash + LSH candidate pairs: signature split into `bands` bands of
-   * `rowsPerBand` rows; docs sharing any band-hash become candidates; the
-   * estimated Jaccard (signature agreement rate) filters final pairs.
-   * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+   * MinHash + LSH near-dup pairs: signature split into `bands` bands of
+   * `rowsPerBand` rows; docs sharing any band-hash become candidates;
+   * candidates are then verified with EXACT Jaccard over the shingle sets
+   * (so the output is oracle-checkable: with the default 32×2 layout the
+   * probability of missing a pair at jaccard ≥ 0.5 is (1−0.5²)³² ≈ 1e-4).
+   * Returns (id_a, id_b, jaccard) with id_a < id_b.
+   *
+   * Scale shape: signatures and shingle sets are computed once per doc
+   * (persist barrier), the self-join shuffles only (band, bucket, id)
+   * triples, and buckets with a single member never reach the join.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      w: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), w), k).as("sig"))
-      .filter(size(col("sig")) === k && !exists(col("sig"), _.isNull))
-    // band buckets: (band_idx, hash(band slice)) — the ONLY shuffle key
-    val buckets = sigs.select(col("id"), col("sig"),
+    // Barrier 1: shingle sets, tokenized exactly once per doc.
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    // Barrier 2: signatures (k min-hash lanes over the persisted sets).
+    val sigs = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .persist()
+    // Band buckets carry ids ONLY — no signature payload through the shuffle.
+    val buckets = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val cand = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
-    cand.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k)
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+    // Drop singleton buckets before the self-join.
+    val hot = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select("band", "bucket")
+    val pruned = buckets.join(hot, Seq("band", "bucket"))
+    val cand = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // Verify candidates with exact Jaccard over the persisted shingle sets.
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("__j", exactJaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the token multiset: per bit position, majority
-    * vote of token hashes (term-frequency weighted); single pass over the
-    * tokens with an array<long> vote accumulator — map-only, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
-    val hashes = transform(toks, t => xxhash64(t))
-    // shift amounts must be literal ints in Spark, so the 64 lanes unroll
-    def bitsOf(h: Column): Column = array((0 until 64).map(i =>
-      when(shiftright(h, i).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))): _*)
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
-    (0 until 64).map(i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 60-bit SimHash over the token multiset: per bit position, strict
+    * majority vote of token hashes (term-frequency weighted). Token hash =
+    * first 60 bits of md5 (engine-portable, unlike xxhash64), so an
+    * external oracle can recompute the identical signature. Native
+    * codegen'd kernel — [[graft.functions.SketchImpl.simhash60]]. */
+  def simhash60(text: Column): Column =
+    graft.functions.SketchFunctions.simhash60(text)
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (< 16), via
-    * 4-block LSH: equal 16-bit block ⇒ candidate, then exact popcount. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (< 15), via
+    * 4-block LSH: equal 15-bit block ⇒ candidate (pigeonhole: ≤ 3 flipped
+    * bits leave at least one of 4 blocks intact), then exact popcount.
+    * Signatures are persisted so the (large) signature expression runs
+    * once per doc, not once per join side. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val blocks = sigs.select(col("id"), col("sig"),
+    val sigs = df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig"))
+      .persist()
+    val blocks = sigs.select(col("id"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "bkey")
-    val a = blocks.select(col("block"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = blocks.select(col("block"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("block", "bkey")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))))
+    val hot = blocks.groupBy("block", "bkey")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select("block", "bkey")
+    val pruned = blocks.join(hot, Seq("block", "bkey"))
+    val cand = pruned.select(col("block"), col("bkey"), col("id").as("id_a"))
+      .join(pruned.select(col("block"), col("bkey"), col("id").as("id_b")),
+        Seq("block", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sig_b")), Seq("id_b"))
+      .withColumn("hamming",
+        call_function("bit_count", col("__sig_a").bitwiseXOR(col("__sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
@@ -114,17 +144,20 @@ object Dedup {
    * explode shingles, self-join on shingle (blocking), count shared
    * shingles per pair, then |A∩B| / (|A|+|B|−|A∩B|). Avoids the O(n²)
    * cross join — cost is Σ (docs per shingle)², bounded by dropping
-   * ubiquitous shingles (df > maxDocFreq).
+   * ubiquitous shingles (df > maxDocFreq). The exploded postings are
+   * persisted so the tokenizer runs once, not once per downstream use.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), w)).as("shingle"))
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val filtered = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
         .filter(col("df_") <= maxDocFreq && col("df_") >= 2).select("shingle"),
       Seq("shingle"))
+      .persist()
     val pairs = filtered.select(col("shingle"), col("id").as("id_a"))
       .join(filtered.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

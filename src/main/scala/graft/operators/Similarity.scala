@@ -1,8 +1,8 @@
 package graft.operators
 
+import graft.functions.TopK.topK
 import graft.functions.VectorFunctions.cosine
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -11,17 +11,30 @@ import org.apache.spark.sql.functions._
  *
  * - brute force: broadcast the (small) query set against the corpus —
  *   one map-only pass over the corpus, cosine via the codegen'd native
- *   expression, per-query top-k via window rank. The exact baseline.
+ *   expression, per-query top-k via the bounded TopKAggregator (partial
+ *   aggregation keeps ≤ k rows per query per map task — no per-query
+ *   single-task window). The exact baseline.
  * - LSH (random hyperplanes): bucket corpus and queries by the sign
  *   pattern of `nPlanes` fixed pseudo-random hyperplane projections;
- *   candidates = same bucket (multi-probe = flip one bit). At 100 TB the
- *   corpus is scanned ONCE to write bucketed parquet; queries then touch
- *   only matching buckets — this is the scale path, traded against recall.
+ *   candidates = same bucket. At 100 TB the corpus is scanned ONCE to
+ *   write bucketed parquet; queries then touch only matching buckets —
+ *   this is the scale path, traded against recall.
  *
- * Hyperplanes are derived from xxhash64(plane, dim) — deterministic,
- * no RNG state, identical on every executor.
+ * Hyperplane entries are ±1 from a fixed LCG over (plane, dim) — resolved
+ * to literals at plan-build time, deterministic on every executor, and
+ * reproducible in plain SQL by an external oracle (no engine-private
+ * hash function in the bucketing).
  */
 object Similarity {
+
+  /** rank candidates: group to bounded top-k, then explode back to
+    * (query_id, nbr_id, rank, sim) rows. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(topK(k)(col("sim"), col("nbr_id")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.sim").as("sim"))
 
   /** Exact top-k neighbors for each query vector (queries broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -30,25 +43,24 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val scored = c.join(broadcast(q), col("nbr_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("nbr_vec")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "rank", "sim")
+    rankTopK(scored, k)
   }
 
-  /** Sign-pattern LSH bucket id from nPlanes fixed hyperplanes. The plane
-    * matrix entries are ±1 derived from xxhash64(plane, dim) — cheap,
-    * deterministic, and good enough for cosine LSH (random-projection
-    * signs only need zero-mean iid entries). */
-  def lshBucket(vecCol: org.apache.spark.sql.Column, dim: Int, nPlanes: Int)
-      : org.apache.spark.sql.Column = {
+  /** ±1 hyperplane entry for (plane, dim) — fixed LCG, engine-portable:
+    * sign = +1 iff (1103515245·(p·dim+d+1) + 12345) mod (2³¹−1) < 2³⁰−1. */
+  def planeSign(p: Int, d: Int, dim: Int): Double = {
+    val h = (1103515245L * (p.toLong * dim + d + 1) + 12345L) % 2147483647L
+    if (h < 1073741823L) 1.0 else -1.0
+  }
+
+  /** Sign-pattern LSH bucket id from nPlanes fixed hyperplanes: bit p set
+    * iff Σ_d vec[d]·sign(p,d) ≥ 0. The sign matrix is literal at plan
+    * time — the projection compiles to one fused fold per plane. */
+  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      // projection_p = Σ_d sign(xxhash64(p,d)) * vec[d]
+      val signs = array((0 until dim).map(d => lit(planeSign(p, d, dim))): _*)
       val proj = aggregate(
-        zip_with(vecCol.cast("array<double>"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            d => when(xxhash64(lit(p), d) >= 0, lit(1.0)).otherwise(lit(-1.0))),
-          (x, s) => x * s),
+        zip_with(vecCol.cast("array<double>"), signs, (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -67,16 +79,13 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("nbr_vec")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "rank", "sim")
+    rankTopK(scored, k)
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, left side
     * restricted by a predicate (blocking) to bound the pair space. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
-      leftFilter: org.apache.spark.sql.Column,
+      leftFilter: Column,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = vectors.filter(leftFilter)
       .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
