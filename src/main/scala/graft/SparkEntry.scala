@@ -297,6 +297,47 @@ object SparkEntry {
         stride = 30)
     }),
 
+    // --- §3.1 BydbQL front-end: text query → IR → planner, end-to-end
+    "q37_bydbql_agg" -> ((s, d) => {
+      graft.ql.BydbQL.run(
+        """SELECT event_type, MAX(value) FROM MEASURE events IN testdata
+          |TIME BETWEEN '2024-01-05T00:00:00Z' AND '2024-01-20T00:00:00Z'
+          |WHERE event_id NOT IN ('1','2') GROUP BY event_type, value""".stripMargin,
+        Map("events" -> graft.ql.BydbQL.Resource(ev(s, d), evDef, fields = Set("value"))))
+    }),
+
+    // --- §2.6: keyword (case-insensitive) + simple (letters-only) analyzers
+    "q38_match_analyzers" -> ((s, d) => {
+      val c = Or(
+        Cond("lang", Op.Match("keyword", MatchOp.Or), Seq("EN")),
+        Cond("text", Op.Match("simple", MatchOp.And), Seq("Partition Shuffle")))
+      Planners.measure(docs(s, d), docsDef, MeasureQuery(
+        groups = Seq("testdata"), name = "documents", criteria = Some(c),
+        tagProjection = Seq("doc_id", "lang"),
+        orderBy = Some(OrderBy(Some("doc_id"), desc = false)), limit = 100000))
+    }),
+
+    // --- S8 full property path: ids + criteria + projection + tombstones
+    "q39_property_query" -> ((s, d) => {
+      val df = ord(s, d).withColumn("deleted", col("o_orderstatus") === "P")
+      Planners.property(df,
+        PropertyQuery(Seq("testdata"), "orders",
+          ids = (1 to 10).map(_.toString),
+          criteria = Some(Cond("o_totalprice", Op.Gt, Seq(1000.0))),
+          projection = Seq("o_custkey", "o_orderkey", "o_totalprice")),
+        idCol = "o_custkey", revCol = "o_orderkey", deletedCol = Some("deleted"))
+    }),
+
+    // --- §3.1 + §3.3: SHOW TOP N text query over the derived topN table
+    "q40_bydbql_topn" -> ((s, d) => {
+      val buckets = Planners.topNBuckets(ev(s, d), "ts_ns", "user_id",
+        floor(col("value")).cast("long"), intervalMs = 3600000L, n = 3)
+        .withColumnRenamed("bucket_ms", "bucket_start").drop("rank")
+      graft.ql.BydbQL.run(
+        "SHOW TOP 10 FROM MEASURE events_topn IN testdata AGGREGATE BY SUM ORDER BY DESC",
+        Map("events_topn" -> graft.ql.BydbQL.Resource(buckets, TableDef("events_topn"))))
+    }),
+
     // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
     "q35_lineitem_pricing" -> ((s, d) => {
       li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -601,6 +642,37 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |         1 + octet_length(encode(text)) % 240 AS n_frames
         |  FROM documents WHERE doc_id % 3 = 2)""".stripMargin,
+
+    "q37_bydbql_agg" ->
+      """SELECT event_type, MAX(value) AS max_value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_id NOT IN (1, 2)
+        |GROUP BY event_type""".stripMargin,
+
+    "q38_match_analyzers" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lower(lang) = 'en'
+        |   OR list_has_all(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> ''),
+        |                   ['partition','shuffle'])
+        |ORDER BY doc_id""".stripMargin,
+
+    "q39_property_query" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 AND o_orderstatus <> 'P'
+        |  AND o_custkey IN (1,2,3,4,5,6,7,8,9,10) AND o_totalprice > 1000""".stripMargin,
+
+    "q40_bydbql_topn" ->
+      """WITH buckets AS (
+        |  SELECT bucket_ms, entity, value,
+        |         row_number() OVER (PARTITION BY bucket_ms ORDER BY value DESC, entity) AS rank
+        |  FROM (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |               user_id::VARCHAR AS entity,
+        |               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value
+        |        FROM events GROUP BY 1, 2))
+        |SELECT entity, CAST(SUM(value) AS BIGINT) AS value FROM buckets WHERE rank <= 3
+        |GROUP BY entity ORDER BY value DESC, entity LIMIT 10""".stripMargin,
 
     "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -208,6 +208,24 @@ object Planners {
   }
 
   /**
+   * Full Property query path (S8, property/v1/rpc.proto:74-98): resolve
+   * the latest revision per document, hide tombstones (soft deletes,
+   * rpc.proto:100-112 delete = append with `deleted` set), then apply id
+   * selection, criteria, projection, and limit. The id filter is an
+   * equality/IN on the key column — on a layout bucketed by id this is
+   * partition pruning, not a scan.
+   */
+  def property(df: DataFrame, q: PropertyQuery, idCol: String, revCol: String,
+      deletedCol: Option[String] = None): DataFrame = {
+    var d = propertyLatest(df, Seq(idCol), revCol)
+    deletedCol.foreach(c => d = d.filter(!coalesce(col(c), lit(false))))
+    if (q.ids.nonEmpty) d = d.filter(col(idCol).cast("string").isin(q.ids: _*))
+    q.criteria.foreach(cr => d = d.filter(CriteriaTranslator.toColumn(cr)))
+    if (q.projection.nonEmpty) d = d.select(q.projection.map(col): _*)
+    if (q.limit > 0) d.limit(q.limit) else d
+  }
+
+  /**
    * Pre-aggregated TopN read (§3.3): per-bucket ranked lists with entity
    * dedup (topn_plan_distinct.go:44-289) and optional cross-bucket
    * AGGREGATE BY (topn.proto:63-64). Input is the derived topN result

@@ -27,8 +27,11 @@ object Analyzers {
   /** bluge simple analyzer: letter-run tokens, lowercased (digits split). */
   def simple(c: Column): Column = tokens(lower(c), "[^\\p{L}]+")
 
-  /** bluge keyword analyzer: entire input as a single token, case kept. */
-  def keyword(c: Column): Column = array(c)
+  /** bluge keyword analyzer: entire input as ONE token, matched
+    * case-insensitively (analyzer.go:36-62; SURVEY §2.6) — both the doc
+    * column and the query values pass through the same lowercasing, so
+    * MATCH('EN','keyword') hits a 'en' tag. */
+  def keyword(c: Column): Column = array(lower(c))
 
   /** reference URL analyzer: letter-or-number runs, case preserved
     * (analyzer.go:46-56 CharacterTokenizer + alphanumericFilter). */

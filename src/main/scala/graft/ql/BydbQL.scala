@@ -1,0 +1,73 @@
+package graft.ql
+
+import java.time.Instant
+
+import graft.engine.Planners
+import graft.model._
+import graft.sources.TableDef
+import org.apache.spark.sql.DataFrame
+
+/**
+ * BydbQL facade — the engine's text query API, equivalent to the
+ * reference's `POST /api/v1/bydbql/query` entry
+ * (banyand/liaison/grpc/bydbql.go:75-129: parse → bind → transform →
+ * typed query → plan). `parse` and `bind` are pure; `run` resolves the
+ * resource against a registry of tables and executes the planner.
+ */
+object BydbQL {
+
+  /** A queryable resource: the table plus the model-specific bindings the
+    * planners need (the reference reads these from the schema registry). */
+  final case class Resource(
+      df: DataFrame,
+      tdef: TableDef,
+      /** aggregatable field columns (measure). */
+      fields: Set[String] = Set.empty,
+      /** stream element identity column. */
+      elementIdCol: Option[String] = None,
+      /** trace grouping column + span struct columns. */
+      traceIdCol: Option[String] = None,
+      spanStruct: Seq[String] = Nil,
+      /** property key / revision / tombstone columns. */
+      propertyIdCol: Option[String] = None,
+      propertyRevCol: Option[String] = None,
+      propertyDeletedCol: Option[String] = None)
+
+  def parse(ql: String): QlStatement = Parser.parse(ql)
+
+  def bind(stmt: QlStatement, params: Seq[Any]): QlStatement =
+    Transformer.bind(stmt, params)
+
+  /** Parse/bind/transform/execute one statement. `now` anchors relative
+    * times (pass a fixed instant for reproducible queries). */
+  def run(ql: String, resources: Map[String, Resource],
+      params: Seq[Any] = Nil, now: Instant = Instant.now()): DataFrame = {
+    val stmt = bind(parse(ql), params)
+    val name = stmt match {
+      case s: QlSelect => s.from.name
+      case t: QlShowTopN => t.from.name
+    }
+    val res = resources.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown resource: $name"))
+    val schema = QlSchema(res.df.schema, res.fields)
+    Transformer.transform(stmt, schema, now) match {
+      case MeasureStatement(q) => Planners.measure(res.df, res.tdef, q)
+      case StreamStatement(q) =>
+        val eid = res.elementIdCol.getOrElse(
+          throw new IllegalArgumentException(s"resource $name has no elementIdCol"))
+        Planners.stream(res.df, res.tdef, q, eid)
+      case TraceStatement(q) =>
+        val tid = res.traceIdCol.getOrElse(
+          throw new IllegalArgumentException(s"resource $name has no traceIdCol"))
+        Planners.traceSpanGroups(res.df, res.tdef, q, tid, res.spanStruct)
+      case PropertyStatement(q) =>
+        val (idc, revc) = (res.propertyIdCol, res.propertyRevCol) match {
+          case (Some(i), Some(r)) => (i, r)
+          case _ => throw new IllegalArgumentException(
+            s"resource $name has no property id/revision columns")
+        }
+        Planners.property(res.df, q, idc, revc, res.propertyDeletedCol)
+      case TopNStatement(q) => Planners.topNRead(res.df, q)
+    }
+  }
+}

@@ -1,17 +1,11 @@
 package graft
-import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.SparkSession
 
-class SmokeSpec extends AnyFunSuite {
-  lazy val spark = SparkSession.builder().master("local[4]")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+import graft.sources.Catalog
 
+class SmokeSpec extends SparkSpec {
   test("read events parquet incl ns timestamp") {
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    df.printSchema()
-    df.show(3, false)
+    val df = Catalog.load(spark, sf0001, "events")
     assert(df.count() == 1000)
+    assert(df.columns.contains("ts_ns") && df.columns.contains("ts"))
   }
 }
