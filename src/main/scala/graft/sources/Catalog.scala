@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
  * `seg=<date>` (segment_interval) and bucketed/sorted by the entity hash
  * (shard_num) so entity-EQ queries prune to one shard of one segment.
  *
- * Local testdata is a single file per table, so `TableDef.load` only
- * normalizes schema quirks (ns timestamps) — the partition layout is
- * exercised by `storage.Layout` and its spec.
+ * Local testdata is a single file per table, so [[Catalog.load]] only
+ * normalizes schema quirks (ns timestamps). The partitioned/bucketed
+ * layout itself lives in [[graft.storage.Layout]] (write routing +
+ * entity/segment pruning) with its pruning proven by `LayoutSuite`.
  */
 final case class TableDef(
     name: String,

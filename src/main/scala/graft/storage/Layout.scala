@@ -1,0 +1,133 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical storage layout: one parquet dataset per (group, resource),
+ * hive-partitioned by `seg` (time segment) and `shard` (entity hash).
+ *
+ * Mirrors the reference's group resource options — `shard_num`,
+ * `segment_interval`, `ttl` (common/v1/common.proto:96-189) — and its
+ * entity→shard write routing (banyand/liaison/grpc/measure.go:304
+ * publishToNodes): a data point lands in segment = its time bucket and
+ * shard = hash(entity) % shard_num.
+ *
+ * The 100 TB story: an entity-EQ query computes the shard id at PLAN time
+ * (same hash, evaluated driver-side) and a time range maps to a segment
+ * range, so the parquet scan only lists `seg∈range ∧ shard=h` directories —
+ * partition pruning does what the reference's series index + segment
+ * selection do (banyand/measure/query.go:314 searchSeriesList). Within one
+ * (seg, shard) all rows of a series are co-located, so the latest-version
+ * window and entity group-bys see pre-clustered input.
+ */
+final case class LayoutSpec(
+    group: String,
+    name: String,
+    /** entity = series key, docs/concept/data-model.md:382-391. */
+    entity: Seq[String],
+    /** event-time column in the source frame. */
+    tsCol: String,
+    /** true when tsCol holds raw epoch nanos as long (testdata events). */
+    tsIsNanos: Boolean = true,
+    /** shard_num, common/v1/common.proto. */
+    shardNum: Int = 4,
+    /** segment_interval in days. */
+    segmentDays: Int = 1) {
+  require(entity.nonEmpty, "layout requires a non-empty entity")
+  require(shardNum > 0 && segmentDays > 0, "shardNum and segmentDays must be positive")
+}
+
+object Layout {
+
+  val SegCol = "seg"
+  val ShardCol = "shard"
+
+  def path(root: String, spec: LayoutSpec): String =
+    s"$root/${spec.group}/${spec.name}"
+
+  /** Epoch-day segment bucket (floored to segmentDays). */
+  private def segOf(spec: LayoutSpec): Column = {
+    val days =
+      if (spec.tsIsNanos) expr(s"${spec.tsCol} DIV ${86400L * 1000000000L}")
+      else expr(s"CAST(unix_timestamp(${spec.tsCol}) AS BIGINT) DIV 86400")
+    (days - pmod(days, lit(spec.segmentDays.toLong))).cast("int")
+  }
+
+  /** Shard id = xxhash64(entity...) mod shardNum — same expression on the
+    * write path and (driver-evaluated) on the read path. */
+  private def shardOf(spec: LayoutSpec): Column =
+    pmod(xxhash64(spec.entity.map(col): _*), lit(spec.shardNum.toLong)).cast("int")
+
+  /** Driver-side shard id for concrete entity values, via Spark's own
+    * XxHash64 so it can never drift from the written partition values. */
+  def shardFor(spec: LayoutSpec, entityValues: Seq[Any]): Int = {
+    require(entityValues.length == spec.entity.length,
+      s"expected ${spec.entity.length} entity values, got ${entityValues.length}")
+    val h = XxHash64(entityValues.map(Literal(_)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    val m = h % spec.shardNum
+    (if (m < 0) m + spec.shardNum else m).toInt
+  }
+
+  /** Epoch-day segment bucket for a concrete instant. */
+  def segFor(spec: LayoutSpec, t: java.time.Instant): Int = {
+    val days = Math.floorDiv(t.getEpochSecond, 86400L)
+    (days - Math.floorMod(days, spec.segmentDays.toLong)).toInt
+  }
+
+  /** Batch append (S7 write path): route every row to its (seg, shard)
+    * directory. Rows with a null entity component are rejected, as the
+    * reference rejects writes without a full series key. */
+  def append(df: DataFrame, root: String, spec: LayoutSpec,
+      mode: String = "append"): Unit =
+    routed(df, spec).write.mode(mode)
+      .partitionBy(SegCol, ShardCol).parquet(path(root, spec))
+
+  /** df + derived (seg, shard) routing columns; null-entity rows rejected. */
+  private[storage] def routed(df: DataFrame, spec: LayoutSpec): DataFrame = {
+    val missing = spec.entity.filterNot(df.columns.contains) ++
+      (if (df.columns.contains(spec.tsCol)) Nil else Seq(spec.tsCol))
+    require(missing.isEmpty, s"write missing required columns: ${missing.mkString(",")}")
+    val fullEntity = spec.entity.map(col(_).isNotNull).reduce(_ && _)
+    // assert_true yields NULL on success and raises on violation; the filter
+    // keeps it in the plan so every row is checked.
+    df.withColumn("__chk",
+        assert_true(fullEntity, lit(s"write rejected: null entity ${spec.entity.mkString(",")}")))
+      .filter(col("__chk").isNull)
+      .drop("__chk")
+      .withColumn(SegCol, segOf(spec))
+      .withColumn(ShardCol, shardOf(spec))
+  }
+
+  /** Full-table read (partition columns `seg`/`shard` retained). */
+  def read(spark: SparkSession, root: String, spec: LayoutSpec): DataFrame =
+    spark.read.parquet(path(root, spec))
+
+  /**
+   * Entity-EQ scan: the shard id becomes a LITERAL partition predicate and
+   * the time range a segment range, so file listing prunes to
+   * |segments in range| × 1 shard directory out of segments × shardNum.
+   */
+  def entityScan(spark: SparkSession, root: String, spec: LayoutSpec,
+      entityValues: Seq[Any],
+      timeRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
+    var df = read(spark, root, spec)
+      .filter(col(ShardCol) === lit(shardFor(spec, entityValues)))
+    // residual exact-entity predicate (other series can share the shard)
+    df = df.filter(spec.entity.zip(entityValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+    timeRange.foreach { case (b, e) =>
+      df = df.filter(col(SegCol) >= lit(segFor(spec, b)) &&
+        col(SegCol) <= lit(segFor(spec, e)))
+      df = if (spec.tsIsNanos) {
+        def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L + i.getNano
+        df.filter(col(spec.tsCol) >= lit(ns(b)) && col(spec.tsCol) < lit(ns(e)))
+      } else df.filter(col(spec.tsCol) >= lit(java.sql.Timestamp.from(b)) &&
+        col(spec.tsCol) < lit(java.sql.Timestamp.from(e)))
+    }
+    df
+  }
+}

@@ -1,0 +1,113 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.Catalog
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Proves the (group, seg, shard) layout's write routing and that an
+  * entity-EQ + time-range query PRUNES partitions (the 100 TB read path). */
+class LayoutSuite extends SparkSpec {
+
+  private def tmp(prefix: String): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/test-tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private val spec = LayoutSpec(
+    group = "testdata", name = "events",
+    entity = Seq("user_id"), tsCol = "ts_ns", tsIsNanos = true,
+    shardNum = 4, segmentDays = 1)
+
+  private lazy val events = Catalog.load(spark, sf0001, "events")
+
+  test("append routes rows to seg/shard directories") {
+    val root = tmp("layout")
+    Layout.append(events, root, spec, mode = "overwrite")
+    val segDirs = new java.io.File(Layout.path(root, spec))
+      .listFiles().filter(_.getName.startsWith("seg="))
+    assert(segDirs.nonEmpty)
+    val shardDirs = segDirs.flatMap(_.listFiles()).map(_.getName).distinct.sorted
+    assert(shardDirs.forall(_.startsWith("shard=")))
+    assert(shardDirs.length <= spec.shardNum)
+    assert(Layout.read(spark, root, spec).count() == events.count())
+  }
+
+  test("entity scan prunes to one shard and the segment range") {
+    val root = tmp("layout")
+    Layout.append(events, root, spec, mode = "overwrite")
+    val t0 = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    val t1 = java.time.Instant.parse("2024-01-08T00:00:00Z")
+    val scan = Layout.entityScan(spark, root, spec, Seq(7L), Some((t0, t1)))
+
+    val fileScan = scan.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    // partition predicates present on both layout dimensions
+    val pf = fileScan.partitionFilters.map(_.sql).mkString(" ")
+    assert(pf.contains("shard"), s"no shard partition filter in: $pf")
+    assert(pf.contains("seg"), s"no seg partition filter in: $pf")
+    // actually pruned: only the 4 in-range segments of 1 shard are listed
+    val selected = fileScan.relation.location.listFiles(
+      fileScan.partitionFilters, fileScan.dataFilters)
+    val totalParts = fileScan.relation.location.listFiles(Nil, Nil)
+    assert(selected.length < totalParts.length,
+      s"expected pruning, got ${selected.length}/${totalParts.length} partitions")
+    assert(selected.length <= 4 * 1)
+
+    // same rows as a plain filter over the original frame
+    def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L + i.getNano
+    val expected = events.filter(col("user_id") === 7L &&
+      col("ts_ns") >= ns(t0) && col("ts_ns") < ns(t1))
+    assert(scan.count() == expected.count())
+    assert(scan.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(expected.select("event_id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("shardFor matches the written shard column") {
+    val root = tmp("layout")
+    Layout.append(events, root, spec, mode = "overwrite")
+    val byCol = Layout.read(spark, root, spec)
+      .select("user_id", Layout.ShardCol).distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byCol.foreach { case (uid, shard) =>
+      assert(Layout.shardFor(spec, Seq(uid)) == shard, s"user $uid")
+    }
+  }
+
+  test("write rejects null entity rows") {
+    val root = tmp("layout")
+    val bad = events.withColumn("user_id",
+      when(col("event_id") === 1L, lit(null)).otherwise(col("user_id")))
+    val e = intercept[Exception] { Layout.append(bad, root, spec, mode = "overwrite") }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("null entity")))
+  }
+
+  test("streaming sink ingests into the same layout (S7)") {
+    val root = tmp("layout")
+    val ckpt = tmp("ckpt")
+    val srcDir = tmp("src")
+    Files.copy(java.nio.file.Paths.get(sf0001, "events.parquet"),
+      java.nio.file.Paths.get(srcDir, "events.parquet"))
+    // stream with the RAW file schema (ts = int64 nanos), as an ingest would
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(rawSchema).parquet(srcDir)
+      .withColumn("ts_ns", col("ts").cast("long"))
+    val q = Write.streamSink(src, root, spec, ckpt)
+    q.awaitTermination()
+    val back = Layout.read(spark, root, spec)
+    assert(back.count() == events.count())
+    // round-trip: a planner query over the ingested layout equals the source
+    val a = back.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
