@@ -338,6 +338,65 @@ object SparkEntry {
         Map("events_topn" -> graft.ql.BydbQL.Resource(buckets, TableDef("events_topn"))))
     }),
 
+    // --- ST1-ST5: streaming TopNAggregation — replay the events table
+    // through the Structured Streaming job; result must equal the batch
+    // pre-compute (and q18's oracle).
+    "q41_stream_topn" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val src = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val pts = src.select(
+        timestamp_micros(expr("CAST(ts AS LONG) DIV 1000")).as("ts"),
+        col("user_id").cast("string").as("entity"),
+        floor(col("value")).cast("long").as("value"))
+      val ckptBase = java.nio.file.Paths.get("/root/repo/target/graft-io")
+      java.nio.file.Files.createDirectories(ckptBase)
+      val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "q41ckpt").toString
+      graft.streaming.TopNStream.replayToBatch(pts,
+        graft.streaming.TopNStreamConfig(intervalMs = 3600000L, n = 3,
+          countersNumber = 1 << 20), s, ckpt)
+    }),
+
+    // --- S1 via the planner: latest-version-wins dedup BEFORE criteria
+    "q42_measure_version_dedup" -> ((s, d) => {
+      val df = ev(s, d).withColumn("bucket_min", expr("ts_ns DIV 60000000000"))
+      val tdef = TableDef("events_v", entity = Seq("user_id"),
+        tsCol = Some("bucket_min"), versionCol = Some("event_id"))
+      Planners.measure(df, tdef, MeasureQuery(
+        groups = Seq("testdata"), name = "events_v",
+        criteria = Some(Cond("event_type", Op.Ne, Seq("error"))),
+        tagProjection = Seq("user_id", "bucket_min", "event_id"),
+        fieldProjection = Seq("value"), limit = 500))
+    }),
+
+    // --- S2: index-mode scan — whole point lives in the index, dedup skipped
+    "q43_index_mode" -> ((s, d) => {
+      val df = ev(s, d).withColumn("bucket_min", expr("ts_ns DIV 60000000000"))
+      val tdef = TableDef("events_v", entity = Seq("user_id"),
+        tsCol = Some("bucket_min"), versionCol = Some("event_id"))
+      Planners.measure(df, tdef, MeasureQuery(
+        groups = Seq("testdata"), name = "events_v",
+        criteria = Some(Cond("event_type", Op.Ne, Seq("error"))),
+        tagProjection = Seq("user_id", "bucket_min", "event_id"),
+        fieldProjection = Seq("value"),
+        orderBy = Some(OrderBy(Some("event_id"), desc = false)),
+        limit = 500, indexMode = true))
+    }),
+
+    // --- S7 + storage layout: write through the (seg, shard) layout, read
+    // back with a pruned entity scan (shard + segment partition predicates)
+    "q44_layout_roundtrip" -> ((s, d) => {
+      import graft.storage.{Layout, LayoutSpec}
+      val spec = LayoutSpec("testdata", "events", entity = Seq("user_id"),
+        tsCol = "ts_ns", tsIsNanos = true, shardNum = 4, segmentDays = 1)
+      val root = "/root/repo/target/graft-io/layout_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      Layout.append(ev(s, d), root, spec, mode = "overwrite")
+      Layout.entityScan(s, root, spec, Seq(7L), Some((T0, T1)))
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
     // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
     "q35_lineitem_pricing" -> ((s, d) => {
       li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -673,6 +732,34 @@ object SparkEntry {
         |        FROM events GROUP BY 1, 2))
         |SELECT entity, CAST(SUM(value) AS BIGINT) AS value FROM buckets WHERE rank <= 3
         |GROUP BY entity ORDER BY value DESC, entity LIMIT 10""".stripMargin,
+
+    "q41_stream_topn" ->
+      """SELECT bucket_ms, entity, value, rank FROM (
+        |  SELECT bucket_ms, entity, value,
+        |         row_number() OVER (PARTITION BY bucket_ms ORDER BY value DESC, entity) AS rank
+        |  FROM (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |               user_id::VARCHAR AS entity,
+        |               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rank <= 3""".stripMargin,
+
+    "q42_measure_version_dedup" ->
+      """SELECT user_id, bucket_min, event_id, value FROM (
+        |  SELECT user_id, epoch_ms(ts) // 60000 AS bucket_min, event_id, value, event_type,
+        |         row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // 60000
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY bucket_min, user_id LIMIT 500""".stripMargin,
+
+    "q43_index_mode" ->
+      """SELECT user_id, epoch_ms(ts) // 60000 AS bucket_min, event_id, value
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q44_layout_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
 
     "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** One input point: event time, ranked entity, measured value. */
+final case class TopNPoint(ts: java.sql.Timestamp, entity: String, value: Long)
+
+/** Keyed form after bucketing (key = bucket_ms). */
+final case class BucketedPoint(bucket_ms: Long, ts: java.sql.Timestamp,
+    entity: String, value: Long)
+
+/** One appended snapshot row of the derived `_top_n_result` table. A later
+  * `flush_seq` for the same bucket supersedes earlier ones — the same
+  * latest-version-wins read semantic as the measure path (T8). */
+final case class TopNResultRow(bucket_ms: Long, entity: String, value: Long,
+    rank: Long, flush_seq: Long)
+
+/** Per-window state: bounded entity→sum counters + flush counter. */
+final case class TopNWindowState(counters: Map[String, Long], flushSeq: Long)
+
+/**
+ * Streaming TopNAggregation pre-compute (SURVEY §2.7, ST1–ST5) — the
+ * Spark Structured Streaming counterpart of the reference's flow job
+ * (pkg/flow/streaming/sliding_window.go:76-310 window assign/trigger,
+ * topn.go:50-120 bounded counter heaps, wiring banyand/measure/topn.go:557-580).
+ *
+ * Shape: tumbling event-time windows of `intervalMs` (ST1/ST5), keyed by
+ * window start; per window a bounded map of at most `countersNumber` entity
+ * counters (ST3) updated by `flatMapGroupsWithState`; every micro-batch
+ * emits a DIRTY SNAPSHOT of the window's current top `n` (the reference's
+ * incremental flush, topn.go dirty-window set), and an event-time timeout
+ * emits the final snapshot and drops the state.
+ *
+ * Lateness (ST2): the reference bounds live windows by COUNT (`lru_size`
+ * newest window snapshots, sliding_window.go:66-74); Spark's watermark is
+ * time-based, so we use `lru_size × intervalMs` of allowed lateness — the
+ * exact analogue when event time advances roughly uniformly, and the delta
+ * is documented here rather than hidden. Rows older than the watermark are
+ * dropped before reaching the state function, like the reference's
+ * late-window check (sliding_window.go:240-243).
+ *
+ * Counter eviction: when a window already tracks `countersNumber` entities,
+ * a new entity evicts the current minimum counter (topn heap overflow,
+ * topn_heap.go) — approximate by design, as the reference documents
+ * (docs/concept/data-model.md:164). Set `countersNumber` ≥ the expected
+ * distinct-entity cardinality per window for exact results.
+ *
+ * Scale: state per window is O(countersNumber); shuffle is one exchange on
+ * bucket_ms; snapshots are append-only so the sink is the exactly-once
+ * parquet file sink (ST4) and reads dedup by (bucket, max flush_seq).
+ */
+final case class TopNStreamConfig(
+    intervalMs: Long,
+    n: Int,
+    countersNumber: Int = 1000,
+    lruSize: Int = 2,
+    desc: Boolean = true) {
+  require(intervalMs > 0 && n > 0 && countersNumber > 0 && lruSize > 0,
+    "all TopNStreamConfig parameters must be positive")
+}
+
+object TopNStream {
+
+  /** Streaming transform: points (ts, entity, value) → appended dirty
+    * snapshots of per-bucket top-n. Use with OutputMode/Trigger of the
+    * caller's sink; rows are append-only by construction. */
+  def topNAggregate(points: DataFrame, cfg: TopNStreamConfig): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val lateness = cfg.lruSize * cfg.intervalMs
+    val bucketed = points
+      .withWatermark("ts", s"$lateness milliseconds")
+      .select(
+        (expr(s"unix_millis(ts) DIV ${cfg.intervalMs}") * cfg.intervalMs)
+          .cast("long").as("bucket_ms"),
+        col("ts"), col("entity"), col("value").cast("long").as("value"))
+      .as[BucketedPoint]
+
+    bucketed
+      .groupByKey(_.bucket_ms)
+      .flatMapGroupsWithState[TopNWindowState, TopNResultRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket, rows, state) => updateWindow(bucket, rows, state, cfg, lateness)
+      }
+      .toDF()
+  }
+
+  private def updateWindow(bucket: Long, rows: Iterator[BucketedPoint],
+      state: GroupState[TopNWindowState], cfg: TopNStreamConfig,
+      lateness: Long): Iterator[TopNResultRow] = {
+    if (state.hasTimedOut) {
+      // final flush, then drop the window (sliding_window.go eviction
+      // flush). Bump flush_seq so the final snapshot strictly supersedes
+      // the last dirty one instead of duplicating its rows.
+      val st = state.get
+      val out = snapshot(bucket, st.copy(flushSeq = st.flushSeq + 1), cfg)
+      state.remove()
+      return out
+    }
+    var st = state.getOption.getOrElse(TopNWindowState(Map.empty, 0L))
+    var counters = st.counters
+    rows.foreach { p =>
+      counters.get(p.entity) match {
+        case Some(c) => counters += p.entity -> (c + p.value)
+        case None if counters.size < cfg.countersNumber =>
+          counters += p.entity -> p.value
+        case None =>
+          // bounded heap overflow: evict the current minimum counter
+          val (evictKey, _) = counters.minBy { case (e, v) => (v, e) }
+          counters = counters - evictKey + (p.entity -> p.value)
+      }
+    }
+    st = TopNWindowState(counters, st.flushSeq + 1)
+    state.update(st)
+    // window expires `lateness` past its end; keep strictly above watermark
+    val expiry = math.max(bucket + cfg.intervalMs + lateness,
+      state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(expiry)
+    snapshot(bucket, st, cfg)
+  }
+
+  /** Current top-n of a window, ranked (value desc|asc, entity asc). */
+  private def snapshot(bucket: Long, st: TopNWindowState,
+      cfg: TopNStreamConfig): Iterator[TopNResultRow] = {
+    val ordered = st.counters.toSeq.sortBy { case (e, v) =>
+      (if (cfg.desc) -v else v, e)
+    }.take(cfg.n)
+    ordered.iterator.zipWithIndex.map { case ((e, v), i) =>
+      TopNResultRow(bucket, e, v, i + 1L, st.flushSeq)
+    }
+  }
+
+  /** ST4 sink: append snapshots to the `_top_n_result`-shaped parquet table
+    * via the exactly-once file sink. */
+  def sinkToResultTable(snapshots: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    snapshots.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+
+  /** Read-side dedup over appended snapshots: for each bucket keep only the
+    * rows of its highest flush_seq — the measure latest-version-wins
+    * semantic applied to flushes. Output matches the batch analogue
+    * [[graft.engine.Planners.topNBuckets]]: (bucket_ms, entity, value, rank). */
+  def latestSnapshot(appended: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("bucket_ms"))
+    appended
+      .withColumn("__maxFlush", max(col("flush_seq")).over(w))
+      .filter(col("flush_seq") === col("__maxFlush"))
+      .select(col("bucket_ms"), col("entity"), col("value"), col("rank"))
+  }
+
+  /**
+   * Replay a bounded source through the streaming job and return the final
+   * per-bucket top-n as a batch frame — the conformance harness for ST1–ST5
+   * (results must equal the batch pre-compute on the same data).
+   */
+  def replayToBatch(points: DataFrame, cfg: TopNStreamConfig,
+      spark: SparkSession, checkpoint: String): DataFrame = {
+    val sinkName = "topn_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = topNAggregate(points, cfg).writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    latestSnapshot(spark.table(sinkName))
+  }
+}
