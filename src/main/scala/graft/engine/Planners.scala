@@ -259,9 +259,23 @@ object Planners {
   }
 
   /** Multi-group union with schema merge (measure_analyzer.go:96-108;
-    * cross_group_merge.go): missing columns null-filled. */
-  def unionGroups(dfs: Seq[DataFrame]): DataFrame =
+    * cross_group_merge.go): missing columns null-filled, but a tag that
+    * exists in several groups with CONFLICTING types is rejected — the
+    * reference's schema merge refuses to coerce
+    * (pkg/query/logical/measure/schema.go). */
+  def unionGroups(dfs: Seq[DataFrame]): DataFrame = {
+    val types = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
+    dfs.foreach(_.schema.fields.foreach { f =>
+      types.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          throw new IllegalArgumentException(
+            s"conflicting type for tag '${f.name}' across groups: $t vs ${f.dataType}")
+        case None => types(f.name) = f.dataType
+        case _ =>
+      }
+    })
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /**
    * Batch form of the TopNAggregation pre-compute (§2.7 write path,

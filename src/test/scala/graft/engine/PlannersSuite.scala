@@ -1,0 +1,189 @@
+package graft.engine
+
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.model._
+import graft.sources.{Catalog, TableDef}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Planner-path semantics per SURVEY §2: quirks the reference mandates and
+  * plain SQL gets wrong, plus the validation rules. */
+class PlannersSuite extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val events = Catalog.load(spark, sf0001, "events")
+  private val evDef = Catalog.defs("events")
+
+  test("default limit is 100 when the request omits one (T5)") {
+    val out = Planners.measure(events, evDef,
+      MeasureQuery(Seq("g"), "events"))
+    assert(out.count() == 100)
+  }
+
+  test("time range is left-inclusive right-exclusive (F7)") {
+    // pick an existing row's exact timestamp as the boundary
+    val t = events.orderBy("ts_ns").select("ts_ns").as[Long].head()
+    val inst = Instant.ofEpochSecond(t / 1000000000L, t % 1000000000L)
+    val incl = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      timeRange = Some(TimeRange(inst, inst.plusSeconds(1))), limit = 1000000))
+    val excl = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      timeRange = Some(TimeRange(inst.minusSeconds(1), inst)), limit = 1000000))
+    assert(incl.filter(col("ts_ns") === t).count() == 1)
+    assert(excl.filter(col("ts_ns") === t).count() == 0)
+  }
+
+  test("non-EQ/IN on an entity tag is rejected (F6)") {
+    val q = MeasureQuery(Seq("g"), "events",
+      criteria = Some(Cond("user_id", Op.Gt, Seq(5L))))
+    val e = intercept[IllegalArgumentException] {
+      Planners.measure(events, evDef, q)
+    }
+    assert(e.getMessage.contains("entity"))
+    // EQ and IN on the same tag are fine
+    Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      criteria = Some(Cond("user_id", Op.In, Seq(1L, 2L))))).count()
+  }
+
+  test("array-typed group-by tag is rejected (A3)") {
+    val docs = Catalog.load(spark, sf0001, "documents")
+      .withColumn("words", split(col("text"), " "))
+    val tdef = TableDef("documents", arrayTags = Set("words"))
+    val e = intercept[IllegalArgumentException] {
+      Planners.measure(docs, tdef,
+        MeasureQuery(Seq("g"), "documents", groupByTags = Seq("words")))
+    }
+    assert(e.getMessage.contains("array"))
+  }
+
+  test("MEAN over an INT field is integer division with <1 clamp (A2)") {
+    val df = Seq(("a", 7L), ("a", 6L), ("b", 1L), ("b", 0L), ("c", -5L))
+      .toDF("k", "v")
+    val tdef = TableDef("t")
+    val out = Planners.measure(df, tdef, MeasureQuery(Seq("g"), "t",
+      groupByTags = Seq("k"), agg = Some((AggFn.Mean, "v"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 13/2 = 6 (trunc); b: 1/2 = 0 → clamp 1; c: -5/1 = -5 → clamp 1
+    assert(out == Map("a" -> 6L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("COUNT over a FLOAT field emits float (A1/W8)") {
+    val out = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      agg = Some((AggFn.Count, "value"))))
+    assert(out.schema("count_value").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("GROUP BY without agg returns the first-seen row per group (A5)") {
+    val df = Seq(
+      ("x", 100L, 1.0), ("x", 50L, 2.0), ("y", 70L, 3.0))
+      .toDF("k", "ts", "v")
+    val tdef = TableDef("t", tsCol = Some("ts"))
+    val out = Planners.measure(df, tdef, MeasureQuery(Seq("g"), "t",
+      groupByTags = Seq("k"), tagProjection = Seq("k"), fieldProjection = Seq("v")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // first-seen = lowest ts: x → v=2.0 (ts 50), y → 3.0
+    assert(out == Map("x" -> 2.0, "y" -> 3.0))
+  }
+
+  test("version dedup runs BEFORE criteria touch the rows (S1 ordering)") {
+    // v2 is the latest version and fails the filter; the reference drops the
+    // series entirely — filtering first would wrongly resurrect v1.
+    val df = Seq(
+      (1L, 10L, 1L, "keep"), (1L, 10L, 2L, "drop"),
+      (2L, 10L, 1L, "keep"))
+      .toDF("uid", "ts", "ver", "status")
+    val tdef = TableDef("t", entity = Seq("uid"), tsCol = Some("ts"),
+      versionCol = Some("ver"))
+    val out = Planners.measure(df, tdef, MeasureQuery(Seq("g"), "t",
+      criteria = Some(Cond("status", Op.Eq, Seq("keep"))),
+      tagProjection = Seq("uid", "ver", "status")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 1L)))
+  }
+
+  test("index-mode scan skips the version-dedup pass (S2)") {
+    val df = Seq((1L, 10L, 1L), (1L, 10L, 2L)).toDF("uid", "ts", "ver")
+    val tdef = TableDef("t", entity = Seq("uid"), tsCol = Some("ts"),
+      versionCol = Some("ver"))
+    val deduped = Planners.measure(df, tdef,
+      MeasureQuery(Seq("g"), "t", tagProjection = Seq("uid", "ver")))
+    val indexMode = Planners.measure(df, tdef,
+      MeasureQuery(Seq("g"), "t", tagProjection = Seq("uid", "ver"),
+        indexMode = true))
+    assert(deduped.count() == 1 && indexMode.count() == 2)
+  }
+
+  test("hidden tags: WHERE/ORDER tags need not be projected (P3)") {
+    val out = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      criteria = Some(Cond("event_type", Op.Eq, Seq("click"))),
+      tagProjection = Seq("event_id"),
+      orderBy = Some(OrderBy(Some("value"), desc = true)), limit = 10))
+    assert(out.columns.toSeq == Seq("event_id"))
+    assert(out.count() == 10)
+  }
+
+  test("offset is applied after sort, before limit (T5)") {
+    val all = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      tagProjection = Seq("event_id"),
+      orderBy = Some(OrderBy(Some("value"), desc = true)), limit = 30))
+      .collect().map(_.getLong(0))
+    val paged = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      tagProjection = Seq("event_id"),
+      orderBy = Some(OrderBy(Some("value"), desc = true)), offset = 10, limit = 20))
+      .collect().map(_.getLong(0))
+    assert(paged.toSeq == all.drop(10).toSeq)
+  }
+
+  test("trace LIMIT counts traces, not spans (T9)") {
+    val df = events.withColumn("trace_id", pmod(col("event_id"), lit(7L)))
+    val tdef = TableDef("traces", tsCol = Some("ts_ns"))
+    val out = Planners.traceSpanGroups(df, tdef,
+      TraceQuery(Seq("g"), "traces", limit = 3),
+      traceIdCol = "trace_id", spanStruct = Seq("event_id"))
+    assert(out.count() == 3)
+    assert(out.agg(sum("span_count")).as[Long].head() > 3)
+  }
+
+  test("topNRead rejects non-EQ conditions (§3.3)") {
+    val buckets = Seq((0L, "a", 1L)).toDF("bucket_start", "entity", "value")
+    val e = intercept[IllegalArgumentException] {
+      Planners.topNRead(buckets, TopNQuery(Seq("g"), "t",
+        conditions = Seq(Cond("entity", Op.Gt, Seq("a")))))
+    }
+    assert(e.getMessage.contains("EQ"))
+  }
+
+  test("union null-fills missing columns but rejects type conflicts (T6)") {
+    val a = Seq((1L, "x")).toDF("id", "tag")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val merged = Planners.unionGroups(Seq(a, b))
+    assert(merged.columns.toSet == Set("id", "tag", "score"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("score").isNull).count() == 1)
+
+    val conflict = Seq(("1", "x")).toDF("id", "tag") // id string vs long
+    val e = intercept[IllegalArgumentException] {
+      Planners.unionGroups(Seq(a, conflict))
+    }
+    assert(e.getMessage.contains("conflicting type"))
+  }
+
+  test("property path: tombstone hides the document; ids + criteria apply (S8)") {
+    val df = Seq(
+      ("p1", 1L, 10.0, false), ("p1", 2L, 20.0, true),  // latest rev deleted
+      ("p2", 1L, 5.0, false), ("p2", 3L, 30.0, false),
+      ("p3", 1L, 50.0, false))
+      .toDF("id", "rev", "price", "deleted")
+    val out = Planners.property(df,
+      PropertyQuery(Seq("g"), "props", ids = Seq("p1", "p2"),
+        criteria = Some(Cond("price", Op.Gt, Seq(1.0))),
+        projection = Seq("id", "rev", "price")),
+      idCol = "id", revCol = "rev", deletedCol = Some("deleted"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // p1 tombstoned at rev2; p3 excluded by ids; p2 latest rev 3 survives
+    assert(out.toSeq == Seq(("p2", 3L)))
+  }
+}
