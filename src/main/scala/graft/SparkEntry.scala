@@ -263,6 +263,12 @@ object SparkEntry {
     "q28_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35, col("vec_id") < 100)),
 
+    // --- pipeline: near-dup pairs via LSH buckets (the 100 TB path —
+    // shuffled equi-join on bucket, no broadcast nested loop)
+    "q45_cosine_neardup_lsh" -> ((s, d) =>
+      Similarity.cosineNearDupPairsLsh(emb(s, d), threshold = 0.35,
+        dim = 64, nPlanes = 8)),
+
     // --- pipeline: quality-scoring features
     "q29_text_quality" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d).select("doc_id", "text"), col("text"))
@@ -389,7 +395,10 @@ object SparkEntry {
     "q44_layout_roundtrip" -> ((s, d) => {
       import graft.storage.{Layout, LayoutSpec}
       val spec = LayoutSpec("testdata", "events", entity = Seq("user_id"),
-        tsCol = "ts_ns", tsIsNanos = true, shardNum = 4, segmentDays = 1)
+        // weekly segments: at this table size daily segs would mean 124
+        // near-empty files; segment_interval is per-group config in the
+        // reference, sized to data volume
+        tsCol = "ts_ns", tsIsNanos = true, shardNum = 4, segmentDays = 7)
       val root = "/root/repo/target/graft-io/layout_" +
         d.replaceAll("[^a-zA-Z0-9]", "_")
       Layout.append(ev(s, d), root, spec, mode = "overwrite")
@@ -637,6 +646,21 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin,
+
+    "q45_cosine_neardup_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |bk AS (SELECT vec_id, emb,
+        |  CAST(list_sum(list_transform(generate_series(0,7), p ->
+        |    CASE WHEN list_reduce(list_transform(generate_series(0,63), d ->
+        |           emb[d+1] * (CASE WHEN ((1103515245::BIGINT * (p*64+d+1) + 12345) % 2147483647)
+        |                                  < 1073741823 THEN 1.0 ELSE -1.0 END)),
+        |           (x,y) -> x+y) >= 0
+        |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35""".stripMargin,
 
     "q29_text_quality" ->
       """WITH f AS (

@@ -82,6 +82,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /**
+   * Near-duplicate pairs at corpus scale: bucket every vector by its LSH
+   * sign pattern, then self-join WITHIN buckets only — a shuffled equi-join
+   * on the bucket key, never an all-pairs product. Pair space shrinks from
+   * O(n²) to Σ_b |bucket_b|²; recall < 1 by design (pairs split across
+   * buckets are missed — raise recall by lowering nPlanes). This is the
+   * 100 TB form of [[cosineNearDupPairs]], whose broadcast nested loop is
+   * only for a small blocked slice.
+   */
+  def cosineNearDupPairsLsh(vectors: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = vectors.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_raw", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, left side
     * restricted by a predicate (blocking) to bound the pair space. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,

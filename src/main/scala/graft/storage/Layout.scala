@@ -80,10 +80,18 @@ object Layout {
 
   /** Batch append (S7 write path): route every row to its (seg, shard)
     * directory. Rows with a null entity component are rejected, as the
-    * reference rejects writes without a full series key. */
+    * reference rejects writes without a full series key.
+    *
+    * The pre-write repartition on the routing columns means each (seg,
+    * shard) directory is written by exactly one task — without it every
+    * input task opens a writer per directory it touches, producing
+    * tasks × partitions small files (the classic small-files blowup at
+    * scale, and 10× slower even locally). */
   def append(df: DataFrame, root: String, spec: LayoutSpec,
       mode: String = "append"): Unit =
-    routed(df, spec).write.mode(mode)
+    routed(df, spec)
+      .repartition(col(SegCol), col(ShardCol))
+      .write.mode(mode)
       .partitionBy(SegCol, ShardCol).parquet(path(root, spec))
 
   /** df + derived (seg, shard) routing columns; null-entity rows rejected. */
