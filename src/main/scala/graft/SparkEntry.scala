@@ -406,6 +406,27 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")
     }),
 
+    // --- §3.1 BydbQL over a STREAM resource: element dedup + paging
+    "q46_bydbql_stream" -> ((s, d) => {
+      val df = ev(s, d).withColumn("element_id",
+        concat(col("user_id").cast("string"), lit("-"), col("event_type")))
+      graft.ql.BydbQL.run(
+        "SELECT element_id, event_id, ts_ns, value FROM STREAM events IN testdata LIMIT 100",
+        Map("events" -> graft.ql.BydbQL.Resource(df, evDef,
+          elementIdCol = Some("element_id"))))
+        .withColumn("ts_ms", tsMs).drop("ts_ns")
+    }),
+
+    // --- §2.6 relative time: TIME > '-15d' anchored at a pinned `now`
+    "q47_bydbql_relative_time" -> ((s, d) => {
+      graft.ql.BydbQL.run(
+        "SELECT event_id, user_id, event_type, ts_ns, value FROM MEASURE events IN testdata TIME > '-15d'",
+        Map("events" -> graft.ql.BydbQL.Resource(ev(s, d), evDef,
+          fields = Set("value"))),
+        now = I("2024-01-20T00:00:00Z"))
+        .withColumn("ts_ms", tsMs).drop("ts_ns")
+    }),
+
     // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
     "q35_lineitem_pricing" -> ((s, d) => {
       li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -784,6 +805,19 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE user_id = 7
         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "q46_bydbql_stream" ->
+      """SELECT element_id, event_id, epoch_ms(ts) AS ts_ms, value FROM (
+        |  SELECT *, user_id::VARCHAR || '-' || event_type AS element_id,
+        |         row_number() OVER (PARTITION BY user_id::VARCHAR || '-' || event_type ORDER BY ts) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY ts LIMIT 100""".stripMargin,
+
+    "q47_bydbql_relative_time" ->
+      """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY ts LIMIT 100""".stripMargin,
 
     "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

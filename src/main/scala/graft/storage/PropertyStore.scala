@@ -1,0 +1,66 @@
+package graft.storage
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Property write semantics (S8): `apply` (upsert) and `delete`
+ * (property/v1/rpc.proto:100-112; banyand/property/). The reference is an
+ * etcd-style mutable document store keyed (group, name, id) where every
+ * mutation gets a monotonically increasing `mod_revision` and reads resolve
+ * last-writer-wins; delete is a tombstone append, not a physical erase.
+ *
+ * Spark-first this is an APPEND-ONLY log: both mutations produce new rows
+ * with the next revision per key, and [[graft.engine.Planners.property]] /
+ * [[graft.engine.Planners.propertyLatest]] resolve the live view. Append-only
+ * logs are the idiomatic object-store representation of mutability (the
+ * alternative — rewriting files in place — does not exist at 100 TB), and
+ * compaction is just `propertyLatest` rewritten back.
+ */
+object PropertyStore {
+
+  /** assign `rev = max(existing rev for id, 0) + 1` to each update row. */
+  private def withNextRev(current: DataFrame, rows: DataFrame,
+      idCol: String, revCol: String): DataFrame = {
+    val maxRev = current.groupBy(col(idCol))
+      .agg(max(col(revCol)).cast("long").as("__maxrev"))
+    rows.join(maxRev, Seq(idCol), "left")
+      .withColumn(revCol, coalesce(col("__maxrev"), lit(0L)) + lit(1L))
+      .drop("__maxrev")
+  }
+
+  /**
+   * Upsert: each `updates` row (keyed by `idCol`, WITHOUT a revision)
+   * becomes a new live revision. Multiple updates for one id in a single
+   * batch are rejected — the reference serializes per-key mutations, and
+   * silently picking one would drop a write.
+   */
+  def apply(current: DataFrame, updates: DataFrame,
+      idCol: String, revCol: String, deletedCol: String): DataFrame = {
+    val dup = updates.groupBy(col(idCol)).count().filter(col("count") > 1)
+    require(dup.isEmpty, "multiple updates for one id in a single apply batch")
+    val versioned = withNextRev(current, updates, idCol, revCol)
+      .withColumn(deletedCol, lit(false))
+    current.unionByName(versioned, allowMissingColumns = true)
+  }
+
+  /** Tombstone delete: appends a `deleted = true` revision per id; the
+    * read view then hides the document. */
+  def delete(current: DataFrame, ids: Seq[Any],
+      idCol: String, revCol: String, deletedCol: String): DataFrame = {
+    val spark = current.sparkSession
+    import spark.implicits._
+    val keys = ids.map(_.toString).toDF(idCol)
+      .withColumn(idCol, col(idCol).cast(current.schema(idCol).dataType))
+    val tombs = withNextRev(current, keys, idCol, revCol)
+      .withColumn(deletedCol, lit(true))
+    current.unionByName(tombs, allowMissingColumns = true)
+  }
+
+  /** Compaction: collapse the log to live latest revisions only (what the
+    * reference's background repair/cleanup achieves). */
+  def compact(log: DataFrame, idCol: String, revCol: String,
+      deletedCol: String): DataFrame =
+    graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
+      .filter(!coalesce(col(deletedCol), lit(false)))
+}

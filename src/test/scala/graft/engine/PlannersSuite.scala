@@ -171,6 +171,24 @@ class PlannersSuite extends SparkSpec {
     assert(e.getMessage.contains("conflicting type"))
   }
 
+  test("time-range + tag predicates reach the parquet scan (pushdown guard)") {
+    val out = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      timeRange = Some(TimeRange(Instant.parse("2024-01-05T00:00:00Z"),
+        Instant.parse("2024-01-20T00:00:00Z"))),
+      criteria = Some(Cond("event_type", Op.Eq, Seq("click"))),
+      tagProjection = Seq("event_id"), fieldProjection = Seq("value")))
+    val scan = out.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    // raw-nanos comparison pushes as int64 range; tag EQ pushes directly
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+    assert(pushed.contains("EqualTo(event_type,click)"), pushed)
+    // column pruning: scan reads only what the query touches
+    val read = scan.metadata.getOrElse("ReadSchema", "")
+    assert(!read.contains("props"), read)
+  }
+
   test("property path: tombstone hides the document; ids + criteria apply (S8)") {
     val df = Seq(
       ("p1", 1L, 10.0, false), ("p1", 2L, 20.0, true),  // latest rev deleted
