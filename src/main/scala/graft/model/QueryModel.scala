@@ -121,6 +121,7 @@ final case class PropertyQuery(
     ids: Seq[String] = Nil,
     criteria: Option[Criteria] = None,
     projection: Seq[String] = Nil,
+    orderBy: Option[OrderBy] = None,
     limit: Int = 0)
 
 /** Pre-aggregated Top-N read (measure/v1/topn.proto:55-75): ranked entities

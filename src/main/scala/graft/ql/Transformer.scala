@@ -372,6 +372,7 @@ object Transformer {
       ids = ids,
       criteria = residual.map(convertExpr(_, schema)),
       projection = cols,
+      orderBy = s.orderBy.map(o => OrderBy(o.ident, o.desc.getOrElse(false))),
       limit = s.limit.map(intOf(_, "LIMIT")).getOrElse(0))
   }
 

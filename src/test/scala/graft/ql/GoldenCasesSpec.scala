@@ -1,0 +1,199 @@
+package graft.ql
+
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.model._
+import graft.sources.Catalog
+import org.apache.spark.sql.functions._
+
+/**
+ * Ported subset of the reference's golden QL corpus — the .ql files under
+ * test/cases/{measure,stream,trace,property}/data/input (580 cases; each
+ * test names its source file). Statements are kept verbatim except
+ * resource/tag names, which are bound to the driver testdata schema. Shape
+ * assertions go through parse → transform to the typed IR; execution
+ * checks run the planner where the testdata can play the role.
+ */
+class GoldenCasesSpec extends SparkSpec {
+
+  private val now = Instant.parse("2024-01-20T00:00:00Z")
+  private lazy val events = Catalog.load(spark, sf0001, "events")
+  private def schema = QlSchema(events.schema, Set("value"))
+
+  private def measureOf(ql: String): MeasureQuery =
+    Transformer.transform(Parser.parse(ql), schema, now) match {
+      case MeasureStatement(q) => q
+      case other => fail(s"expected measure, got $other")
+    }
+
+  // -- measure --------------------------------------------------------------
+
+  test("all.ql: bare projection + relative time") {
+    val q = measureOf(
+      "SELECT event_id, user_id, value FROM MEASURE events IN testdata TIME > '-15m'")
+    assert(q.timeRange.contains(TimeRange(now.minusSeconds(900), now)))
+    assert(q.tagProjection == Seq("event_id", "user_id"))
+    assert(q.fieldProjection == Seq("value"))
+  }
+
+  test("all_max_limit.ql: LIMIT 4294967295 (uint32 max)") {
+    val q = measureOf(
+      "SELECT event_id FROM MEASURE events IN testdata TIME > '-15m' LIMIT 4294967295")
+    assert(q.limit > 0)
+  }
+
+  test("all_only_fields.ql: field-only projection via ::field spec") {
+    val q = measureOf(
+      "SELECT value::field FROM MEASURE events IN testdata TIME > '-15m'")
+    assert(q.tagProjection.isEmpty && q.fieldProjection == Seq("value"))
+  }
+
+  test("group_max.ql: GROUP BY incl a field column + MAX") {
+    val q = measureOf(
+      """SELECT event_type, value::field, MAX(value) FROM MEASURE events IN testdata
+        |TIME > '-15m' GROUP BY event_type, value""".stripMargin)
+    // a FIELD in GROUP BY becomes GroupBy.FieldName in the reference
+    // (transformer.go:800-811), NOT a group tag — only tags group
+    assert(q.groupByTags == Seq("event_type"))
+    assert(q.agg.contains((AggFn.Max, "value")))
+  }
+
+  test("top.ql: SELECT TOP n field DESC with agg") {
+    val q = measureOf(
+      """SELECT TOP 2 value DESC, event_type, value::field, MEAN(value)
+        |FROM MEASURE events IN testdata TIME > '-15m' GROUP BY event_type, value""".stripMargin)
+    // TOP runs after the agg (T1), so the ranked field is rebound to the
+    // aggregate's output column
+    assert(q.top.contains(TopSpec(2, "mean_value", desc = true)))
+    assert(q.groupByTags == Seq("event_type"))
+    assert(q.agg.contains((AggFn.Mean, "value")))
+  }
+
+  test("order_desc.ql: bare ORDER BY DESC means timestamp descending") {
+    val q = measureOf(
+      "SELECT event_id, value::field FROM MEASURE events IN testdata TIME > '-15m' ORDER BY DESC")
+    assert(q.orderBy.contains(OrderBy(None, desc = true)))
+  }
+
+  test("filter_hidden_tag.ql: WHERE tag absent from SELECT") {
+    val q = measureOf(
+      """SELECT event_id, value::field FROM MEASURE events IN testdata
+        |TIME > '-15m' WHERE event_type = 'click'""".stripMargin)
+    assert(q.criteria.contains(Cond("event_type", Op.Eq, Seq("click"))))
+    assert(!q.tagProjection.contains("event_type"))
+  }
+
+  test("entity_match.ql: EQ + MATCH('…', '', 'AND') with empty analyzer") {
+    val q = measureOf(
+      """SELECT user_id, event_type FROM MEASURE events IN testdata TIME > '-15m'
+        |WHERE user_id = '7' AND event_type MATCH('click', '', 'AND')""".stripMargin)
+    q.criteria.get match {
+      case And(Cond("user_id", Op.Eq, _), Cond("event_type", m: Op.Match, vs)) =>
+        assert(m.operator == MatchOp.And && vs == Seq("click"))
+      case other => fail(s"unexpected criteria: $other")
+    }
+  }
+
+  test("empty_result.ql: selective EQ executes to zero rows") {
+    val q = measureOf(
+      """SELECT event_id FROM MEASURE events IN testdata TIME > '-1w'
+        |WHERE event_type = 'no_such_type_xyz'""".stripMargin)
+    val out = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+    assert(out.count() == 0)
+  }
+
+  // -- stream ---------------------------------------------------------------
+
+  test("deduplication_test_limit_10.ql: stream dedup honors LIMIT") {
+    val df = events.withColumn("element_id",
+      concat(col("user_id").cast("string"), lit("-"), col("event_type")))
+    val stmt = Parser.parse(
+      """SELECT element_id, event_id, value FROM STREAM events IN testdata
+        |LIMIT 10""".stripMargin)
+    val q = Transformer.transform(stmt, QlSchema(df.schema, Set.empty), now) match {
+      case StreamStatement(s) => s
+      case other => fail(s"expected stream, got $other")
+    }
+    val out = graft.engine.Planners.stream(df, Catalog.defs("events"), q, "element_id")
+    assert(out.count() == 10)
+  }
+
+  test("duplicated_order_by_index.ql: stream ORDER BY tag DESC") {
+    val stmt = Parser.parse(
+      """SELECT event_id, value FROM STREAM events IN testdata
+        |TIME > '-15m' ORDER BY value DESC""".stripMargin)
+    Transformer.transform(stmt, schema, now) match {
+      case StreamStatement(q) =>
+        assert(q.orderBy.contains(OrderBy(Some("value"), desc = true)))
+      case other => fail(s"expected stream, got $other")
+    }
+  }
+
+  // -- trace ----------------------------------------------------------------
+
+  test("trace all.ql: SELECT () empty projection + ORDER BY timestamp DESC") {
+    val stmt = Parser.parse(
+      """SELECT () FROM TRACE events IN testdata
+        |TIME > '-15m' ORDER BY timestamp DESC LIMIT 100""".stripMargin)
+    Transformer.transform(stmt, schema, now) match {
+      case TraceStatement(q) =>
+        assert(q.projection.isEmpty)
+        assert(q.orderBy.contains(OrderBy(Some("timestamp"), desc = true)))
+        assert(q.limit == 100)
+      case other => fail(s"expected trace, got $other")
+    }
+  }
+
+  test("gen_feat_order_duration_asc_limit2_offset1.ql: trace paging") {
+    val stmt = Parser.parse(
+      """SELECT trace_id, event_id FROM TRACE events IN testdata TIME > '-15m'
+        |ORDER BY duration ASC LIMIT 2 OFFSET 1""".stripMargin)
+    Transformer.transform(stmt, schema, now) match {
+      case TraceStatement(q) =>
+        assert(q.limit == 2 && q.offset == 1)
+        assert(q.orderBy.contains(OrderBy(Some("duration"), desc = false)))
+      case other => fail(s"expected trace, got $other")
+    }
+  }
+
+  // -- property -------------------------------------------------------------
+
+  private lazy val propLog = {
+    import spark.implicits._
+    Seq(("m1", 2L, "cfg-a", 30L, false), ("m1", 1L, "old", 10L, false),
+      ("m2", 1L, "cfg-b", 20L, false), ("m3", 1L, "cfg-c", 5L, true))
+      .toDF("id", "rev", "configuration", "update_time", "deleted")
+  }
+
+  private def runProp(ql: String, params: Seq[Any] = Nil) =
+    BydbQL.run(ql, Map("ui_menu" -> BydbQL.Resource(propLog,
+      graft.sources.TableDef("ui_menu"),
+      propertyIdCol = Some("id"), propertyRevCol = Some("rev"),
+      propertyDeletedCol = Some("deleted"))), params, now)
+
+  test("property all.ql + tombstone: latest revisions of live docs") {
+    val out = runProp("SELECT id, configuration FROM PROPERTY ui_menu IN sw")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("m1", "cfg-a"), ("m2", "cfg-b"))) // m3 tombstoned, m1 rev2 wins
+  }
+
+  test("property order_by_with_limit.ql: ORDER BY tag DESC LIMIT 1") {
+    val out = runProp(
+      "SELECT id, update_time FROM PROPERTY ui_menu IN sw ORDER BY update_time DESC LIMIT 1")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("m1"))
+  }
+
+  test("property query_by_ids.ql: WHERE id = selects by document id") {
+    val out = runProp(
+      "SELECT id, configuration FROM PROPERTY ui_menu IN sw WHERE id = 'm2'")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("m2"))
+  }
+
+  test("property params_bind.ql: positional parameter in criteria") {
+    val out = runProp(
+      "SELECT id FROM PROPERTY ui_menu IN sw WHERE configuration = ?",
+      params = Seq("cfg-b"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("m2"))
+  }
+}
