@@ -164,13 +164,22 @@ object TopNStream {
   def replayToBatch(points: DataFrame, cfg: TopNStreamConfig,
       spark: SparkSession, checkpoint: String): DataFrame = {
     val sinkName = "topn_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = topNAggregate(points, cfg).writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Each shuffle partition of a stateful operator carries a state store
+    // (open/commit per batch). The window-key cardinality, not row volume,
+    // bounds useful parallelism here; 8 stores keep the replay parallel
+    // without paying 32 store commits per batch. A cluster deployment
+    // raises this with `spark.sql.shuffle.partitions` as usual.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = topNAggregate(points, cfg).writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     latestSnapshot(spark.table(sinkName))
   }
 }
