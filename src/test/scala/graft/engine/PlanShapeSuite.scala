@@ -1,0 +1,58 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan shape guards for the scale-critical operators: these
+  * assert the plan Catalyst actually picks, so a regression that silently
+  * de-scales an operator (single-partition window, nested-loop join,
+  * lost broadcast) fails CI rather than surfacing at 100 TB. */
+class PlanShapeSuite extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q26 brute-force top-k: partial aggregation, no per-query window") {
+    val p = plan("q26_sim_bruteforce")
+    // bounded TopKAggregator → partial ObjectHashAggregate before exchange
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), "found a window — single-task per query")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q27 LSH top-k: no per-query window either") {
+    val p = plan("q27_sim_lsh")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q45 LSH near-dup: equi-join on bucket, NOT a nested loop") {
+    val p = plan("q45_cosine_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bucket join degenerated to a nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q36 dimension join broadcasts the small side") {
+    val p = plan("q36_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q07 grouped agg is partial+final hash aggregation") {
+    val p = plan("q07_groupby_agg")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"), "agg fell back to sort-based")
+  }
+
+  test("q13 order+limit plans as TakeOrderedAndProject (bounded top)") {
+    val p = plan("q13_order_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q01 time scan pushes the range to parquet and prunes columns") {
+    val p = plan("q01_scan_timerange")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)") ||
+      p.contains("GreaterThanOrEqual(ts"), p.take(2000))
+    assert(!p.contains("props"), "unprojected column read from parquet")
+  }
+}
