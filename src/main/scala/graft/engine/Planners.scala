@@ -244,6 +244,12 @@ object Planners {
         s"topN query conditions must be EQ, got ${c.op} on ${c.tag}")
     }
     var df = buckets
+    // TopNRequest carries a time range over the pre-agg buckets
+    // (measure/v1/topn.proto:55-75); [begin, end) on bucket start.
+    q.timeRange.foreach { case TimeRange(b, e) =>
+      df = df.filter(col("bucket_start") >= lit(b.toEpochMilli) &&
+        col("bucket_start") < lit(e.toEpochMilli))
+    }
     q.conditions.foreach(c => df = df.filter(CriteriaTranslator.toColumn(c)))
     val agged = q.agg match {
       case Some(fn) =>

@@ -76,6 +76,9 @@ final case class TopSpec(number: Int, fieldName: String, desc: Boolean = true)
 final case class MeasureQuery(
     groups: Seq[String],
     name: String,
+    /** lifecycle stage selection (hot/warm/cold), measure/v1/query.proto:147-148;
+      * routed to the storage tier by the catalog layer. */
+    stages: Seq[String] = Nil,
     timeRange: Option[TimeRange] = None,
     criteria: Option[Criteria] = None,
     tagProjection: Seq[String] = Nil,
@@ -94,6 +97,7 @@ final case class MeasureQuery(
 final case class StreamQuery(
     groups: Seq[String],
     name: String,
+    stages: Seq[String] = Nil,
     timeRange: Option[TimeRange] = None,
     criteria: Option[Criteria] = None,
     projection: Seq[String] = Nil,
@@ -106,6 +110,7 @@ final case class StreamQuery(
 final case class TraceQuery(
     groups: Seq[String],
     name: String,
+    stages: Seq[String] = Nil,
     timeRange: Option[TimeRange] = None,
     criteria: Option[Criteria] = None,
     projection: Seq[String] = Nil,
@@ -129,6 +134,7 @@ final case class PropertyQuery(
 final case class TopNQuery(
     groups: Seq[String],
     name: String,
+    stages: Seq[String] = Nil,
     timeRange: Option[TimeRange] = None,
     topN: Int = 10,
     desc: Boolean = true,

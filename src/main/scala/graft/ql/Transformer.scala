@@ -290,6 +290,7 @@ object Transformer {
     MeasureQuery(
       groups = s.from.groups,
       name = s.from.name,
+      stages = s.from.stages,
       timeRange = convertTimeRange(now, s.time),
       criteria = s.where.map(convertExpr(_, schema)),
       tagProjection = tags,
@@ -315,6 +316,7 @@ object Transformer {
     StreamQuery(
       groups = s.from.groups,
       name = s.from.name,
+      stages = s.from.stages,
       timeRange = convertTimeRange(now, s.time),
       criteria = s.where.map(convertExpr(_, schema)),
       projection = cols,
@@ -332,6 +334,7 @@ object Transformer {
     TraceQuery(
       groups = s.from.groups,
       name = s.from.name,
+      stages = s.from.stages,
       timeRange = convertTimeRange(now, s.time),
       criteria = s.where.map(convertExpr(_, schema)),
       projection = cols,
@@ -388,6 +391,7 @@ object Transformer {
     TopNQuery(
       groups = t.from.groups,
       name = t.from.name,
+      stages = t.from.stages,
       timeRange = convertTimeRange(now, t.time),
       topN = intOf(t.n, "TOP n"),
       desc = t.orderDesc.getOrElse(true),

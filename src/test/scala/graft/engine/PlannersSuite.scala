@@ -147,6 +147,18 @@ class PlannersSuite extends SparkSpec {
     assert(out.agg(sum("span_count")).as[Long].head() > 3)
   }
 
+  test("topNRead honors the bucket time range [begin, end)") {
+    val buckets = Seq(
+      (0L, "a", 10L), (3600000L, "a", 20L), (7200000L, "a", 40L))
+      .toDF("bucket_start", "entity", "value")
+    val out = Planners.topNRead(buckets, TopNQuery(Seq("g"), "t",
+      timeRange = Some(TimeRange(Instant.ofEpochMilli(3600000L),
+        Instant.ofEpochMilli(7200000L))),
+      topN = 10, agg = Some(AggFn.Sum)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 20L))) // only the middle bucket is in range
+  }
+
   test("topNRead rejects non-EQ conditions (§3.3)") {
     val buckets = Seq((0L, "a", 1L)).toDF("bucket_start", "entity", "value")
     val e = intercept[IllegalArgumentException] {

@@ -103,6 +103,14 @@ class GoldenCasesSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("ON STAGES lifecycle selection reaches the typed IR") {
+    // grammar.go:127-134: the STAGES keyword TRAILS the list — `ON (…) STAGES`
+    val q = measureOf(
+      """SELECT event_id FROM MEASURE events IN testdata ON (hot, warm) STAGES
+        |TIME > '-15m'""".stripMargin)
+    assert(q.stages == Seq("hot", "warm"))
+  }
+
   // -- stream ---------------------------------------------------------------
 
   test("deduplication_test_limit_10.ql: stream dedup honors LIMIT") {
