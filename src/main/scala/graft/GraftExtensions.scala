@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSigExpr, ShinglesExpr, SimHash60Expr}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * SQL surface of the engine's native Catalyst expressions. Register via
+ * `spark.sql.extensions=graft.GraftExtensions` (or
+ * `SparkSession.builder.withExtensions(new GraftExtensions)`), after which
+ * plain SQL can call the codegen'd kernels:
+ *
+ * {{{
+ *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+ *   SELECT graft_minhash_sig(graft_shingles(text, 3), 64) FROM docs
+ * }}}
+ *
+ * The reference exposes no user-defined functions (SURVEY §2.8); these are
+ * the engine's own extension points, surfaced the idiomatic Spark way —
+ * FunctionRegistry entries resolving to native expressions, never UDFs.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.GraftExtensions", null, name, usage, "", "", "",
+        "", "", "", "built-in"),
+      builder)
+
+  /** The registrable function set. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays") {
+      args => CosineSimilarity(args(0), args(1))
+    },
+    fn("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays") {
+      args => DotProduct(args(0), args(1))
+    },
+    fn("graft_shingles", "graft_shingles(text, w) - distinct lowercase w-token shingles") {
+      args => ShinglesExpr(args(0), litInt(args(1), "shingle width"))
+    },
+    fn("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k-lane minhash signature") {
+      args => MinHashSigExpr(args(0), litInt(args(1), "signature lanes"))
+    },
+    fn("graft_simhash", "graft_simhash(text) - 60-bit simhash of the token stream") {
+      args => SimHash60Expr(args(0))
+    })
+
+  /** Register into an ALREADY-RUNNING session (notebooks, tests); builder
+    * wiring uses the class form above. */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, b)
+  }
+}

@@ -298,14 +298,18 @@ object Planners {
    * One shuffle for the agg; the rank window reuses the bucket hash.
    */
   def topNBuckets(df: DataFrame, tsNanosCol: String, entityCol: String,
-      valueExpr: Column, intervalMs: Long, n: Int, desc: Boolean = true): DataFrame = {
+      valueExpr: Column, intervalMs: Long, n: Int, desc: Boolean = true,
+      groupCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.BanyanSemantics.longDiv
     val bucket = longDiv(longDiv(col(tsNanosCol).cast("long"), lit(1000000L)),
       lit(intervalMs)) * lit(intervalMs)
-    val agged = df.groupBy(bucket.as("bucket_ms"), col(entityCol).cast("string").as("entity"))
-      .agg(sum(valueExpr).as("value"))
+    // group_by_tag_names (topn.proto): entities rank WITHIN each group key
+    val keys = (bucket.as("bucket_ms") +: groupCols.map(col)) :+
+      col(entityCol).cast("string").as("entity")
+    val agged = df.groupBy(keys: _*).agg(sum(valueExpr).as("value"))
     val ord = if (desc) col("value").desc else col("value").asc
-    val w = Window.partitionBy(col("bucket_ms")).orderBy(ord, col("entity").asc)
+    val w = Window.partitionBy(col("bucket_ms") +: groupCols.map(col): _*)
+      .orderBy(ord, col("entity").asc)
     agged.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= n)
   }
 }

@@ -8,15 +8,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One input point: event time, ranked entity, measured value. */
 final case class TopNPoint(ts: java.sql.Timestamp, entity: String, value: Long)
 
-/** Keyed form after bucketing (key = bucket_ms). */
-final case class BucketedPoint(bucket_ms: Long, ts: java.sql.Timestamp,
-    entity: String, value: Long)
+/** Keyed form after bucketing (key = (bucket_ms, group_key)). The group
+  * key is the concatenated `group_by_tag_names` value ("" when the
+  * aggregation declares none). */
+final case class BucketedPoint(bucket_ms: Long, group_key: String,
+    ts: java.sql.Timestamp, entity: String, value: Long)
 
 /** One appended snapshot row of the derived `_top_n_result` table. A later
   * `flush_seq` for the same bucket supersedes earlier ones — the same
   * latest-version-wins read semantic as the measure path (T8). */
-final case class TopNResultRow(bucket_ms: Long, entity: String, value: Long,
-    rank: Long, flush_seq: Long)
+final case class TopNResultRow(bucket_ms: Long, group_key: String,
+    entity: String, value: Long, rank: Long, flush_seq: Long)
 
 /** Per-window state: bounded entity→sum counters + flush counter. */
 final case class TopNWindowState(counters: Map[String, Long], flushSeq: Long)
@@ -71,32 +73,39 @@ object TopNStream {
     val spark = points.sparkSession
     import spark.implicits._
     val lateness = cfg.lruSize * cfg.intervalMs
+    // group_by_tag_names (topn.proto): rank entities WITHIN each group key
+    // per window; a missing column means one global ranking per window
+    val hasGroup = points.columns.contains("group_key")
+    val groupKeyCol = if (hasGroup) col("group_key") else lit("")
     val bucketed = points
       .withWatermark("ts", s"$lateness milliseconds")
       .select(
         (expr(s"unix_millis(ts) DIV ${cfg.intervalMs}") * cfg.intervalMs)
           .cast("long").as("bucket_ms"),
+        groupKeyCol.as("group_key"),
         col("ts"), col("entity"), col("value").cast("long").as("value"))
       .as[BucketedPoint]
 
-    bucketed
-      .groupByKey(_.bucket_ms)
+    val out = bucketed
+      .groupByKey(p => (p.bucket_ms, p.group_key))
       .flatMapGroupsWithState[TopNWindowState, TopNResultRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (bucket, rows, state) => updateWindow(bucket, rows, state, cfg, lateness)
+        (key, rows, state) => updateWindow(key, rows, state, cfg, lateness)
       }
       .toDF()
+    if (hasGroup) out else out.drop("group_key")
   }
 
-  private def updateWindow(bucket: Long, rows: Iterator[BucketedPoint],
+  private def updateWindow(key: (Long, String), rows: Iterator[BucketedPoint],
       state: GroupState[TopNWindowState], cfg: TopNStreamConfig,
       lateness: Long): Iterator[TopNResultRow] = {
+    val bucket = key._1
     if (state.hasTimedOut) {
       // final flush, then drop the window (sliding_window.go eviction
       // flush). Bump flush_seq so the final snapshot strictly supersedes
       // the last dirty one instead of duplicating its rows.
       val st = state.get
-      val out = snapshot(bucket, st.copy(flushSeq = st.flushSeq + 1), cfg)
+      val out = snapshot(key, st.copy(flushSeq = st.flushSeq + 1), cfg)
       state.remove()
       return out
     }
@@ -119,17 +128,17 @@ object TopNStream {
     val expiry = math.max(bucket + cfg.intervalMs + lateness,
       state.getCurrentWatermarkMs() + 1)
     state.setTimeoutTimestamp(expiry)
-    snapshot(bucket, st, cfg)
+    snapshot(key, st, cfg)
   }
 
   /** Current top-n of a window, ranked (value desc|asc, entity asc). */
-  private def snapshot(bucket: Long, st: TopNWindowState,
+  private def snapshot(key: (Long, String), st: TopNWindowState,
       cfg: TopNStreamConfig): Iterator[TopNResultRow] = {
     val ordered = st.counters.toSeq.sortBy { case (e, v) =>
       (if (cfg.desc) -v else v, e)
     }.take(cfg.n)
     ordered.iterator.zipWithIndex.map { case ((e, v), i) =>
-      TopNResultRow(bucket, e, v, i + 1L, st.flushSeq)
+      TopNResultRow(key._1, key._2, e, v, i + 1L, st.flushSeq)
     }
   }
 
@@ -149,11 +158,15 @@ object TopNStream {
     * semantic applied to flushes. Output matches the batch analogue
     * [[graft.engine.Planners.topNBuckets]]: (bucket_ms, entity, value, rank). */
   def latestSnapshot(appended: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("bucket_ms"))
+    val hasGroup = appended.columns.contains("group_key")
+    val parts = if (hasGroup) Seq(col("bucket_ms"), col("group_key"))
+      else Seq(col("bucket_ms"))
+    val w = Window.partitionBy(parts: _*)
+    val keep = parts ++ Seq(col("entity"), col("value"), col("rank"))
     appended
       .withColumn("__maxFlush", max(col("flush_seq")).over(w))
       .filter(col("flush_seq") === col("__maxFlush"))
-      .select(col("bucket_ms"), col("entity"), col("value"), col("rank"))
+      .select(keep: _*)
   }
 
   /**

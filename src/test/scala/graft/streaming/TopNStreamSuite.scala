@@ -10,6 +10,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
+/** A grouped input point for the group_by_tag_names test. */
+final case class GroupedPoint(ts: java.sql.Timestamp, group_key: String,
+    entity: String, value: Long)
+
 /** Streaming TopNAggregation (ST1–ST5): incremental dirty snapshots,
   * bounded counters, late-data drop, the `_top_n_result` sink, and
   * equivalence with the batch pre-compute. */
@@ -112,6 +116,37 @@ class TopNStreamSuite extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // cross-bucket SUM: a=5+2=7, b=8, c=6 → b, a, c
     assert(read.toSeq == Seq(("b", 8L), ("a", 7L), ("c", 6L)))
+  }
+
+  test("group_by_tag_names: entities rank within each group per window (ST3)") {
+    val events = Catalog.load(spark, sf0001, "events")
+    val batch = Planners.topNBuckets(events, "ts_ns", "user_id",
+      floor(col("value")).cast("long"), intervalMs = 6 * HOUR, n = 2,
+      groupCols = Seq("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[GroupedPoint]
+    src.addData(events.select(col("ts"), col("event_type").as("group_key"),
+      col("user_id").cast("string").as("entity"),
+      floor(col("value")).cast("long").as("value")).as[GroupedPoint].collect().toSeq)
+    val name = "topn_grouped_eq"
+    val q = TopNStream.topNAggregate(src.toDF(),
+      TopNStreamConfig(intervalMs = 6 * HOUR, n = 2, countersNumber = 1 << 20))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmp("ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = TopNStream.latestSnapshot(spark.table(name))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == batch)
   }
 
   test("replaying events reproduces the batch topNBuckets pre-compute") {
