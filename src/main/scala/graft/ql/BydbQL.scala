@@ -38,17 +38,35 @@ object BydbQL {
   def bind(stmt: QlStatement, params: Seq[Any]): QlStatement =
     Transformer.bind(stmt, params)
 
+  /** Resolve the (possibly multi-group) resource: `group/name` entries take
+    * precedence over a bare `name` entry. A query over several groups
+    * schema-merges the per-group frames (T6, measure_analyzer.go:96-108) —
+    * unless every group resolves to the same registry entry, which models
+    * one dataset shared across groups. */
+  private def resolve(resources: Map[String, Resource], name: String,
+      groups: Seq[String]): Resource = {
+    def find(key: String) = resources.get(key)
+    val perGroup = groups.map(g => find(s"$g/$name").orElse(find(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown resource: $name in group $g")))
+    val distinct = perGroup.distinct
+    if (distinct.length <= 1) distinct.headOption.getOrElse(
+      throw new IllegalArgumentException(s"unknown resource: $name"))
+    else distinct.head.copy(
+      df = Planners.unionGroups(distinct.map(_.df)),
+      fields = distinct.flatMap(_.fields).toSet)
+  }
+
   /** Parse/bind/transform/execute one statement. `now` anchors relative
     * times (pass a fixed instant for reproducible queries). */
   def run(ql: String, resources: Map[String, Resource],
       params: Seq[Any] = Nil, now: Instant = Instant.now()): DataFrame = {
     val stmt = bind(parse(ql), params)
-    val name = stmt match {
-      case s: QlSelect => s.from.name
-      case t: QlShowTopN => t.from.name
+    val (name, groups) = stmt match {
+      case s: QlSelect => (s.from.name, s.from.groups)
+      case t: QlShowTopN => (t.from.name, t.from.groups)
     }
-    val res = resources.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown resource: $name"))
+    val res = resolve(resources, name, groups)
     val schema = QlSchema(res.df.schema, res.fields)
     Transformer.transform(stmt, schema, now) match {
       case MeasureStatement(q) => Planners.measure(res.df, res.tdef, q)

@@ -69,6 +69,16 @@ class PlannersSuite extends SparkSpec {
     assert(out == Map("a" -> 6L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("MEAN over a FLOAT field uses double division with the same clamp (A2)") {
+    val df = Seq(("a", 4.0), ("a", 5.0), ("b", 0.25), ("b", 0.15))
+      .toDF("k", "v")
+    val out = Planners.measure(df, TableDef("t"), MeasureQuery(Seq("g"), "t",
+      groupByTags = Seq("k"), agg = Some((AggFn.Mean, "v"))))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a: 4.5 (real division, no truncation); b: 0.2 → clamped to 1.0
+    assert(out == Map("a" -> 4.5, "b" -> 1.0))
+  }
+
   test("COUNT over a FLOAT field emits float (A1/W8)") {
     val out = Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
       agg = Some((AggFn.Count, "value"))))

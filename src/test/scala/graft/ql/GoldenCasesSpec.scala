@@ -165,6 +165,19 @@ class GoldenCasesSpec extends SparkSpec {
     }
   }
 
+  test("multi-group union: IN (g1, g2) schema-merges per-group frames (T6)") {
+    import spark.implicits._
+    val g1 = Seq((1L, "x", 5.0), (2L, "y", 7.0)).toDF("id", "label", "value")
+    val g2 = Seq((3L, 9.0)).toDF("id", "value") // no `tag` column → null-fill
+    val out = BydbQL.run(
+      "SELECT id, label, value FROM MEASURE m IN (g1, g2) LIMIT 100",
+      Map(
+        "g1/m" -> BydbQL.Resource(g1, graft.sources.TableDef("m"), fields = Set("value")),
+        "g2/m" -> BydbQL.Resource(g2, graft.sources.TableDef("m"), fields = Set("value"))))
+    assert(out.count() == 3)
+    assert(out.filter(col("label").isNull).count() == 1)
+  }
+
   // -- property -------------------------------------------------------------
 
   private lazy val propLog = {
