@@ -115,6 +115,26 @@ object Layout {
     spark.read.parquet(path(root, spec))
 
   /**
+   * Catalog-backed bucketed form of the layout: partitioned by `seg` and
+   * BUCKETED (not just directory-sharded) by the entity, sorted within
+   * buckets by (entity, ts). Because bucketing is recorded in the table
+   * catalog, Catalyst knows the data is hash-clustered on the entity —
+   * entity group-bys, version-dedup windows, and entity co-located joins
+   * plan WITHOUT an exchange. This is the at-scale answer to "why does
+   * the reference sort parts by (seriesID, ts)": pre-clustering replaces
+   * the per-query shuffle.
+   */
+  def saveBucketed(df: DataFrame, tableName: String, spec: LayoutSpec): Unit =
+    routed(df, spec)
+      .repartition(spec.shardNum, spec.entity.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(SegCol)
+      .bucketBy(spec.shardNum, spec.entity.head, spec.entity.tail: _*)
+      .sortBy(spec.entity.head, (spec.entity.tail :+ spec.tsCol): _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /**
    * Entity-EQ scan: the shard id becomes a LITERAL partition predicate and
    * the time range a segment range, so file listing prunes to
    * |segments in range| × 1 shard directory out of segments × shardNum.

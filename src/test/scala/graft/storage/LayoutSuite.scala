@@ -88,6 +88,27 @@ class LayoutSuite extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("null entity")))
   }
 
+  test("bucketed layout: entity aggregation and version dedup are shuffle-free") {
+    import org.apache.spark.sql.expressions.Window
+    Layout.saveBucketed(events, "events_bucketed", spec)
+    val t = spark.table("events_bucketed")
+
+    // entity group-by: partial+final agg collapses, no Exchange
+    val agg = t.groupBy("user_id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), aggPlan.take(1500))
+
+    // version-dedup window partitioned by the entity: no Exchange either
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").desc)
+    val dedup = t.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    dedup.collect()
+    val dedupPlan = dedup.queryExecution.executedPlan.toString
+    assert(!dedupPlan.contains("Exchange"), dedupPlan.take(1500))
+
+    assert(t.count() == events.count())
+  }
+
   test("streaming sink ingests into the same layout (S7)") {
     val root = tmp("layout")
     val ckpt = tmp("ckpt")
