@@ -55,7 +55,12 @@ object Analyzers {
     val an = byName(analyzer)
     val queryTokens = flatten(array(values.map(v => an(lit(v))): _*))
     val docTokens = an(col)
-    if (andSemantics) forall(queryTokens, t => array_contains(docTokens, t))
+    // Both forms reference docTokens exactly ONCE: a higher-order
+    // `forall(queryTokens, t => array_contains(docTokens, t))` re-evaluates
+    // the tokenizer subtree per query token (lambda bodies get no
+    // common-subexpression elimination), i.e. |query| full tokenizations
+    // per row. AND ⇔ no query token missing from the doc tokens.
+    if (andSemantics) size(array_except(queryTokens, docTokens)) === 0
     else arrays_overlap(docTokens, queryTokens)
   }
 }
