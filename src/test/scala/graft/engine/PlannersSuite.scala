@@ -69,6 +69,20 @@ class PlannersSuite extends SparkSpec {
     assert(out == Map("a" -> 6L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("EQ on an array tag is exact equality; NOT_HAVING negates contains-all (F1/F4)") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("a", "b", "c")), (3L, Seq("b", "a")))
+      .toDF("id", "tags")
+    val tdef = TableDef("t", arrayTags = Set("tags"))
+    def ids(c: Cond): Seq[Long] =
+      Planners.measure(df, tdef, MeasureQuery(Seq("g"), "t",
+        criteria = Some(c), tagProjection = Seq("id")))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // exact array equality is order-sensitive: ("b","a") does not match
+    assert(ids(Cond("tags", Op.Eq, Seq("a", "b"))) == Seq(1L))
+    // NOT_HAVING: rows NOT containing all of (a, c)
+    assert(ids(Cond("tags", Op.NotHaving, Seq("a", "c"))) == Seq(1L, 3L))
+  }
+
   test("MEAN over a FLOAT field uses double division with the same clamp (A2)") {
     val df = Seq(("a", 4.0), ("a", 5.0), ("b", 0.25), ("b", 0.15))
       .toDF("k", "v")

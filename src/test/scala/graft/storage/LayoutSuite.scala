@@ -90,8 +90,11 @@ class LayoutSuite extends SparkSpec {
 
   test("bucketed layout: entity aggregation and version dedup are shuffle-free") {
     import org.apache.spark.sql.expressions.Window
-    Layout.saveBucketed(events, "events_bucketed", spec)
-    val t = spark.table("events_bucketed")
+    // unique name: the warehouse location outlives the in-memory catalog,
+    // and CREATE TABLE AS refuses a pre-existing location it doesn't own
+    val tbl = "events_bucketed_" + System.nanoTime()
+    Layout.saveBucketed(events, tbl, spec)
+    val t = spark.table(tbl)
 
     // entity group-by: partial+final agg collapses, no Exchange
     val agg = t.groupBy("user_id").agg(count(lit(1)).as("n"))
