@@ -427,6 +427,29 @@ object SparkEntry {
         .withColumn("ts_ms", tsMs).drop("ts_ns")
     }),
 
+    // --- ST3 group_by_tag_names: entities ranked within (bucket, group)
+    "q48_topn_grouped" -> ((s, d) => {
+      Planners.topNBuckets(ev(s, d), "ts_ns", "user_id",
+        floor(col("value")).cast("long"), intervalMs = 21600000L, n = 2,
+        groupCols = Seq("event_type"))
+    }),
+
+    // --- S8 write semantics: upsert bumps mod_revision, tombstone hides,
+    // compaction yields the live view
+    "q49_property_upsert" -> ((s, d) => {
+      import graft.storage.PropertyStore
+      val log0 = ord(s, d).select(
+        col("o_custkey").as("id"), col("o_orderkey").as("rev"),
+        col("o_totalprice").as("price"))
+        .withColumn("deleted", lit(false))
+      val updates = log0.select("id").distinct().filter(col("id") <= 5)
+        .withColumn("price", col("id") * 1000.0)
+      val log1 = PropertyStore.apply(log0, updates, "id", "rev", "deleted")
+      val log2 = PropertyStore.delete(log1, Seq("1", "2"), "id", "rev", "deleted")
+      PropertyStore.compact(log2, "id", "rev", "deleted")
+        .select("id", "rev", "price")
+    }),
+
     // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
     "q35_lineitem_pricing" -> ((s, d) => {
       li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -818,6 +841,31 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |ORDER BY ts LIMIT 100""".stripMargin,
+
+    "q48_topn_grouped" ->
+      """SELECT bucket_ms, event_type, entity, value, rank FROM (
+        |  SELECT bucket_ms, event_type, entity, value,
+        |         row_number() OVER (PARTITION BY bucket_ms, event_type
+        |                            ORDER BY value DESC, entity) AS rank
+        |  FROM (SELECT (epoch_ms(ts) // 21600000) * 21600000 AS bucket_ms, event_type,
+        |               user_id::VARCHAR AS entity,
+        |               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value
+        |        FROM events GROUP BY 1, 2, 3))
+        |WHERE rank <= 2""".stripMargin,
+
+    "q49_property_upsert" ->
+      """WITH log0 AS (
+        |  SELECT o_custkey AS id, o_orderkey AS rev, o_totalprice AS price, false AS deleted
+        |  FROM orders),
+        |maxr AS (SELECT id, max(rev) AS m FROM log0 GROUP BY id),
+        |upd AS (SELECT id, m + 1 AS rev, id * 1000.0 AS price, false AS deleted
+        |        FROM maxr WHERE id <= 5),
+        |log1 AS (SELECT * FROM log0 UNION ALL SELECT * FROM upd),
+        |del AS (SELECT id, max(rev) + 1 AS rev, CAST(NULL AS DOUBLE) AS price, true AS deleted
+        |        FROM log1 WHERE id IN (1, 2) GROUP BY id),
+        |log2 AS (SELECT * FROM log1 UNION ALL SELECT * FROM del),
+        |live AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn FROM log2)
+        |SELECT id, rev, price FROM live WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
