@@ -428,6 +428,17 @@ final class Parser(toks: Vector[Lexer.Tok]) {
     expectKw("ORDER"); expectKw("BY")
     if (atKw("ASC")) { p += 1; QlOrderBy(None, Some(false)) }
     else if (atKw("DESC")) { p += 1; QlOrderBy(None, Some(true)) }
+    else if (atKw("TIME")) {
+      // ORDER BY TIME [ASC|DESC] = order by the timestamp
+      // (transformer.go:1603-1608 maps the TIME identifier to an empty
+      // index rule, i.e. time ordering; golden case order_asc.ql)
+      p += 1
+      val dir =
+        if (atKw("ASC")) { p += 1; Some(false) }
+        else if (atKw("DESC")) { p += 1; Some(true) }
+        else None
+      QlOrderBy(None, dir)
+    }
     else {
       val ident = parseIdentPath(hasTypeSpec = false)
       val dir =

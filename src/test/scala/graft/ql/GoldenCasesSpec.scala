@@ -111,6 +111,34 @@ class GoldenCasesSpec extends SparkSpec {
     assert(q.stages == Seq("hot", "warm"))
   }
 
+  test("order_asc.ql: ORDER BY TIME ASC means timestamp ascending") {
+    val q = measureOf(
+      "SELECT event_id, value::field FROM MEASURE events IN testdata TIME > '-15m' ORDER BY TIME ASC")
+    assert(q.orderBy.contains(OrderBy(None, desc = false)))
+  }
+
+  test("float_bottom.ql: TOP n ASC without agg executes as bottom-n") {
+    val q = measureOf(
+      """SELECT TOP 3 value ASC, event_id, value::field FROM MEASURE events IN testdata
+        |TIME BETWEEN '2024-01-01T00:00:00Z' AND '2024-02-01T00:00:00Z'""".stripMargin)
+    assert(q.top.contains(TopSpec(3, "value", desc = false)))
+    val out = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+      .collect().map(_.getDouble(1))
+    val expect = events.orderBy("value").select("value")
+      .limit(3).collect().map(_.getDouble(0))
+    assert(out.sorted.sameElements(expect.sorted))
+  }
+
+  test("in.ql: IN on the entity tag executes as membership") {
+    val q = measureOf(
+      """SELECT event_id, user_id FROM MEASURE events IN testdata
+        |TIME BETWEEN '2024-01-01T00:00:00Z' AND '2024-02-01T00:00:00Z'
+        |WHERE user_id IN ('4', '5') LIMIT 100000""".stripMargin)
+    val out = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+    assert(out.count() ==
+      events.filter(col("user_id").isin(4L, 5L)).count())
+  }
+
   // -- stream ---------------------------------------------------------------
 
   test("deduplication_test_limit_10.ql: stream dedup honors LIMIT") {
