@@ -57,6 +57,23 @@ object BydbQL {
       fields = distinct.flatMap(_.fields).toSet)
   }
 
+  /**
+   * Like [[run]], but also returns the execution trace when the statement
+   * carries `WITH QUERY_TRACE` (the reference returns a span tree of its
+   * plan execution, banyand/liaison/grpc/bydbql.go; the Spark analogue of
+   * that trace is the formatted physical plan).
+   */
+  def runTraced(ql: String, resources: Map[String, Resource],
+      params: Seq[Any] = Nil, now: Instant = Instant.now()): (DataFrame, Option[String]) = {
+    val df = run(ql, resources, params, now)
+    val wantsTrace = parse(ql) match {
+      case s: QlSelect => s.withQueryTrace
+      case _ => false
+    }
+    (df, if (wantsTrace) Some(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))) else None)
+  }
+
   /** Parse/bind/transform/execute one statement. `now` anchors relative
     * times (pass a fixed instant for reproducible queries). */
   def run(ql: String, resources: Map[String, Resource],

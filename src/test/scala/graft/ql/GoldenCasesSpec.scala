@@ -206,6 +206,40 @@ class GoldenCasesSpec extends SparkSpec {
     assert(out.filter(col("label").isNull).count() == 1)
   }
 
+  test("condition_aggr_desc.ql: SHOW TOP with EQ condition over grouped buckets") {
+    import graft.engine.Planners
+    val buckets = Planners.topNBuckets(events, "ts_ns", "user_id",
+      floor(col("value")).cast("long"), intervalMs = 21600000L, n = 2,
+      groupCols = Seq("event_type"))
+      .withColumnRenamed("bucket_ms", "bucket_start").drop("rank")
+    val viaQl = BydbQL.run(
+      """SHOW TOP 5 FROM MEASURE events_topn IN testdata
+        |WHERE event_type = 'click' AGGREGATE BY MAX ORDER BY DESC""".stripMargin,
+      Map("events_topn" -> BydbQL.Resource(buckets,
+        graft.sources.TableDef("events_topn"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val direct = Planners.topNRead(buckets,
+      TopNQuery(Seq("testdata"), "events_topn", topN = 5, desc = true,
+        agg = Some(AggFn.Max),
+        conditions = Seq(Cond("event_type", Op.Eq, Seq("click")))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaQl == direct && viaQl.nonEmpty)
+  }
+
+  test("WITH QUERY_TRACE returns the execution trace alongside the rows") {
+    val (df, trace) = BydbQL.runTraced(
+      "SELECT event_id FROM MEASURE events IN testdata TIME > '-15m' WITH QUERY_TRACE",
+      Map("events" -> BydbQL.Resource(events, Catalog.defs("events"),
+        fields = Set("value"))), now = now)
+    assert(df.columns.toSeq == Seq("event_id"))
+    assert(trace.exists(_.contains("Physical Plan")))
+    val (_, none) = BydbQL.runTraced(
+      "SELECT event_id FROM MEASURE events IN testdata TIME > '-15m'",
+      Map("events" -> BydbQL.Resource(events, Catalog.defs("events"),
+        fields = Set("value"))), now = now)
+    assert(none.isEmpty)
+  }
+
   // -- property -------------------------------------------------------------
 
   private lazy val propLog = {
