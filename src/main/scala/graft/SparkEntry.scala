@@ -303,6 +303,15 @@ object SparkEntry {
         stride = 30)
     }),
 
+    // --- pipeline composition: decode → feature embedding → ANN top-k
+    "q50_multimodal_ann" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val emb = Multimodal.fakeEmbedding(
+        Multimodal.decodeFeatures(Multimodal.blobsFromText(docs(s, d), "doc_id", "text")))
+      Similarity.bruteForceTopK(emb, emb.filter(col("media_id") < 5), k = 3,
+        idCol = "media_id", vecCol = "emb")
+    }),
+
     // --- §3.1 BydbQL front-end: text query → IR → planner, end-to-end
     "q37_bydbql_agg" -> ((s, d) => {
       graft.ql.BydbQL.run(
@@ -769,6 +778,22 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |         1 + octet_length(encode(text)) % 240 AS n_frames
         |  FROM documents WHERE doc_id % 3 = 2)""".stripMargin,
+
+    "q50_multimodal_ann" ->
+      """WITH feats AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+        |emb AS (SELECT media_id,
+        |  list_transform(generate_series(0, 15), d -> ('0x' || substr(h, d*2+1, 2))::BIGINT * 1.0) AS v
+        |  FROM feats),
+        |q AS (SELECT media_id AS query_id, v AS qv FROM emb WHERE media_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.media_id AS nbr_id,
+        |         round(list_cosine_similarity(q.qv, e.v), 6) AS sim
+        |  FROM q, emb e WHERE e.media_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, rank, sim FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q37_bydbql_agg" ->
       """SELECT event_type, MAX(value) AS max_value FROM events

@@ -66,6 +66,20 @@ object Multimodal {
       .select("media_id", "frame_idx")
   }
 
+  /**
+   * STUB feature embedding: a real pipeline would run a vision/audio
+   * encoder over the decoded media; the deterministic fake derives a
+   * 16-dim vector from the payload md5 (byte d of the digest → dimension
+   * d), so the downstream ANN stage — schema, partitioning, join shape —
+   * runs for real and an external oracle can recompute every value.
+   */
+  def fakeEmbedding(features: Dataset[MediaFeatures])(
+      implicit spark: SparkSession): DataFrame =
+    features.toDF().select(col("media_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => conv(substring(col("payload_md5"), d * 2 + 1, lit(2)), 16, 10)
+          .cast("double")).as("emb"))
+
   /** Build a MediaBlob dataset from any table with a text column, treating
     * the UTF-8 bytes as the opaque payload (the testdata has no real media;
     * the pipeline shape is identical). */
