@@ -193,6 +193,22 @@ class GoldenCasesSpec extends SparkSpec {
     }
   }
 
+  test("eq_trace_id.ql: trace point lookup executes through the QL facade") {
+    val df = events.withColumn("trace_id", pmod(col("event_id"), lit(97L)))
+    val out = BydbQL.run(
+      """SELECT trace_id FROM TRACE traces IN testdata
+        |TIME BETWEEN '2024-01-01T00:00:00Z' AND '2024-02-01T00:00:00Z'
+        |WHERE trace_id = '7'""".stripMargin,
+      Map("traces" -> BydbQL.Resource(df,
+        graft.sources.TableDef("traces", tsCol = Some("ts_ns")),
+        traceIdCol = Some("trace_id"), spanStruct = Seq("event_id"))),
+      now = now)
+    // one trace group, span_count = all events with event_id % 97 == 7
+    assert(out.count() == 1)
+    assert(out.select("span_count").head().getLong(0) ==
+      events.filter(pmod(col("event_id"), lit(97L)) === 7L).count())
+  }
+
   test("multi-group union: IN (g1, g2) schema-merges per-group frames (T6)") {
     import spark.implicits._
     val g1 = Seq((1L, "x", 5.0), (2L, "y", 7.0)).toDF("id", "label", "value")
