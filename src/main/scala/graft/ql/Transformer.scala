@@ -181,12 +181,21 @@ object Transformer {
     case "<=" => Op.Le
   }
 
+  /** WHERE on a tag the resource doesn't have is an error, not an empty
+    * result (golden case filter_non_existent_tag, WantErr — the reference
+    * rejects the criteria during analysis). */
+  private def requireTag(schema: QlSchema, id: String): Unit =
+    if (!schema.has(id)) throw new IllegalArgumentException(
+      s"tag '$id' not found in the queried resource")
+
   def convertExpr(e: QlExpr, schema: QlSchema): Criteria = e match {
     case QlOr(l, r) => Or(convertExpr(l, schema), convertExpr(r, schema))
     case QlAndE(l, r) => And(convertExpr(l, schema), convertExpr(r, schema))
     case QlCompare(id, op, v) =>
+      requireTag(schema, id)
       Cond(id, compareOp(op), Seq(schema.coerce(id, v)))
     case QlMatchE(id, vs, analyzer, operator) =>
+      requireTag(schema, id)
       val mop = operator match {
         case Some("AND") => MatchOp.And
         case _ => MatchOp.Or // reference default is OR (OPERATOR_UNSPECIFIED → or)
@@ -194,8 +203,10 @@ object Transformer {
       Cond(id, Op.Match(analyzer.getOrElse("standard"), mop),
         vs.map(schema.coerce(id, _)))
     case QlInE(id, not, vs) =>
+      requireTag(schema, id)
       Cond(id, if (not) Op.NotIn else Op.In, vs.map(schema.coerce(id, _)))
     case QlHavingE(id, not, vs) =>
+      requireTag(schema, id)
       Cond(id, if (not) Op.NotHaving else Op.Having, vs.map(schema.coerce(id, _)))
   }
 

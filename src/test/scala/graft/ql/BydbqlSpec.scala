@@ -19,11 +19,26 @@ class BydbqlSpec extends SparkSpec {
 
   private def measureOf(ql: String, fields: Set[String] = Set("value")): MeasureQuery = {
     val df = Catalog.load(spark, sf0001, "events")
-    Transformer.transform(Parser.parse(ql), QlSchema(df.schema, fields), now) match {
+    measureOfSchema(ql, QlSchema(df.schema, fields))
+  }
+
+  /** Synthetic reference-shaped schema for ported golden shapes whose tag
+    * names don't exist on the testdata tables (WHERE on unknown tags is an
+    * error since filter_non_existent_tag parity). */
+  private val refSchema: QlSchema = {
+    import org.apache.spark.sql.types._
+    QlSchema(StructType(Seq(
+      StructField("id", StringType), StructField("entity_id", StringType),
+      StructField("total", LongType), StructField("value", DoubleType),
+      StructField("msg", StringType),
+      StructField("tags", ArrayType(StringType)))), Set("value", "total"))
+  }
+
+  private def measureOfSchema(ql: String, schema: QlSchema): MeasureQuery =
+    Transformer.transform(Parser.parse(ql), schema, now) match {
       case MeasureStatement(q) => q
       case other => fail(s"expected measure, got $other")
     }
-  }
 
   // -- golden-shape parses (ported from test/cases/measure/data/input) ------
 
@@ -53,9 +68,10 @@ class BydbqlSpec extends SparkSpec {
   }
 
   test("complex_and_or.ql shape: nested criteria tree") {
-    val q = measureOf(
+    val q = measureOfSchema(
       """SELECT id, entity_id, total, value FROM MEASURE m IN g TIME > '-15m'
-        |WHERE (id = 'svc1' AND entity_id = 'entity_1') OR entity_id = 'entity_6'""".stripMargin)
+        |WHERE (id = 'svc1' AND entity_id = 'entity_1') OR entity_id = 'entity_6'""".stripMargin,
+      refSchema)
     q.criteria.get match {
       case Or(And(Cond("id", Op.Eq, _), Cond("entity_id", Op.Eq, _)),
               Cond("entity_id", Op.Eq, Seq("entity_6"))) => ()
@@ -71,8 +87,9 @@ class BydbqlSpec extends SparkSpec {
   }
 
   test("MATCH with analyzer and operator") {
-    val q = measureOf(
-      "SELECT id FROM MEASURE m IN g WHERE msg MATCH (('alpha', 'beta'), 'url', 'AND')")
+    val q = measureOfSchema(
+      "SELECT id FROM MEASURE m IN g WHERE msg MATCH (('alpha', 'beta'), 'url', 'AND')",
+      refSchema)
     q.criteria.get match {
       case Cond("msg", Op.Match("url", MatchOp.And), Seq("alpha", "beta")) => ()
       case other => fail(s"unexpected: $other")
@@ -80,8 +97,9 @@ class BydbqlSpec extends SparkSpec {
   }
 
   test("HAVING / NOT HAVING array predicates") {
-    val q = measureOf(
-      "SELECT id FROM MEASURE m IN g WHERE tags HAVING ('a', 'b') AND tags NOT HAVING 'c'")
+    val q = measureOfSchema(
+      "SELECT id FROM MEASURE m IN g WHERE tags HAVING ('a', 'b') AND tags NOT HAVING 'c'",
+      refSchema)
     q.criteria.get match {
       case And(Cond("tags", Op.Having, Seq("a", "b")),
                Cond("tags", Op.NotHaving, Seq("c"))) => ()

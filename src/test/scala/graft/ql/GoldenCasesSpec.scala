@@ -103,6 +103,15 @@ class GoldenCasesSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("filter_non_existent_tag.ql: WHERE on an unknown tag is an error") {
+    val e = intercept[IllegalArgumentException] {
+      measureOf(
+        """SELECT event_id FROM MEASURE events IN testdata TIME > '-15m'
+          |WHERE nonexistent_tag = 'test_value'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("ON STAGES lifecycle selection reaches the typed IR") {
     // grammar.go:127-134: the STAGES keyword TRAILS the list — `ON (…) STAGES`
     val q = measureOf(
