@@ -115,6 +115,29 @@ object Layout {
     spark.read.parquet(path(root, spec))
 
   /**
+   * TTL enforcement (the `ttl` group option, common/v1/common.proto:96-189;
+   * the reference's segment retention in banyand/internal/storage). Drops
+   * whole segment directories older than the horizon — segment-granular
+   * deletes are the point of time-partitioned layouts: expiry is a
+   * directory unlink (an object-store prefix delete at scale), never a
+   * row-level rewrite. Returns the dropped segment ids.
+   */
+  def enforceTtl(root: String, spec: LayoutSpec,
+      olderThan: java.time.Instant): Seq[Int] = {
+    val horizon = segFor(spec, olderThan)
+    val dir = new java.io.File(path(root, spec))
+    val expired = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$SegCol="))
+      .filter(_.getName.stripPrefix(s"$SegCol=").toInt < horizon)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    expired.foreach(rm)
+    expired.map(_.getName.stripPrefix(s"$SegCol=").toInt).toSeq.sorted
+  }
+
+  /**
    * Catalog-backed bucketed form of the layout: partitioned by `seg` and
    * BUCKETED (not just directory-sharded) by the entity, sorted within
    * buckets by (entity, ts). Because bucketing is recorded in the table

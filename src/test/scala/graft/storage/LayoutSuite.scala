@@ -88,6 +88,21 @@ class LayoutSuite extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("null entity")))
   }
 
+  test("TTL drops whole expired segments; newer data is untouched") {
+    val root = tmp("layout")
+    Layout.append(events, root, spec, mode = "overwrite")
+    val horizon = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L
+    val expectSurvivors = events.filter(col("ts_ns") >= ns(horizon)).count()
+
+    val dropped = Layout.enforceTtl(root, spec, horizon)
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(_ < Layout.segFor(spec, horizon)))
+    val back = Layout.read(spark, root, spec)
+    assert(back.count() == expectSurvivors)
+    assert(back.agg(min(col("ts_ns"))).head().getLong(0) >= ns(horizon))
+  }
+
   test("bucketed layout: entity aggregation and version dedup are shuffle-free") {
     import org.apache.spark.sql.expressions.Window
     // unique name: the warehouse location outlives the in-memory catalog,
