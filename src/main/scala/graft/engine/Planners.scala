@@ -106,10 +106,16 @@ object Planners {
         // scalar reduce to one row (measure_plan_aggregation.go:306-369)
         (df.agg(aggColumn(df, fn, field, meanIsIntegral)), None)
       case (keys, None) =>
-        // GROUP BY without aggregation → first-seen row per group (A5)
-        val ord = Seq(col(tdef.tsCol.getOrElse("ts")).asc) ++
-          tdef.versionCol.map(col(_).asc).toSeq
-        (BanyanSemantics.firstSeenRow(df, keys, ord), Some(projected))
+        // GROUP BY without aggregation → first-seen row per group (A5),
+        // as a partial-aggregable min(struct) — see BanyanSemantics. The
+        // payload carries the projection plus whatever the later sort and
+        // tiebreaks need (hidden-tag semantics, P3).
+        val ord = Seq(col(tdef.tsCol.getOrElse("ts"))) ++
+          tdef.versionCol.map(col(_)).toSeq
+        val need = (projected ++ q.orderBy.flatMap(_.tag).toSeq ++
+          tdef.tsCol.toSeq ++ tdef.entity ++ tdef.versionCol.toSeq)
+          .distinct.filterNot(keys.contains)
+        (BanyanSemantics.firstSeenRow(df, keys, ord, need), Some(projected))
     }
 
     val sorted = q.top match {
@@ -295,21 +301,30 @@ object Planners {
    * interval, aggregate the ranked field per (bucket, entity), keep the
    * top `n` entities per bucket. Output schema mirrors the derived
    * `_top_n_result` table (FIXTURES.md A7) with typed columns.
-   * One shuffle for the agg; the rank window reuses the bucket hash.
+   *
+   * Scale shape: the rank step is the bounded [[graft.functions.TopK
+   * .topNEntities]] aggregate (≤ n entries in every partial buffer — the
+   * batch analogue of `counters_number`, pkg/flow/streaming/topn.go:50-120)
+   * rather than a per-bucket rank window, whose state is ALL aggregated
+   * entities of a bucket in one task. Two partial-aggregated shuffles —
+   * (bucket, group, entity) then (bucket, group) — and nothing unbounded.
    */
   def topNBuckets(df: DataFrame, tsNanosCol: String, entityCol: String,
       valueExpr: Column, intervalMs: Long, n: Int, desc: Boolean = true,
       groupCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.BanyanSemantics.longDiv
+    import graft.functions.TopK.topNEntities
     val bucket = longDiv(longDiv(col(tsNanosCol).cast("long"), lit(1000000L)),
       lit(intervalMs)) * lit(intervalMs)
     // group_by_tag_names (topn.proto): entities rank WITHIN each group key
     val keys = (bucket.as("bucket_ms") +: groupCols.map(col)) :+
       col(entityCol).cast("string").as("entity")
     val agged = df.groupBy(keys: _*).agg(sum(valueExpr).as("value"))
-    val ord = if (desc) col("value").desc else col("value").asc
-    val w = Window.partitionBy(col("bucket_ms") +: groupCols.map(col): _*)
-      .orderBy(ord, col("entity").asc)
-    agged.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= n)
+    val bucketKeys = col("bucket_ms") +: groupCols.map(col)
+    agged.groupBy(bucketKeys: _*)
+      .agg(topNEntities(n, desc)(col("entity"), col("value")).as("__tk"))
+      .select(bucketKeys :+ posexplode(col("__tk")): _*)
+      .select(bucketKeys ++ Seq(col("col.entity").as("entity"),
+        col("col.value").as("value"), (col("pos") + 1).cast("long").as("rank")): _*)
   }
 }

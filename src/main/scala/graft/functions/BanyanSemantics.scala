@@ -61,17 +61,42 @@ object BanyanSemantics {
    * "First-seen" in the reference is scan order = (series, ts) order; we
    * make it deterministic as (ts, version) — Spark's `first()` is
    * explicitly non-deterministic and must not be used here.
+   *
+   * Scale shape: [[MinStructAgg.minStruct]] over a struct whose leading
+   * fields are the order key — lexicographic struct ordering makes this
+   * exactly "row with the smallest (order key, payload)", and the
+   * aggregate partial-aggregates (ObjectHashAggregate, map-side combine,
+   * ONE buffered row per group). The reference's normal group keys are
+   * LOW cardinality (a handful of tag values,
+   * measure_plan_groupby.go:127-188), which would funnel whole groups
+   * through single tasks under a `Window.partitionBy`; the aggregate form
+   * never does. Payload columns participate in the comparison after the
+   * order key, which only matters on exact order-key ties — where the
+   * reference's own result is scan-order-dependent; taking the
+   * lexicographic minimum is a deterministic refinement of it.
+   *
+   * `orderCols` must be plain ascending columns (the first-seen order is
+   * always (ts, version) asc in the reference's merge).
    */
-  def firstSeenRow(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  def firstSeenRow(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      payload: Seq[String]): DataFrame = {
+    val ordFields = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__ord$i") }
+    val fields = ordFields ++ payload.map(col)
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(MinStructAgg.minStruct(struct(fields: _*)).as("__fs"))
+    agged.select(groupCols.map(col) ++ payload.map(c => col(s"__fs.`$c`").as(c)): _*)
   }
 
   /**
    * Stream element dedup (stream_plan_distributed.go:187-207;
    * vec distinct.go:31-60): first occurrence per element_id after the
-   * global sorted merge. Deterministic form: min over the sort key.
+   * global sorted merge. Kept as a window (unlike [[firstSeenRow]]):
+   * element_id is HIGH cardinality (one group per element), so partitions
+   * are tiny and plentiful — no single-task funnel — and the window
+   * supports the query's arbitrary asc/desc sort order directly.
    */
-  def dedupByElementId(df: DataFrame, elementIdCol: String, orderCols: Seq[Column]): DataFrame =
-    firstSeenRow(df, Seq(elementIdCol), orderCols)
+  def dedupByElementId(df: DataFrame, elementIdCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(elementIdCol)).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -52,9 +52,25 @@ object BydbQL {
     val distinct = perGroup.distinct
     if (distinct.length <= 1) distinct.headOption.getOrElse(
       throw new IllegalArgumentException(s"unknown resource: $name"))
-    else distinct.head.copy(
-      df = Planners.unionGroups(distinct.map(_.df)),
-      fields = distinct.flatMap(_.fields).toSet)
+    else {
+      // the merged frame is planned with ONE set of model bindings, so the
+      // groups must agree on them — silently adopting the first group's
+      // entity/ts/version/element-id would mis-plan the others (the same
+      // refusal-to-coerce stance unionGroups takes for tag types)
+      def uniform[A](what: String, f: Resource => A): A = {
+        val vs = distinct.map(f).distinct
+        if (vs.length > 1) throw new IllegalArgumentException(
+          s"conflicting $what for '$name' across groups: ${vs.mkString(" vs ")}")
+        vs.head
+      }
+      uniform("entity", _.tdef.entity)
+      uniform("tsCol", _.tdef.tsCol)
+      uniform("versionCol", _.tdef.versionCol)
+      uniform("elementIdCol", _.elementIdCol)
+      distinct.head.copy(
+        df = Planners.unionGroups(distinct.map(_.df)),
+        fields = distinct.flatMap(_.fields).toSet)
+    }
   }
 
   /**

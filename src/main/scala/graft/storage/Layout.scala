@@ -48,11 +48,19 @@ object Layout {
   def path(root: String, spec: LayoutSpec): String =
     s"$root/${spec.group}/${spec.name}"
 
+  /** Exact integer FLOOR division (a - pmod makes the numerator an exact
+    * multiple, so `DIV`'s truncation can't disagree with floor) — must
+    * match [[segFor]]'s Math.floorDiv on the read path exactly, or
+    * pre-1970 timestamps land in a partition the plan-time segment
+    * predicate never lists. */
+  private def floorDivCol(a: Column, b: Long): Column =
+    call_function("div", a - pmod(a, lit(b)), lit(b))
+
   /** Epoch-day segment bucket (floored to segmentDays). */
   private def segOf(spec: LayoutSpec): Column = {
     val days =
-      if (spec.tsIsNanos) expr(s"${spec.tsCol} DIV ${86400L * 1000000000L}")
-      else expr(s"CAST(unix_timestamp(${spec.tsCol}) AS BIGINT) DIV 86400")
+      if (spec.tsIsNanos) floorDivCol(col(spec.tsCol).cast("long"), 86400L * 1000000000L)
+      else floorDivCol(expr(s"CAST(unix_timestamp(${spec.tsCol}) AS BIGINT)"), 86400L)
     (days - pmod(days, lit(spec.segmentDays.toLong))).cast("int")
   }
 
@@ -122,19 +130,24 @@ object Layout {
    * directory unlink (an object-store prefix delete at scale), never a
    * row-level rewrite. Returns the dropped segment ids.
    */
-  def enforceTtl(root: String, spec: LayoutSpec,
+  def enforceTtl(spark: SparkSession, root: String, spec: LayoutSpec,
       olderThan: java.time.Instant): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
     val horizon = segFor(spec, olderThan)
-    val dir = new java.io.File(path(root, spec))
-    val expired = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$SegCol="))
-      .filter(_.getName.stripPrefix(s"$SegCol=").toInt < horizon)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    expired.foreach(rm)
-    expired.map(_.getName.stripPrefix(s"$SegCol=").toInt).toSeq.sorted
+    val table = new Path(path(root, spec))
+    // Hadoop FileSystem, not java.io.File — retention must work against
+    // whatever store the path's scheme names (s3a/gs/hdfs/file), where a
+    // segment drop is a prefix delete.
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(table)) return Nil
+    val expired = fs.listStatus(table)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$SegCol="))
+      .filter(_.getPath.getName.stripPrefix(s"$SegCol=").toInt < horizon)
+    expired.foreach(st => fs.delete(st.getPath, true))
+    // a session that already listed this table may hold deleted files in
+    // its FileStatusCache — drop them so the next scan re-lists
+    spark.catalog.refreshByPath(path(root, spec))
+    expired.map(_.getPath.getName.stripPrefix(s"$SegCol=").toInt).toSeq.sorted
   }
 
   /**

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -110,19 +109,33 @@ object TopNStream {
       return out
     }
     var st = state.getOption.getOrElse(TopNWindowState(Map.empty, 0L))
-    var counters = st.counters
+    // Heap-backed eviction (topn_heap.go): an ordered (value, entity) set
+    // beside the counters map makes overflow eviction O(log n) instead of a
+    // full map scan per insert. Eviction is SORT-DIRECTION-AWARE: a top-N
+    // (desc) evicts the minimum counter, a bottom-N (asc) evicts the
+    // MAXIMUM — evicting the minimum there would discard exactly the
+    // entities the ranking cares about.
+    val counters = scala.collection.mutable.Map.empty[String, Long] ++= st.counters
+    val heap = scala.collection.mutable.TreeSet.empty[(Long, String)]
+    counters.foreach { case (e, v) => heap += ((v, e)) }
     rows.foreach { p =>
       counters.get(p.entity) match {
-        case Some(c) => counters += p.entity -> (c + p.value)
+        case Some(c) =>
+          heap -= ((c, p.entity))
+          counters(p.entity) = c + p.value
+          heap += ((c + p.value, p.entity))
         case None if counters.size < cfg.countersNumber =>
-          counters += p.entity -> p.value
+          counters(p.entity) = p.value
+          heap += ((p.value, p.entity))
         case None =>
-          // bounded heap overflow: evict the current minimum counter
-          val (evictKey, _) = counters.minBy { case (e, v) => (v, e) }
-          counters = counters - evictKey + (p.entity -> p.value)
+          val evict = if (cfg.desc) heap.head else heap.last
+          heap -= evict
+          counters -= evict._2
+          counters(p.entity) = p.value
+          heap += ((p.value, p.entity))
       }
     }
-    st = TopNWindowState(counters, st.flushSeq + 1)
+    st = TopNWindowState(counters.toMap, st.flushSeq + 1)
     state.update(st)
     // window expires `lateness` past its end; keep strictly above watermark
     val expiry = math.max(bucket + cfg.intervalMs + lateness,
@@ -159,14 +172,19 @@ object TopNStream {
     * [[graft.engine.Planners.topNBuckets]]: (bucket_ms, entity, value, rank). */
   def latestSnapshot(appended: DataFrame): DataFrame = {
     val hasGroup = appended.columns.contains("group_key")
-    val parts = if (hasGroup) Seq(col("bucket_ms"), col("group_key"))
-      else Seq(col("bucket_ms"))
-    val w = Window.partitionBy(parts: _*)
+    val partNames = if (hasGroup) Seq("bucket_ms", "group_key") else Seq("bucket_ms")
+    val parts = partNames.map(col)
     val keep = parts ++ Seq(col("entity"), col("value"), col("rank"))
-    appended
-      .withColumn("__maxFlush", max(col("flush_seq")).over(w))
-      .filter(col("flush_seq") === col("__maxFlush"))
-      .select(keep: _*)
+    // partial-aggregated max + equi-join on the bucket key, instead of a
+    // max-over-window (which funnels every snapshot of a bucket through
+    // one task before filtering). The agg side's keys are re-aliased to
+    // fresh attributes — a self-join over a sink view otherwise trips
+    // Catalyst's conflicting-reference check.
+    val latest = appended.groupBy(parts: _*).agg(max(col("flush_seq")).as("__maxFlush"))
+      .select(partNames.map(n => col(n).as(s"__k_$n")) :+ col("__maxFlush"): _*)
+    val on = partNames.map(n => col(n) === col(s"__k_$n")).reduce(_ && _) &&
+      col("flush_seq") === col("__maxFlush")
+    appended.join(latest, on).select(keep: _*)
   }
 
   /**

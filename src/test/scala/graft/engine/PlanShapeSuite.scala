@@ -49,6 +49,47 @@ class PlanShapeSuite extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q09 first-seen group is a partial aggregate, not a window funnel") {
+    val p = plan("q09_first_seen_group")
+    // low-cardinality group keys (the reference's normal case) must not
+    // funnel whole groups through one task
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), "found a window — single task per group value")
+  }
+
+  test("q18 topN buckets: bounded TopK aggregate, no per-bucket rank window") {
+    val p = plan("q18_topn_buckets")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), "found a window — unbounded per-bucket ranking")
+  }
+
+  test("q48 grouped topN buckets: no window either") {
+    val p = plan("q48_topn_grouped")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window"))
+  }
+
+  test("dedup barriers release executor storage once results are dropped") {
+    import graft.operators.Dedup
+    import graft.sources.Catalog
+    val docs = Catalog.load(spark, sf0001, "documents")
+    (1 to 2).foreach { _ =>
+      Dedup.minhashLshPairs(docs, "doc_id", "text", w = 3,
+        bands = 8, rowsPerBand = 2, threshold = 0.5).count()
+    }
+    // the localCheckpoint blocks are owned by the (now unreachable) result
+    // frames; the ContextCleaner must reap them — persist() without
+    // unpersist() would keep them forever
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    var n = spark.sparkContext.getPersistentRDDs.size
+    while (n > 0 && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+      n = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(n == 0, s"$n persistent RDDs still pinned after GC")
+  }
+
   test("q01 time scan pushes the range to parquet and prunes columns") {
     val p = plan("q01_scan_timerange")
     assert(p.contains("PushedFilters: [IsNotNull(ts)") ||

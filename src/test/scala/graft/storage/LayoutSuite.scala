@@ -95,7 +95,7 @@ class LayoutSuite extends SparkSpec {
     def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L
     val expectSurvivors = events.filter(col("ts_ns") >= ns(horizon)).count()
 
-    val dropped = Layout.enforceTtl(root, spec, horizon)
+    val dropped = Layout.enforceTtl(spark, root, spec, horizon)
     assert(dropped.nonEmpty)
     assert(dropped.forall(_ < Layout.segFor(spec, horizon)))
     val back = Layout.read(spark, root, spec)

@@ -67,6 +67,20 @@ class TopNStreamSuite extends SparkSpec {
     assert(fin.toSeq == Seq(("a", 10L), ("c", 7L)))
   }
 
+  test("bottom-N (desc=false) eviction is direction-aware: evicts the MAX") {
+    val cfg = TopNStreamConfig(intervalMs = HOUR, n = 2, countersNumber = 2,
+      desc = false)
+    // one point per entity, values distinct — greedy eviction of the max
+    // keeps exactly the true bottom-2 {d=1, b=2}; min-eviction would have
+    // discarded exactly those
+    val all = runBatches(cfg, Seq(Seq(
+      TopNPoint(ts(100), "a", 10), TopNPoint(ts(200), "b", 2),
+      TopNPoint(ts(300), "c", 7), TopNPoint(ts(400), "d", 1))))
+    val fin = TopNStream.latestSnapshot(all)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fin.toSeq == Seq(("d", 1L, 1L), ("b", 2L, 2L)))
+  }
+
   test("late rows beyond the watermark are dropped (ST2)") {
     val cfg = TopNStreamConfig(intervalMs = HOUR, n = 5, countersNumber = 100,
       lruSize = 1) // lateness = 1 hour
