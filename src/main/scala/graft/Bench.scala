@@ -14,11 +14,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen initialization and parquet footer reads
     // otherwise land entirely on whichever query runs first (~4s of fixed
-    // cost that is not operator time). One small query per source table.
-    Seq("q10_global_agg", "q22_fingerprint", "q26_sim_bruteforce").foreach { w =>
-      try SparkEntry.queries(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // cost that is not operator time). NEUTRAL shape — a trivial count per
+    // source table, never one of the timed queries, so no timed entry gets
+    // warm caches the others lack.
+    Seq("events", "documents", "embeddings", "lineitem", "orders", "customer")
+      .foreach { t =>
+        try graft.sources.Catalog.load(spark, sfDir, t).count()
+        catch { case _: Throwable => () }
+      }
+    // Untimed setup: one-time materializations (the storage layout, the
+    // streaming topN snapshot) whose READ paths q41/q44 then measure.
+    try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -6,26 +6,24 @@ import org.apache.spark.sql.functions._
 /**
  * The four full-text analyzers of the reference
  * (pkg/index/analyzer/analyzer.go:36-62; semantics documented at
- * database/v1/schema.proto:180-189) re-expressed as codegen-friendly
- * Column expressions (no UDFs — `lower`/`split`/`filter` are all
- * whole-stage-codegen built-ins, so MATCH stays inside the codegen span
- * and is pushable wherever Catalyst can push array expressions).
+ * database/v1/schema.proto:180-189), each backed by the native
+ * [[AnalyzerTokensExpr]] kernel — one compact codegen'd call per
+ * tokenization instead of a `lower`/`split`/`filter`-lambda subtree,
+ * which keeps MATCH inside whole-stage codegen AND keeps the generated
+ * class small (see AnalyzerExpressions for why that matters).
  *
  * The reference tokenizes at *index build time*; we tokenize at query
  * time. At 100 TB the indexed-column equivalent is materializing
  * `standard(text)` as a generated column at ingest and filtering on it —
- * same expression, write-side.
+ * same expression, write-side (see Layout.append's analyzerColumns).
  */
 object Analyzers {
 
-  private def tokens(c: Column, pattern: String): Column =
-    filter(split(c, pattern), t => t =!= lit(""))
-
   /** bluge standard analyzer: unicode word tokens, lowercased. */
-  def standard(c: Column): Column = tokens(lower(c), "[^\\p{L}\\p{N}]+")
+  def standard(c: Column): Column = AnalyzerFunctions.tokens(c, AnalyzerImpl.MODE_STANDARD)
 
   /** bluge simple analyzer: letter-run tokens, lowercased (digits split). */
-  def simple(c: Column): Column = tokens(lower(c), "[^\\p{L}]+")
+  def simple(c: Column): Column = AnalyzerFunctions.tokens(c, AnalyzerImpl.MODE_SIMPLE)
 
   /** bluge keyword analyzer: entire input as ONE token, matched
     * case-insensitively (analyzer.go:36-62; SURVEY §2.6) — both the doc
@@ -35,7 +33,7 @@ object Analyzers {
 
   /** reference URL analyzer: letter-or-number runs, case preserved
     * (analyzer.go:46-56 CharacterTokenizer + alphanumericFilter). */
-  def url(c: Column): Column = tokens(c, "[^\\p{L}\\p{N}]+")
+  def url(c: Column): Column = AnalyzerFunctions.tokens(c, AnalyzerImpl.MODE_URL)
 
   def byName(name: String): Column => Column = name match {
     case "standard" => standard

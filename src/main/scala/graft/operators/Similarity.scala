@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
  *
  * - brute force: broadcast the (small) query set against the corpus —
  *   one map-only pass over the corpus, cosine via the codegen'd native
- *   expression, per-query top-k via the bounded TopKAggregator (partial
+ *   expression, per-query top-k via the bounded BoundedTopKAgg (partial
  *   aggregation keeps ≤ k rows per query per map task — no per-query
  *   single-task window). The exact baseline.
  * - LSH (random hyperplanes): bucket corpus and queries by the sign
@@ -54,18 +54,14 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket id from nPlanes fixed hyperplanes: bit p set
-    * iff Σ_d vec[d]·sign(p,d) ≥ 0. The sign matrix is literal at plan
-    * time — the projection compiles to one fused fold per plane. */
-  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val signs = array((0 until dim).map(d => lit(planeSign(p, d, dim))): _*)
-      val proj = aggregate(
-        zip_with(vecCol.cast("array<double>"), signs, (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * iff Σ_d vec[d]·sign(p,d) ≥ 0. Backed by the native codegen'd
+    * [[graft.functions.LshBucketExpr]] kernel (sign matrix resolved to a
+    * flat literal array at plan time, one fused loop per row) — the
+    * composed `aggregate`/`zip_with` form evaluates interpreted, nPlanes ×
+    * dim lambda calls per row. Bit-identical to [[planeSign]] and to the
+    * SQL oracle's recomputation. */
+  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.LshFunctions.lshBucket(vecCol, dim, nPlanes)
 
   /** ANN via LSH buckets: candidates share the query's bucket; top-k by
     * exact cosine within candidates. Recall < 1 by design; raise nPlanes

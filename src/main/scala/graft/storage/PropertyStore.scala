@@ -1,6 +1,7 @@
 package graft.storage
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -37,9 +38,16 @@ object PropertyStore {
    */
   def apply(current: DataFrame, updates: DataFrame,
       idCol: String, revCol: String, deletedCol: String): DataFrame = {
-    val dup = updates.groupBy(col(idCol)).count().filter(col("count") > 1)
-    require(dup.isEmpty, "multiple updates for one id in a single apply batch")
-    val versioned = withNextRev(current, updates, idCol, revCol)
+    // in-plan batch validation (assert_true raises on violation, yields
+    // NULL otherwise; the filter keeps it in the plan) — a driver-side
+    // `require(dup.isEmpty)` here would run one extra Spark job per apply
+    // batch on a write path that may chain many batches
+    val dupCount = count(lit(1)).over(Window.partitionBy(col(idCol)))
+    val checked = updates
+      .withColumn("__chk", assert_true(dupCount === 1,
+        lit("multiple updates for one id in a single apply batch")))
+      .filter(col("__chk").isNull).drop("__chk")
+    val versioned = withNextRev(current, checked, idCol, revCol)
       .withColumn(deletedCol, lit(false))
     current.unionByName(versioned, allowMissingColumns = true)
   }

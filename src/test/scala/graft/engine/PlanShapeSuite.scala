@@ -14,7 +14,7 @@ class PlanShapeSuite extends SparkSpec {
 
   test("q26 brute-force top-k: partial aggregation, no per-query window") {
     val p = plan("q26_sim_bruteforce")
-    // bounded TopKAggregator → partial ObjectHashAggregate before exchange
+    // bounded BoundedTopKAgg → partial ObjectHashAggregate before exchange
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
     assert(!p.contains("Window"), "found a window — single-task per query")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

@@ -19,31 +19,57 @@ class PropertySuite extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  // ---- TopKAggregator ------------------------------------------------------
+  // ---- BoundedTopKAgg ------------------------------------------------------
 
-  private def model(xs: Seq[ScoredId], k: Int): Seq[ScoredId] =
+  private case class Scored(sim: Double, id: Long)
+
+  private def model(xs: Seq[Scored], k: Int): Seq[Scored] =
     xs.sortBy(s => (-s.sim, s.id)).take(k)
 
-  private val scoredGen: Gen[ScoredId] = for {
+  private val scoredGen: Gen[Scored] = for {
     sim <- Gen.chooseNum(-1.0, 1.0)
     id <- Gen.chooseNum(0L, 50L)
-  } yield ScoredId(sim, id)
+  } yield Scored(sim, id)
 
-  test("TopKAggregator.reduce equals sort-and-take for any input") {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateStruct}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{DoubleType, LongType}
+
+  /** (sim desc, id asc) top-k over (double, long) input rows. */
+  private def mkAgg(k: Int): BoundedTopKAgg = BoundedTopKAgg(
+    CreateStruct(Seq(BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, LongType, nullable = false))),
+    k, Seq((0, true), (1, false)))
+
+  private def reduceAll(agg: BoundedTopKAgg, xs: Seq[Scored]): TopKRows =
+    xs.foldLeft(agg.createAggregationBuffer()) { (b, x) =>
+      agg.update(b, InternalRow(x.sim, x.id))
+    }
+
+  private def resultOf(agg: BoundedTopKAgg, buf: TopKRows): Seq[Scored] = {
+    val arr = agg.eval(buf).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      Scored(r.getDouble(0), r.getLong(1))
+    }
+  }
+
+  test("BoundedTopKAgg.update equals sort-and-take for any input") {
     check(Prop.forAll(Gen.listOf(scoredGen), Gen.choose(1, 8)) { (xs, k) =>
-      val agg = new TopKAggregator(k)
-      xs.foldLeft(agg.zero)(agg.reduce) == model(xs, k)
+      val agg = mkAgg(k)
+      resultOf(agg, reduceAll(agg, xs)) == model(xs, k)
     })
   }
 
-  test("TopKAggregator.merge is consistent with reducing the concatenation") {
+  test("BoundedTopKAgg.merge + serde is consistent with reducing the concatenation") {
     check(Prop.forAll(Gen.listOf(scoredGen), Gen.listOf(scoredGen), Gen.choose(1, 8)) {
       (xs, ys, k) =>
-        val agg = new TopKAggregator(k)
-        val merged = agg.merge(
-          xs.foldLeft(agg.zero)(agg.reduce),
-          ys.foldLeft(agg.zero)(agg.reduce))
-        merged == model(xs ++ ys, k)
+        val agg = mkAgg(k)
+        // partial buffers cross the wire: exercise serialize/deserialize too
+        val right = agg.deserialize(agg.serialize(reduceAll(agg, ys)))
+        val merged = agg.merge(reduceAll(agg, xs), right)
+        resultOf(agg, merged) == model(xs ++ ys, k)
     })
   }
 

@@ -30,10 +30,15 @@ class PropertyStoreSuite extends SparkSpec {
 
   test("apply rejects two updates for one id in a batch") {
     val log0 = Seq(("a", 1L, 10, false)).toDF("id", "rev", "v", "deleted")
-    intercept[IllegalArgumentException] {
+    // validation is IN-PLAN (assert_true), so it raises when the write
+    // executes — not an extra driver-side job at plan-build time
+    val e = intercept[Exception] {
       PropertyStore.apply(log0,
-        Seq(("a", 1), ("a", 2)).toDF("id", "v"), "id", "rev", "deleted")
+        Seq(("a", 1), ("a", 2)).toDF("id", "v"), "id", "rev", "deleted").collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple updates for one id")))
   }
 
   test("delete appends a tombstone that hides the document; re-apply revives") {
