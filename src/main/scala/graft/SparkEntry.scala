@@ -111,11 +111,32 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  /** Stage cut: data at/after this instant is `hot`, older data `warm` —
+    * the lifecycle boundary a migration job would maintain. */
+  private val StageCut = I("2024-01-15T00:00:00Z")
+
+  /** Staged layout (hot/warm roots) for the lifecycle-routing query. */
+  private def ensureStagedLayout(s: SparkSession, d: String): graft.storage.StageRoots =
+    graft.storage.StageRoots(Map(
+      "hot" -> (materialized("stage_hot", d) { dir =>
+        def ns(i: Instant) = i.getEpochSecond * 1000000000L
+        graft.storage.Stages.appendTo(
+          ev(s, d).filter(col("ts_ns") >= ns(StageCut)), "hot",
+          graft.storage.StageRoots(Map("hot" -> dir)), q44Spec, mode = "overwrite")
+      }),
+      "warm" -> (materialized("stage_warm", d) { dir =>
+        def ns(i: Instant) = i.getEpochSecond * 1000000000L
+        graft.storage.Stages.appendTo(
+          ev(s, d).filter(col("ts_ns") < ns(StageCut)), "warm",
+          graft.storage.StageRoots(Map("warm" -> dir)), q44Spec, mode = "overwrite")
+      })))
+
   /** Untimed setup hook for the bench: performs the one-time
-    * materializations so the timed q41/q44 measure their read paths. */
+    * materializations so the timed q41/q44/q51 measure their read paths. */
   def prepare(s: SparkSession, d: String): Unit = {
     ensureLayout(s, d)
     ensureTopnSnapshot(s, d)
+    ensureStagedLayout(s, d)
     ()
   }
 
@@ -527,6 +548,22 @@ object SparkEntry {
       val log2 = PropertyStore.delete(log1, Seq("1", "2"), "id", "rev", "deleted")
       PropertyStore.compact(log2, "id", "rev", "deleted")
         .select("id", "rev", "price")
+    }),
+
+    // --- lifecycle-stage routing (common.proto:65-94): `ON (hot) STAGES`
+    // scans ONLY the hot tier's root — stage selection is directory
+    // selection before any file listing; the warm root is never touched
+    // (plan-level path assertion in StagesSuite)
+    "q51_stage_routing" -> ((s, d) => {
+      val sr = ensureStagedLayout(s, d)
+      val stageDfs = sr.roots.keys.map(st =>
+        st -> graft.storage.Stages.read(s, q44Spec, sr, Seq(st))).toMap
+      graft.ql.BydbQL.run(
+        """SELECT event_id, user_id, event_type, value FROM MEASURE events
+          |IN testdata ON (hot) STAGES LIMIT 100""".stripMargin,
+        Map("events" -> graft.ql.BydbQL.Resource(
+          graft.storage.Stages.read(s, q44Spec, sr), evDef,
+          fields = Set("value"), stageDfs = stageDfs)))
     }),
 
     // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
@@ -961,6 +998,11 @@ object SparkEntry {
         |log2 AS (SELECT * FROM log1 UNION ALL SELECT * FROM del),
         |live AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn FROM log2)
         |SELECT id, rev, price FROM live WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "q51_stage_routing" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY ts LIMIT 100""".stripMargin,
 
     "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

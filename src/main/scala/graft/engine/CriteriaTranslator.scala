@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
  */
 object CriteriaTranslator {
 
-  def toColumn(c: Criteria): Column = c match {
-    case And(l, r) => toColumn(l) && toColumn(r)
-    case Or(l, r)  => toColumn(l) || toColumn(r)
+  /** `avail` = the frame's column set; a MATCH whose (tag, analyzer) has a
+    * materialized ingest-time token column (LayoutSpec.analyzerColumns,
+    * the reference's index-build tokenization pkg/index/inverted/) filters
+    * the stored array instead of re-tokenizing per query. */
+  def toColumn(c: Criteria, avail: Set[String] = Set.empty): Column = c match {
+    case And(l, r) => toColumn(l, avail) && toColumn(r, avail)
+    case Or(l, r)  => toColumn(l, avail) || toColumn(r, avail)
+    case Cond(tag, Op.Match(analyzer, mop), values)
+        if avail.contains(graft.storage.Layout.tokenColName(tag, analyzer)) =>
+      Analyzers.matchesTokens(
+        col(graft.storage.Layout.tokenColName(tag, analyzer)),
+        values.map(_.toString), analyzer, mop == MatchOp.And)
     case Cond(tag, op, values) => cond(col(tag), op, values)
   }
 

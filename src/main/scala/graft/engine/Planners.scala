@@ -48,7 +48,7 @@ object Planners {
     c match {
       case Some(cr) =>
         CriteriaTranslator.validateEntityOps(cr, tdef.entity.toSet)
-        df.filter(CriteriaTranslator.toColumn(cr))
+        df.filter(CriteriaTranslator.toColumn(cr, df.columns.toSet))
       case None => df
     }
 

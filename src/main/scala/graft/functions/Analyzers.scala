@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
  * which keeps MATCH inside whole-stage codegen AND keeps the generated
  * class small (see AnalyzerExpressions for why that matters).
  *
- * The reference tokenizes at *index build time*; we tokenize at query
- * time. At 100 TB the indexed-column equivalent is materializing
- * `standard(text)` as a generated column at ingest and filtering on it —
- * same expression, write-side (see Layout.append's analyzerColumns).
+ * The reference tokenizes at *index build time* (pkg/index/inverted/).
+ * Queries over ad-hoc frames tokenize at query time; layouts written with
+ * `LayoutSpec.analyzerColumns` materialize the token arrays at ingest and
+ * MATCH criteria filter the stored column instead (CriteriaTranslator
+ * resolves the materialized name) — same expression, paid once.
  */
 object Analyzers {
 
@@ -49,10 +50,16 @@ object Analyzers {
    * query values with the same analyzer; AND → column tokens ⊇ all query
    * tokens, OR → any overlap.
    */
-  def matches(col: Column, values: Seq[String], analyzer: String, andSemantics: Boolean): Column = {
+  def matches(col: Column, values: Seq[String], analyzer: String, andSemantics: Boolean): Column =
+    matchesTokens(byName(analyzer)(col), values, analyzer, andSemantics)
+
+  /** MATCH over an ALREADY-TOKENIZED doc column — the read side of
+    * ingest-time tokenization (LayoutSpec.analyzerColumns): the stored
+    * token array is filtered directly, no per-query re-analysis. */
+  def matchesTokens(docTokens: Column, values: Seq[String], analyzer: String,
+      andSemantics: Boolean): Column = {
     val an = byName(analyzer)
     val queryTokens = flatten(array(values.map(v => an(lit(v))): _*))
-    val docTokens = an(col)
     // Both forms reference docTokens exactly ONCE: a higher-order
     // `forall(queryTokens, t => array_contains(docTokens, t))` re-evaluates
     // the tokenizer subtree per query token (lambda bodies get no

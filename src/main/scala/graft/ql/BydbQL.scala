@@ -23,6 +23,11 @@ object BydbQL {
       tdef: TableDef,
       /** aggregatable field columns (measure). */
       fields: Set[String] = Set.empty,
+      /** lifecycle stage tiers (hot/warm/cold → per-stage frame), each
+        * typically a [[graft.storage.Stages]] per-root scan; `ON (...)
+        * STAGES` selects among them and an unselected stage's storage is
+        * never touched. Empty = the resource is not stage-tiered. */
+      stageDfs: Map[String, DataFrame] = Map.empty,
       /** stream element identity column. */
       elementIdCol: Option[String] = None,
       /** trace grouping column + span struct columns. */
@@ -102,15 +107,17 @@ object BydbQL {
     val res = resolve(resources, name, groups)
     val schema = QlSchema(res.df.schema, res.fields)
     Transformer.transform(stmt, schema, now) match {
-      case MeasureStatement(q) => Planners.measure(res.df, res.tdef, q)
+      case MeasureStatement(q) =>
+        Planners.measure(stagedDf(res, q.stages, name), res.tdef, q)
       case StreamStatement(q) =>
         val eid = res.elementIdCol.getOrElse(
           throw new IllegalArgumentException(s"resource $name has no elementIdCol"))
-        Planners.stream(res.df, res.tdef, q, eid)
+        Planners.stream(stagedDf(res, q.stages, name), res.tdef, q, eid)
       case TraceStatement(q) =>
         val tid = res.traceIdCol.getOrElse(
           throw new IllegalArgumentException(s"resource $name has no traceIdCol"))
-        Planners.traceSpanGroups(res.df, res.tdef, q, tid, res.spanStruct)
+        Planners.traceSpanGroups(stagedDf(res, q.stages, name), res.tdef, q,
+          tid, res.spanStruct)
       case PropertyStatement(q) =>
         val (idc, revc) = (res.propertyIdCol, res.propertyRevCol) match {
           case (Some(i), Some(r)) => (i, r)
@@ -118,7 +125,26 @@ object BydbQL {
             s"resource $name has no property id/revision columns")
         }
         Planners.property(res.df, q, idc, revc, res.propertyDeletedCol)
-      case TopNStatement(q) => Planners.topNRead(res.df, q)
+      case TopNStatement(q) =>
+        Planners.topNRead(stagedDf(res, q.stages, name), q)
     }
   }
+
+  /** Lifecycle-stage routing (common/v1/common.proto:65-94): `ON (...)
+    * STAGES` selects among the resource's per-stage frames — the scan
+    * never touches an unselected tier. Unspecified stages = all stages
+    * (query.proto); naming a stage on a non-tiered resource, or a stage
+    * the resource doesn't have, is an error. */
+  private def stagedDf(res: Resource, stages: Seq[String], name: String): DataFrame =
+    if (res.stageDfs.isEmpty) {
+      if (stages.nonEmpty) throw new IllegalArgumentException(
+        s"resource $name has no lifecycle stages (query asked for ${stages.mkString(",")})")
+      res.df
+    } else if (stages.isEmpty) {
+      res.df // by convention the registered df IS the all-stage view
+    } else {
+      stages.map(st => res.stageDfs.getOrElse(st,
+          throw new IllegalArgumentException(s"unknown stage '$st' for resource $name")))
+        .reduce(_.unionByName(_))
+    }
 }

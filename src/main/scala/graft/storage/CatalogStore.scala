@@ -1,0 +1,102 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Persistent catalog: resource schemas survive the session.
+ *
+ * The reference persists Group/Measure/Stream/Trace/Property schemas with
+ * revisions in its metadata store (pkg/schema;
+ * database/v1/schema.proto:105-127) — a client never re-declares a
+ * resource to query it. The per-session Scala maps (`Catalog.defs`,
+ * hand-built `BydbQL.Resource`s) lacked that: a fresh session had to
+ * re-register every table by hand.
+ *
+ * Spark shape: the catalog entry (LayoutSpec + TableDef + model-specific
+ * bindings) is written as JSON under `<root>/_graft_catalog/<group>__<name>`
+ * whenever a resource is ingested through [[ingest]], and [[open]] turns a
+ * layout root back into ready-to-query [[graft.ql.BydbQL.Resource]]s —
+ * stored WITH the data, the way the bucketed path already records its
+ * layout in the table catalog (Layout.saveBucketed).
+ */
+final case class CatalogEntry(
+    group: String,
+    name: String,
+    entity: Seq[String],
+    tsCol: String,
+    tsIsNanos: Boolean = true,
+    shardNum: Int = 4,
+    segmentDays: Int = 1,
+    versionCol: Option[String] = None,
+    arrayTags: Seq[String] = Nil,
+    fields: Seq[String] = Nil,
+    elementIdCol: Option[String] = None,
+    traceIdCol: Option[String] = None,
+    spanStruct: Seq[String] = Nil,
+    propertyIdCol: Option[String] = None,
+    propertyRevCol: Option[String] = None,
+    propertyDeletedCol: Option[String] = None) {
+
+  def spec: LayoutSpec = LayoutSpec(group, name, entity, tsCol, tsIsNanos,
+    shardNum, segmentDays)
+
+  def tdef: graft.sources.TableDef = graft.sources.TableDef(name,
+    entity = entity, tsCol = Some(tsCol), versionCol = versionCol,
+    arrayTags = arrayTags.toSet)
+}
+
+object CatalogStore {
+
+  private val CatalogDir = "_graft_catalog"
+
+  private def entryPath(root: String, group: String, name: String): String =
+    s"$root/$CatalogDir/${group}__$name"
+
+  /** Persist one resource's catalog entry under the layout root. */
+  def save(spark: SparkSession, root: String, e: CatalogEntry): Unit = {
+    import spark.implicits._
+    Seq(e).toDS().coalesce(1).write.mode("overwrite")
+      .json(entryPath(root, e.group, e.name))
+  }
+
+  /** Ingest through the layout AND record the schema — the write path a
+    * client actually uses (the reference's write RPC requires the schema
+    * to exist; here the two land together). */
+  def ingest(df: org.apache.spark.sql.DataFrame, root: String, e: CatalogEntry,
+      mode: String = "append"): Unit = {
+    Layout.append(df, root, e.spec, mode)
+    save(df.sparkSession, root, e)
+  }
+
+  /** All catalog entries recorded under a root. */
+  def entries(spark: SparkSession, root: String): Seq[CatalogEntry] = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = new Path(s"$root/$CatalogDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).filter(_.isDirectory).toSeq.map { st =>
+      spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
+        .json(st.getPath.toString).as[CatalogEntry].head()
+    }
+  }
+
+  /** Open a layout root as ready-to-query resources — no manual
+    * registration. Keys: both `name` and `group/name` (the resolution
+    * order BydbQL.resolve expects). */
+  def open(spark: SparkSession, root: String): Map[String, graft.ql.BydbQL.Resource] =
+    entries(spark, root).flatMap { e =>
+      val res = graft.ql.BydbQL.Resource(
+        df = Layout.read(spark, root, e.spec),
+        tdef = e.tdef,
+        fields = e.fields.toSet,
+        elementIdCol = e.elementIdCol,
+        traceIdCol = e.traceIdCol,
+        spanStruct = e.spanStruct,
+        propertyIdCol = e.propertyIdCol,
+        propertyRevCol = e.propertyRevCol,
+        propertyDeletedCol = e.propertyDeletedCol)
+      Seq(e.name -> res, s"${e.group}/${e.name}" -> res)
+    }.toMap
+}

@@ -35,7 +35,15 @@ final case class LayoutSpec(
     /** shard_num, common/v1/common.proto. */
     shardNum: Int = 4,
     /** segment_interval in days. */
-    segmentDays: Int = 1) {
+    segmentDays: Int = 1,
+    /** Ingest-time tokenization (source column → analyzer name): the
+      * reference tokenizes ONCE at index build (pkg/index/inverted/), not
+      * per query; the layout analogue is a materialized token column
+      * `<col>__<analyzer>_tokens` written with the data. MATCH criteria
+      * on such a column then filter the stored array instead of
+      * re-running the analyzer over 100 TB of text per query
+      * (CriteriaTranslator picks the materialized column up by name). */
+    analyzerColumns: Map[String, String] = Map.empty) {
   require(entity.nonEmpty, "layout requires a non-empty entity")
   require(shardNum > 0 && segmentDays > 0, "shardNum and segmentDays must be positive")
 }
@@ -80,6 +88,10 @@ object Layout {
     (if (m < 0) m + spec.shardNum else m).toInt
   }
 
+  /** Column form of the segment bucket for callers outside the write path
+    * (e.g. tests proving migration moved exactly the right rows). */
+  def segExprFor(spec: LayoutSpec): Column = segOf(spec)
+
   /** Epoch-day segment bucket for a concrete instant. */
   def segFor(spec: LayoutSpec, t: java.time.Instant): Int = {
     val days = Math.floorDiv(t.getEpochSecond, 86400L)
@@ -102,6 +114,10 @@ object Layout {
       .write.mode(mode)
       .partitionBy(SegCol, ShardCol).parquet(path(root, spec))
 
+  /** Materialized analyzer-token column name for (column, analyzer). */
+  def tokenColName(column: String, analyzer: String): String =
+    s"${column}__${analyzer}_tokens"
+
   /** df + derived (seg, shard) routing columns; null-entity rows rejected. */
   private[storage] def routed(df: DataFrame, spec: LayoutSpec): DataFrame = {
     val missing = spec.entity.filterNot(df.columns.contains) ++
@@ -110,11 +126,16 @@ object Layout {
     val fullEntity = spec.entity.map(col(_).isNotNull).reduce(_ && _)
     // assert_true yields NULL on success and raises on violation; the filter
     // keeps it in the plan so every row is checked.
-    df.withColumn("__chk",
+    var out = df.withColumn("__chk",
         assert_true(fullEntity, lit(s"write rejected: null entity ${spec.entity.mkString(",")}")))
       .filter(col("__chk").isNull)
       .drop("__chk")
-      .withColumn(SegCol, segOf(spec))
+    // ingest-time tokenization (index materialization, pkg/index/inverted/)
+    spec.analyzerColumns.foreach { case (c, analyzer) =>
+      out = out.withColumn(tokenColName(c, analyzer),
+        graft.functions.Analyzers.byName(analyzer)(col(c)))
+    }
+    out.withColumn(SegCol, segOf(spec))
       .withColumn(ShardCol, shardOf(spec))
   }
 

@@ -1,0 +1,77 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.engine.Planners
+import graft.model._
+import graft.ql.BydbQL
+import graft.sources.Catalog
+import org.apache.spark.sql.functions._
+
+/** Persistent catalog: a resource ingested through CatalogStore.ingest is
+  * queryable from a FRESH resource map built solely by CatalogStore.open —
+  * nothing registered by hand (the reference's schema-registry property,
+  * pkg/schema). */
+class CatalogStoreSuite extends SparkSpec {
+
+  private def tmp(prefix: String): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/test-tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private lazy val events = Catalog.load(spark, sf0001, "events")
+
+  private val entry = CatalogEntry(
+    group = "testdata", name = "events",
+    entity = Seq("user_id"), tsCol = "ts_ns", tsIsNanos = true,
+    shardNum = 4, segmentDays = 7,
+    fields = Seq("value"),
+    elementIdCol = Some("event_id_str"))
+
+  test("ingest persists the schema; open rebuilds ready resources") {
+    val root = tmp("catalog")
+    CatalogStore.ingest(events, root, entry, mode = "overwrite")
+
+    // a "fresh session": nothing registered manually, only the root known
+    val resources = CatalogStore.open(spark, root)
+    assert(resources.contains("events") && resources.contains("testdata/events"))
+
+    // q01-shaped time-range scan through the QL facade
+    val got = BydbQL.run(
+      """SELECT event_id, user_id, event_type, value FROM MEASURE events
+        |IN testdata TIME BETWEEN '2024-01-05T00:00:00Z' AND '2024-01-20T00:00:00Z'""".stripMargin,
+      resources)
+    val want = Planners.measure(events, Catalog.defs("events"), MeasureQuery(
+      groups = Seq("testdata"), name = "events",
+      timeRange = Some(TimeRange(
+        java.time.Instant.parse("2024-01-05T00:00:00Z"),
+        java.time.Instant.parse("2024-01-20T00:00:00Z"))),
+      tagProjection = Seq("event_id", "user_id", "event_type"),
+      fieldProjection = Seq("value")))
+    assert(got.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      want.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+
+    // q07-shaped grouped aggregation
+    val agg = BydbQL.run(
+      "SELECT event_type, SUM(value) FROM MEASURE events IN testdata GROUP BY event_type, value",
+      resources)
+    val aggWant = Planners.measure(events, Catalog.defs("events"), MeasureQuery(
+      groups = Seq("testdata"), name = "events",
+      groupByTags = Seq("event_type"), agg = Some((AggFn.Sum, "value"))))
+    assert(agg.collect().map(_.toSeq).toSet == aggWant.collect().map(_.toSeq).toSet)
+  }
+
+  test("entries round-trip every binding field") {
+    val root = tmp("catalog")
+    val full = entry.copy(versionCol = Some("event_id"),
+      arrayTags = Seq("tags"), traceIdCol = Some("trace_id"),
+      spanStruct = Seq("event_id", "ts_ns"),
+      propertyIdCol = Some("pid"), propertyRevCol = Some("rev"),
+      propertyDeletedCol = Some("deleted"))
+    CatalogStore.save(spark, root, full)
+    val back = CatalogStore.entries(spark, root)
+    assert(back == Seq(full))
+  }
+}

@@ -103,6 +103,31 @@ class LayoutSuite extends SparkSpec {
     assert(back.agg(min(col("ts_ns"))).head().getLong(0) >= ns(horizon))
   }
 
+  test("ingest-time tokenization: MATCH filters the stored token column") {
+    import graft.model._
+    val root = tmp("layout")
+    val tokSpec = spec.copy(analyzerColumns = Map("event_type" -> "standard"))
+    Layout.append(events, root, tokSpec, mode = "overwrite")
+
+    val stored = Layout.read(spark, root, tokSpec)
+    val tokCol = Layout.tokenColName("event_type", "standard")
+    assert(stored.columns.contains(tokCol), stored.columns.mkString(","))
+
+    val q = MeasureQuery(groups = Seq("testdata"), name = "events",
+      criteria = Some(Cond("event_type", Op.Match("standard", MatchOp.Or),
+        Seq("click", "error"))),
+      tagProjection = Seq("event_id", "event_type"), limit = 1000000)
+    val viaStored = graft.engine.Planners.measure(stored, Catalog.defs("events"), q)
+    // the plan must filter the MATERIALIZED column, not re-run the analyzer
+    val plan = viaStored.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("analyzertokens"),
+      "query re-tokenized despite the ingest-time token column")
+    // identical result to the tokenize-per-query path
+    val viaFresh = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+    assert(viaStored.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(viaFresh.select("event_id").collect().map(_.getLong(0)).sorted))
+  }
+
   test("bucketed layout: entity aggregation and version dedup are shuffle-free") {
     import org.apache.spark.sql.expressions.Window
     // unique name: the warehouse location outlives the in-memory catalog,

@@ -1,0 +1,118 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.Catalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Lifecycle-stage routing: `ON (...) STAGES` must plan scans over ONLY
+  * the selected tier's root (the 100 TB point: an archive tier's storage
+  * is never listed, let alone read, by a hot query), and the migration
+  * job must move whole segments between tiers without losing rows. */
+class StagesSuite extends SparkSpec {
+
+  private def tmp(prefix: String): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/test-tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private val spec = LayoutSpec(
+    group = "testdata", name = "events",
+    entity = Seq("user_id"), tsCol = "ts_ns", tsIsNanos = true,
+    shardNum = 4, segmentDays = 7)
+
+  private lazy val events = Catalog.load(spark, sf0001, "events")
+
+  private val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+  private def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L
+
+  private def buildStaged(): StageRoots = {
+    val sr = StageRoots(Map("hot" -> tmp("hot"), "warm" -> tmp("warm")))
+    Stages.appendTo(events.filter(col("ts_ns") >= ns(cut)), "hot", sr, spec,
+      mode = "overwrite")
+    Stages.appendTo(events.filter(col("ts_ns") < ns(cut)), "warm", sr, spec,
+      mode = "overwrite")
+    sr
+  }
+
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  test("ON (hot) STAGES scans only the hot root") {
+    val sr = buildStaged()
+    val hotOnly = Stages.read(spark, spec, sr, Seq("hot"))
+    val paths = scannedPaths(hotOnly)
+    assert(paths.nonEmpty)
+    assert(paths.forall(_.contains(sr.root("hot"))), paths.mkString(","))
+    assert(!paths.exists(_.contains(sr.root("warm"))), "warm tier was listed")
+    // and the rows are exactly the hot slice
+    assert(hotOnly.count() == events.filter(col("ts_ns") >= ns(cut)).count())
+  }
+
+  test("unspecified stages read every tier") {
+    val sr = buildStaged()
+    val all = Stages.read(spark, spec, sr)
+    val paths = scannedPaths(all)
+    assert(paths.exists(_.contains(sr.root("hot"))))
+    assert(paths.exists(_.contains(sr.root("warm"))))
+    assert(all.count() == events.count())
+  }
+
+  test("BydbQL ON (hot) STAGES routes to the hot frame; unknown stage rejected") {
+    import graft.ql.BydbQL
+    val sr = buildStaged()
+    val stageDfs = sr.roots.keys.map(st =>
+      st -> Stages.read(spark, spec, sr, Seq(st))).toMap
+    val res = BydbQL.Resource(Stages.read(spark, spec, sr),
+      graft.sources.Catalog.defs("events"), fields = Set("value"),
+      stageDfs = stageDfs)
+
+    val hot = BydbQL.run(
+      "SELECT event_id FROM MEASURE events IN testdata ON (hot) STAGES LIMIT 1000000",
+      Map("events" -> res))
+    assert(scannedPaths(hot).forall(_.contains(sr.root("hot"))))
+    assert(hot.count() == events.filter(col("ts_ns") >= ns(cut)).count())
+
+    val e = intercept[IllegalArgumentException] {
+      BydbQL.run("SELECT event_id FROM MEASURE events IN testdata ON (cold) STAGES",
+        Map("events" -> res))
+    }
+    assert(e.getMessage.contains("unknown stage"))
+
+    // a stage request against a non-tiered resource is an error, not a scan
+    val flat = res.copy(stageDfs = Map.empty)
+    intercept[IllegalArgumentException] {
+      BydbQL.run("SELECT event_id FROM MEASURE events IN testdata ON (hot) STAGES",
+        Map("events" -> flat))
+    }
+  }
+
+  test("migration moves whole expired segments hot → warm, preserving rows") {
+    val sr = StageRoots(Map("hot" -> tmp("hot"), "warm" -> tmp("warm")))
+    // everything starts hot; migrate the pre-cut segments to warm
+    Stages.appendTo(events, "hot", sr, spec, mode = "overwrite")
+    // seed warm with an empty layout dir so Stages.read can union schemas
+    Stages.appendTo(events.limit(0), "warm", sr, spec, mode = "overwrite")
+    val total = events.count()
+
+    val moved = Stages.migrate(spark, spec, sr, "hot", "warm", cut)
+    assert(moved.nonEmpty)
+    assert(moved.forall(_ < Layout.segFor(spec, cut)))
+
+    val hotLeft = Stages.read(spark, spec, sr, Seq("hot"))
+    val warmNow = Stages.read(spark, spec, sr, Seq("warm"))
+    // hot retains only post-horizon segments; nothing was lost overall
+    assert(hotLeft.agg(min(col(Layout.SegCol))).head().getInt(0) >=
+      Layout.segFor(spec, cut))
+    assert(hotLeft.count() + warmNow.count() == total)
+    // the moved rows are exactly the pre-cut segment rows
+    assert(warmNow.count() ==
+      events.filter(Layout.segExprFor(spec) < Layout.segFor(spec, cut)).count())
+  }
+}
