@@ -60,6 +60,54 @@ object CriteriaTranslator {
    * (partition pruning), any other operator is an error in the reference.
    * Catalyst prunes automatically; we replicate the *validation*.
    */
+  /**
+   * Mirror of `logical.ParseEntities` (pkg/query/logical/parser.go:119-186)
+   * as a VALIDATION: walk the criteria tree computing the series-key
+   * assignments each branch pins. AND-merging branches that pin the same
+   * entity position to DIFFERENT concrete values yields no resolvable
+   * series (the reference returns nil entities and the measure query
+   * fails — golden case gen_tree_depth5_deep_or, WantErr). Measures
+   * reject such criteria; streams scan them normally (stream.go:134
+   * registers the same tree as a passing case), so only the measure
+   * planner calls this.
+   */
+  def validateEntityResolvable(c: Criteria, entityTags: Seq[String]): Unit =
+    if (entityTags.nonEmpty) {
+      entitiesOf(c, entityTags.zipWithIndex.toMap, entityTags.length); ()
+    }
+
+  /** Per-branch entity assignments; inner Vector = one candidate series
+    * key, None = any value at that position. */
+  private def entitiesOf(c: Criteria, pos: Map[String, Int],
+      n: Int): Seq[Vector[Option[Any]]] = {
+    val any = Vector.fill[Option[Any]](n)(None)
+    def isAny(es: Seq[Vector[Option[Any]]]) = es.forall(_.forall(_.isEmpty))
+    c match {
+      case Cond(tag, Op.Eq, values) if pos.contains(tag) && values.size == 1 =>
+        Seq(any.updated(pos(tag), Some(values.head)))
+      case Cond(tag, Op.In, values) if pos.contains(tag) =>
+        values.map(v => any.updated(pos(tag), Some(v)))
+      case _: Cond => Seq(any)
+      case And(l, r) =>
+        val (le, re) = (entitiesOf(l, pos, n), entitiesOf(r, pos, n))
+        if (isAny(le)) re
+        else if (isAny(re)) le
+        else {
+          val merged = le ++ re
+          Seq(Vector.tabulate(n) { i =>
+            val defined = merged.flatMap(_(i)).distinct
+            if (defined.size > 1) throw new IllegalArgumentException(
+              "criteria AND pins an entity tag to conflicting values: " +
+                defined.mkString(" vs "))
+            defined.headOption
+          })
+        }
+      case Or(l, r) =>
+        val (le, re) = (entitiesOf(l, pos, n), entitiesOf(r, pos, n))
+        if (isAny(le)) le else if (isAny(re)) re else le ++ re
+    }
+  }
+
   def validateEntityOps(c: Criteria, entityTags: Set[String]): Unit = c match {
     case And(l, r) => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)
     case Or(l, r)  => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)

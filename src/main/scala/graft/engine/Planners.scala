@@ -78,6 +78,9 @@ object Planners {
       if (tdef.arrayTags.contains(t))
         throw new IllegalArgumentException(s"invalid group-by tag '$t': array tags not allowed")
     }
+    // measure-only: criteria must resolve to a consistent series set
+    // (ParseEntities nil → error; streams scan the same tree fine)
+    q.criteria.foreach(CriteriaTranslator.validateEntityResolvable(_, tdef.entity))
     var df = applyTime(df0, tdef, q.timeRange)
     // Latest-version-wins dedup runs before filters touch fields and
     // before any aggregation (banyand/measure/query.go:966-1026).

@@ -196,6 +196,15 @@ object Transformer {
       Cond(id, compareOp(op), Seq(schema.coerce(id, v)))
     case QlMatchE(id, vs, analyzer, operator) =>
       requireTag(schema, id)
+      // MATCH is full-text — legal only on string(-array) tags; the
+      // reference rejects it on other types at analysis time
+      // (gen_err_match_int golden case, WantErr).
+      schema.struct.find(_.name == id).map(_.dataType) match {
+        case Some(StringType) | Some(ArrayType(StringType, _)) => ()
+        case Some(other) => throw new IllegalArgumentException(
+          s"MATCH requires a string tag, '$id' is $other")
+        case None => ()
+      }
       val mop = operator match {
         case Some("AND") => MatchOp.And
         case _ => MatchOp.Or // reference default is OR (OPERATOR_UNSPECIFIED → or)

@@ -265,6 +265,166 @@ class GoldenCasesSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  // -- generated families ---------------------------------------------------
+  // test/cases/measure/data/input/gen_{tree,leaf,feat,err}_*.ql, registered
+  // in test/cases/measure/measure.go:123-170. Statements verbatim modulo
+  // schema binding: service_cpm_minute→events, sw_metric→testdata,
+  // id→event_type, entity_id→user_id (the entity), value::field→value;
+  // time bound widened to cover the testdata span.
+
+  private def ns(i: Instant) = i.getEpochSecond * 1000000000L
+  private val rangeLo = ns(now.minusSeconds(30L * 86400))
+  private def inRange = col("ts_ns") >= rangeLo && col("ts_ns") < ns(now)
+
+  private def execCount(ql: String): Long =
+    graft.engine.Planners.measure(events, Catalog.defs("events"), measureOf(ql)).count()
+
+  private def treeCase(where: String, mirror: org.apache.spark.sql.Column): Unit = {
+    val n = execCount(
+      s"""SELECT event_type, user_id, value::field FROM MEASURE events IN testdata
+         |TIME > '-30d' WHERE $where LIMIT 1000000""".stripMargin)
+    assert(n == events.filter(inRange && mirror).count(), where)
+  }
+
+  test("gen_tree_depth1_leaf.ql: single leaf criteria") {
+    treeCase("event_type = 'click'", col("event_type") === "click")
+  }
+
+  test("gen_tree_depth2_and.ql") {
+    treeCase("(event_type = 'click' AND user_id = '2')",
+      col("event_type") === "click" && col("user_id") === 2L)
+  }
+
+  test("gen_tree_depth2_or.ql") {
+    treeCase("(event_type = 'click' OR user_id = '2')",
+      col("event_type") === "click" || col("user_id") === 2L)
+  }
+
+  test("gen_tree_depth3_and_or.ql: AND of ORs") {
+    treeCase(
+      "((event_type = 'click' OR user_id = '2') AND (event_type = 'error' OR user_id = '4'))",
+      (col("event_type") === "click" || col("user_id") === 2L) &&
+        (col("event_type") === "error" || col("user_id") === 4L))
+  }
+
+  test("gen_tree_depth3_or_and.ql: OR of ANDs") {
+    treeCase(
+      "((event_type = 'click' AND user_id = '2') OR (event_type = 'error' AND user_id = '4'))",
+      (col("event_type") === "click" && col("user_id") === 2L) ||
+        (col("event_type") === "error" && col("user_id") === 4L))
+  }
+
+  test("gen_tree_depth5_deep_and.ql: depth-5 alternating tree executes") {
+    def leaf(t: String, u: Long) = s"(event_type = '$t' OR user_id = '$u')"
+    def leafC(t: String, u: Long) = col("event_type") === t || col("user_id") === u
+    val (a, b, c) = (leaf("click", 2), leaf("error", 4), leaf("view", 6))
+    val (ac, bc, cc) = (leafC("click", 2), leafC("error", 4), leafC("view", 6))
+    treeCase(
+      s"((($a AND $b) OR ($c AND $a)) AND (($b AND $c) OR ($a AND $b)))",
+      ((ac && bc) || (cc && ac)) && ((bc && cc) || (ac && bc)))
+  }
+
+  test("gen_tree_depth5_deep_or.ql: conflicting entity ANDs are rejected (WantErr)") {
+    // measure.go:157 WantErr — ParseEntities AND-merges two different
+    // concrete series keys → nil (parser.go:148-162); the measure planner
+    // rejects. The STREAM registration of the same tree passes
+    // (stream.go:134), which validateEntityResolvable mirrors by being
+    // measure-only.
+    def p(t: String, u: Long) = s"(event_type = '$t' AND user_id = '$u')"
+    val (p1, p2, p3) = (p("click", 2), p("error", 4), p("view", 6))
+    val e = intercept[IllegalArgumentException] {
+      execCount(
+        s"""SELECT event_type, user_id, value::field FROM MEASURE events IN testdata
+           |TIME > '-30d' WHERE ((($p1 OR $p2) AND ($p3 OR $p1))
+           |OR (($p2 OR $p3) AND ($p1 OR $p2))) LIMIT 1000000""".stripMargin)
+    }
+    assert(e.getMessage.contains("conflicting values"))
+  }
+
+  test("gen_leaf_eq_int.ql: unquoted int literal") {
+    val n = execCount(
+      "SELECT event_id, user_id FROM MEASURE events IN testdata TIME > '-30d' WHERE event_id = 5 LIMIT 1000000")
+    assert(n == events.filter(inRange && col("event_id") === 5L).count() && n > 0)
+  }
+
+  test("gen_leaf_gt_str.ql / gen_leaf_le_str.ql: string range ops") {
+    treeCase("event_type > 'click'", col("event_type") > "click")
+    treeCase("event_type <= 'error'", col("event_type") <= "error")
+  }
+
+  test("gen_leaf_in_int_array.ql: IN over unquoted int list") {
+    val n = execCount(
+      "SELECT event_id FROM MEASURE events IN testdata TIME > '-30d' WHERE event_id IN (1, 2) LIMIT 1000000")
+    assert(n == events.filter(inRange && col("event_id").isin(1L, 2L)).count() && n > 0)
+  }
+
+  test("gen_leaf_not_in_str_array.ql") {
+    treeCase("event_type NOT IN ('view')", !col("event_type").isin("view"))
+  }
+
+  test("gen_leaf_match_str.ql: bare MATCH defaults to standard analyzer, OR") {
+    treeCase("event_type MATCH ('click')", col("event_type") === "click")
+  }
+
+  test("gen_err_match_int.ql: MATCH on an int tag is an error (WantErr)") {
+    val e = intercept[IllegalArgumentException] {
+      measureOf(
+        "SELECT event_id FROM MEASURE events IN testdata TIME > '-30d' WHERE user_id MATCH ('1')")
+    }
+    assert(e.getMessage.contains("MATCH requires a string tag"))
+  }
+
+  test("gen_feat_mean_group_2.ql: MEAN + GROUP BY incl the field") {
+    val q = measureOf(
+      """SELECT event_type, MEAN(value), value::field FROM MEASURE events IN testdata
+        |TIME > '-30d' GROUP BY event_type, value""".stripMargin)
+    assert(q.groupByTags == Seq("event_type") && q.agg.contains((AggFn.Mean, "value")))
+    val out = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+    assert(out.count() == events.filter(inRange).select("event_type").distinct().count())
+  }
+
+  test("gen_feat_{sum,count,max,min}_group_order_desc: agg × bare ORDER BY DESC") {
+    for (fn <- Seq("SUM", "COUNT", "MAX", "MIN")) {
+      val q = measureOf(
+        s"""SELECT event_type, $fn(value), value::field FROM MEASURE events IN testdata
+           |TIME > '-30d' GROUP BY event_type, value ORDER BY DESC""".stripMargin)
+      assert(q.orderBy.contains(OrderBy(None, desc = true)), fn)
+      val out = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+      assert(out.count() ==
+        events.filter(inRange).select("event_type").distinct().count(), fn)
+    }
+    // MAX values against an independent computation (exact on doubles)
+    val q = measureOf(
+      """SELECT event_type, MAX(value), value::field FROM MEASURE events IN testdata
+        |TIME > '-30d' GROUP BY event_type, value ORDER BY DESC""".stripMargin)
+    val got = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = events.filter(inRange).groupBy("event_type").agg(max(col("value")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
+  test("gen_feat_mean_top_desc_group_order_asc_0.ql: TOP 2 after MEAN") {
+    val q = measureOf(
+      """SELECT TOP 2 value DESC, event_type, MEAN(value), value::field
+        |FROM MEASURE events IN testdata TIME > '-30d'
+        |GROUP BY event_type, value ORDER BY ASC""".stripMargin)
+    assert(q.top.contains(TopSpec(2, "mean_value", desc = true)))
+    assert(graft.engine.Planners.measure(events, Catalog.defs("events"), q).count() == 2)
+  }
+
+  test("gen_feat_mean_top_asc_group_order_desc_filter_1.ql: bottom-2 + NE filter") {
+    val q = measureOf(
+      """SELECT TOP 2 value ASC, event_type, MEAN(value), value::field
+        |FROM MEASURE events IN testdata TIME > '-30d'
+        |WHERE event_type != 'view' GROUP BY event_type, value ORDER BY DESC""".stripMargin)
+    assert(q.top.contains(TopSpec(2, "mean_value", desc = false)))
+    assert(q.criteria.contains(Cond("event_type", Op.Ne, Seq("view"))))
+    val out = graft.engine.Planners.measure(events, Catalog.defs("events"), q)
+    assert(out.count() == 2)
+    assert(!out.select("event_type").collect().map(_.getString(0)).contains("view"))
+  }
+
   // -- property -------------------------------------------------------------
 
   private lazy val propLog = {
