@@ -9,6 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Spark-docs-recommended production setting: coalesce post-shuffle
+      // partitions to the target size instead of maximizing parallelism —
+      // fewer, fuller reduce tasks per stage.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,6 +26,25 @@ object Bench {
         try graft.sources.Catalog.load(spark, sfDir, t).count()
         catch { case _: Throwable => () }
       }
+    // Executor-path class initialization over SYNTHETIC rows (no source
+    // table, no timed-query shape): the FIRST constant-fold, window,
+    // object-hash aggregate, and broadcast join in a JVM each pay ~0.5-1.5s
+    // of one-time class loading that plain scans never trigger — without
+    // this, whichever timed query hits each path first absorbs it.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(4)
+        .select(graft.functions.Analyzers.standard(lit("warm up")).as("t")).count()
+      spark.range(64).withColumn("g", col("id") % 4)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("id"))))
+        .filter(col("rn") === 1).count()
+      spark.range(64).withColumn("g", col("id") % 4)
+        .groupBy("g").agg(graft.functions.TopK.topNEntities(2, desc = true)(
+          col("id").cast("string"), col("id")).as("tk")).count()
+      spark.range(64).join(broadcast(spark.range(4)), "id").count()
+    } catch { case _: Throwable => () }
     // Untimed setup: one-time materializations (the storage layout, the
     // streaming topN snapshot) whose READ paths q41/q44 then measure.
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
