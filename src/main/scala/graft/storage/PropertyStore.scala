@@ -20,12 +20,21 @@ import org.apache.spark.sql.functions._
  */
 object PropertyStore {
 
-  /** assign `rev = max(existing rev for id, 0) + 1` to each update row. */
+  /** assign `rev = max(existing rev for id, 0) + 1` to each update row.
+    *
+    * Scale shape: the revision lookup is restricted to the BATCH's keys
+    * first (broadcast semi-join — a write batch is bounded, the store is
+    * not), so the max-rev aggregate and the final join both operate on
+    * ≤ |batch| ids instead of aggregating every id in a 100 TB store to
+    * apply a thousand-row batch. */
   private def withNextRev(current: DataFrame, rows: DataFrame,
       idCol: String, revCol: String): DataFrame = {
-    val maxRev = current.groupBy(col(idCol))
+    val batchKeys = rows.select(col(idCol)).distinct()
+    val maxRev = current
+      .join(broadcast(batchKeys), Seq(idCol), "leftsemi")
+      .groupBy(col(idCol))
       .agg(max(col(revCol)).cast("long").as("__maxrev"))
-    rows.join(maxRev, Seq(idCol), "left")
+    rows.join(broadcast(maxRev), Seq(idCol), "left")
       .withColumn(revCol, coalesce(col("__maxrev"), lit(0L)) + lit(1L))
       .drop("__maxrev")
   }
