@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSigExpr, ShinglesExpr, SimHash60Expr}
+import graft.functions.{AnalyzerImpl, AnalyzerTokensExpr, CosineSimilarity, DotProduct, LshBucketExpr, MinHashSigExpr, ShinglesExpr, SimHash60Expr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -57,6 +57,23 @@ object GraftExtensions {
     },
     fn("graft_simhash", "graft_simhash(text) - 60-bit simhash of the token stream") {
       args => SimHash60Expr(args(0))
+    },
+    fn("graft_tokens", "graft_tokens(text, 'standard'|'simple'|'url') - analyzer token array") {
+      args =>
+        val mode = args(1) match {
+          case Literal(s, _) if s != null => s.toString match {
+            case "standard" => AnalyzerImpl.MODE_STANDARD
+            case "simple" => AnalyzerImpl.MODE_SIMPLE
+            case "url" => AnalyzerImpl.MODE_URL
+            case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"analyzer name must be a string literal, got $other")
+        }
+        AnalyzerTokensExpr(args(0), mode)
+    },
+    fn("graft_lsh_bucket", "graft_lsh_bucket(vec, dim, nPlanes) - hyperplane sign-pattern bucket id") {
+      args => LshBucketExpr(args(0), litInt(args(1), "dim"), litInt(args(2), "nPlanes"))
     })
 
   /** Register into an ALREADY-RUNNING session (notebooks, tests); builder

@@ -363,6 +363,14 @@ object SparkEntry {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, dim = 64, nPlanes = 8)
     }),
 
+    // --- pipeline: IVF ANN — coarse-quantizer cells, nprobe-limited search
+    // (the partition-the-corpus scale path beside LSH; rows-only recall<1)
+    "q52_sim_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nlist = 8, nprobe = 2)
+    }),
+
     // --- pipeline: embedding-cosine near-dup pairs (blocked left side)
     "q28_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35, col("vec_id") < 100)),
@@ -782,6 +790,36 @@ object SparkEntry {
         |  SELECT q.query_id, c.vec_id AS nbr_id,
         |         round(list_cosine_similarity(q.qv, c.emb), 6) AS sim
         |  FROM q JOIN bk c USING (bucket) WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q52_sim_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id < 8),
+        |cscore AS (
+        |  SELECT v.vec_id, c.cid, list_cosine_similarity(v.emb, c.cemb) AS cs
+        |  FROM v, cents c),
+        |cell AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, l.vec_id AS nbr_id
+        |  FROM probes p JOIN cell l ON l.cid = p.cid
+        |  WHERE l.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         round(list_cosine_similarity(q.emb, n.emb), 6) AS sim
+        |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = nbr_id),
         |ranked AS (
         |  SELECT query_id, nbr_id, sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank

@@ -79,6 +79,54 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+   * assigns every corpus vector to its nearest cell (argmax cosine, ties
+   * to the lower centroid id); a query probes only its `nprobe` nearest
+   * cells and ranks the candidates by exact cosine with the bounded
+   * top-k aggregate.
+   *
+   * Scale shape: assignment is MAP-ONLY (the centroid matrix is a plan-time
+   * literal, like the LSH planes) — at 100 TB the corpus is scanned once to
+   * write cell-partitioned parquet, and a query reads nprobe/nlist of the
+   * data; probing is a broadcast equi-join on the cell id, never a cross
+   * join. The `collect()` here resolves the nlist centroid vectors at
+   * PLAN-BUILD time (broadcast-sized, like a dimension table) — it is not
+   * per-row driver work.
+   *
+   * The quantizer takes the `nlist` lowest-id corpus vectors as centroids —
+   * deterministic and recomputable by an external SQL oracle; a production
+   * deployment swaps in k-means-trained centroids (same shapes, the
+   * training loop is offline).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe <= nlist, "nprobe must not exceed nlist")
+    val cents: Array[(Long, Array[Double])] = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // (sim, -cid) structs: lexicographic max = argmax cosine, smaller cid on ties
+    def cellScores(v: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cosine(v, array(cv.map(lit): _*)).as("s"), lit(-cid).as("nc"))
+    }: _*)
+    def bestCell(v: Column): Column = -array_max(cellScores(v)).getField("nc")
+    def probeCells(v: Column): Column =
+      transform(slice(sort_array(cellScores(v), asc = false), 1, nprobe),
+        s => -s.getField("nc"))
+
+    val lists = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      bestCell(col(vecCol)).as("__cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(probeCells(col(vecCol))).as("__cell"))
+    val scored = lists.join(broadcast(probes), Seq("__cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("nbr_vec")), 6))
+    rankTopK(scored, k)
+  }
+
+  /**
    * Near-duplicate pairs at corpus scale: bucket every vector by its LSH
    * sign pattern, then self-join WITHIN buckets only — a shuffled equi-join
    * on the bucket key, never an all-pairs product. Pair space shrinks from

@@ -37,6 +37,29 @@ class GraftExtensionsSuite extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("analyzer tokens and LSH bucket evaluate from SQL, matching the Column API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val r = spark.sql(
+      """SELECT graft_tokens('Hello, World 42!', 'standard') AS st,
+        |       graft_tokens('Hello, World 42!', 'simple') AS si,
+        |       graft_tokens('Hello/World', 'url') AS u""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("hello", "world", "42"))
+    assert(r.getSeq[String](1) == Seq("hello", "world"))
+    assert(r.getSeq[String](2) == Seq("Hello", "World"))
+
+    import graft.sources.Catalog
+    val emb = Catalog.load(spark, sf0001, "embeddings").limit(5)
+    emb.createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_lsh_bucket(embedding, 64, 8) AS b FROM ext_emb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = emb.select(col("vec_id"),
+      graft.operators.Similarity.lshBucket(col("embedding"), 64, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("builder wiring: a session built withExtensions resolves the functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -26,6 +26,14 @@ class PlanShapeSuite extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q52 IVF: broadcast equi-join on the cell id, bounded top-k, no window") {
+    val p = plan("q52_sim_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window"))
+  }
+
   test("q45 LSH near-dup: equi-join on bucket, NOT a nested loop") {
     val p = plan("q45_cosine_neardup_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin"),
