@@ -108,6 +108,16 @@ object CriteriaTranslator {
     }
   }
 
+  /** Reject MATCH anywhere in a criteria tree (trace queries — the trace
+    * index is an int64 TREE sidx with no analyzer). */
+  def rejectMatch(c: Criteria, model: String): Unit = c match {
+    case And(l, r) => rejectMatch(l, model); rejectMatch(r, model)
+    case Or(l, r)  => rejectMatch(l, model); rejectMatch(r, model)
+    case Cond(tag, _: Op.Match, _) => throw new IllegalArgumentException(
+      s"MATCH is not supported on $model queries (tag '$tag')")
+    case _ => ()
+  }
+
   def validateEntityOps(c: Criteria, entityTags: Set[String]): Unit = c match {
     case And(l, r) => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)
     case Or(l, r)  => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)

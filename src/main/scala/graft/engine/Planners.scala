@@ -193,6 +193,10 @@ object Planners {
     * limit, vectorized/trace/distinct_trace_id.go:27-90). */
   def traceSpanGroups(df0: DataFrame, tdef: TableDef, q: TraceQuery,
       traceIdCol: String, spanStruct: Seq[String]): DataFrame = {
+    // traces have no full-text index (the sidx is an int64 TREE,
+    // banyand/internal/sidx/) — MATCH criteria are rejected, golden case
+    // gen_err_match_sw (trace.go:96, WantErr)
+    q.criteria.foreach(CriteriaTranslator.rejectMatch(_, "trace"))
     var df = applyTime(df0, tdef, q.timeRange)
     df = applyCriteria(df, tdef, q.criteria)
     val grouped = df.groupBy(col(traceIdCol)).agg(

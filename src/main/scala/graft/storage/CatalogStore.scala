@@ -35,7 +35,11 @@ final case class CatalogEntry(
     spanStruct: Seq[String] = Nil,
     propertyIdCol: Option[String] = None,
     propertyRevCol: Option[String] = None,
-    propertyDeletedCol: Option[String] = None) {
+    propertyDeletedCol: Option[String] = None,
+    /** lifecycle stage → layout root (hot/warm/cold tiers). When present,
+      * [[CatalogStore.open]] rebuilds the per-stage frames so `ON (...)
+      * STAGES` routing survives the session like the rest of the schema. */
+    stageRoots: Map[String, String] = Map.empty) {
 
   def spec: LayoutSpec = LayoutSpec(group, name, entity, tsCol, tsIsNanos,
     shardNum, segmentDays)
@@ -87,9 +91,15 @@ object CatalogStore {
     * order BydbQL.resolve expects). */
   def open(spark: SparkSession, root: String): Map[String, graft.ql.BydbQL.Resource] =
     entries(spark, root).flatMap { e =>
+      val stageDfs = e.stageRoots.map { case (st, r) =>
+        st -> Layout.read(spark, r, e.spec)
+      }
       val res = graft.ql.BydbQL.Resource(
-        df = Layout.read(spark, root, e.spec),
+        df =
+          if (stageDfs.isEmpty) Layout.read(spark, root, e.spec)
+          else stageDfs.toSeq.sortBy(_._1).map(_._2).reduce(_.unionByName(_)),
         tdef = e.tdef,
+        stageDfs = stageDfs,
         fields = e.fields.toSet,
         elementIdCol = e.elementIdCol,
         traceIdCol = e.traceIdCol,

@@ -79,4 +79,51 @@ class IntegrationSuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed == batch)
   }
+
+  test("deployment lifecycle: staged ingest → persisted catalog → reopened " +
+      "session queries → migration → TTL") {
+    import graft.storage.{CatalogEntry, CatalogStore, Stages, StageRoots}
+    val events = Catalog.load(spark, sf0001, "events")
+    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L
+
+    // 1. ingest into hot/warm tiers, analyzer column materialized at write
+    val entry = CatalogEntry("it2", "events", entity = Seq("user_id"),
+      tsCol = "ts_ns", tsIsNanos = true, shardNum = 4, segmentDays = 7,
+      fields = Seq("value"),
+      stageRoots = Map("hot" -> tmp("it2hot"), "warm" -> tmp("it2warm")))
+    val spec = entry.spec.copy(analyzerColumns = Map("event_type" -> "standard"))
+    val sr = StageRoots(entry.stageRoots)
+    Stages.appendTo(events.filter(col("ts_ns") >= ns(cut)), "hot", sr, spec,
+      mode = "overwrite")
+    Stages.appendTo(events.filter(col("ts_ns") < ns(cut)), "warm", sr, spec,
+      mode = "overwrite")
+    val metaRoot = tmp("it2meta")
+    CatalogStore.save(spark, metaRoot, entry)
+
+    // 2. a "new session": open the catalog, query with stage routing and a
+    //    MATCH that must hit the STORED token column
+    val resources = CatalogStore.open(spark, metaRoot)
+    val hot = ql.BydbQL.run(
+      """SELECT event_id, user_id FROM MEASURE events IN it2 ON (hot) STAGES
+        |WHERE event_type MATCH ('click') LIMIT 1000000""".stripMargin, resources)
+    assert(!hot.queryExecution.executedPlan.toString.toLowerCase
+      .contains("analyzertokens"), "MATCH re-tokenized despite ingest-time tokens")
+    assert(hot.count() == events.filter(col("ts_ns") >= ns(cut) &&
+      col("event_type") === "click").count())
+
+    // 3. lifecycle migration drains expired hot segments into warm
+    val total = events.count()
+    Stages.migrate(spark, spec, sr, "hot", "warm",
+      java.time.Instant.parse("2024-01-25T00:00:00Z"))
+    val reopened = CatalogStore.open(spark, metaRoot)
+    assert(ql.BydbQL.run(
+      "SELECT event_id FROM MEASURE events IN it2 LIMIT 10000000", reopened)
+      .count() == total)
+
+    // 4. retention: everything is now past a far-future horizon
+    val droppedWarm = graft.storage.Layout.enforceTtl(spark, sr.root("warm"), spec,
+      java.time.Instant.parse("2030-01-01T00:00:00Z"))
+    assert(droppedWarm.nonEmpty)
+  }
 }

@@ -425,6 +425,51 @@ class GoldenCasesSpec extends SparkSpec {
     assert(!out.select("event_type").collect().map(_.getString(0)).contains("view"))
   }
 
+  test("stream gen_err_ge_state.ql: range op on a stream ENTITY tag is an error") {
+    // `state` is part of the sw stream's entity (streams/duplicated.json:44-47);
+    // stream.go:113-117 registers ge/gt/le/lt/ne on it as WantErr — the F6
+    // rule: only EQ and IN select series. Binding: user_id is our entity.
+    val stmt = Parser.parse(
+      "SELECT event_id, user_id FROM STREAM events IN testdata TIME > '-30d' WHERE user_id >= '0'")
+    val q = Transformer.transform(stmt, schema, now) match {
+      case StreamStatement(s) => s
+      case other => fail(s"expected stream, got $other")
+    }
+    val df = events.withColumn("element_id", col("event_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Planners.stream(df, Catalog.defs("events"), q, "element_id")
+    }
+    assert(e.getMessage.contains("only EQ and IN"))
+  }
+
+  test("trace gen_err_match_sw.ql: MATCH on a trace query is an error") {
+    val df = events.withColumn("trace_id", pmod(col("event_id"), lit(97L)))
+    val e = intercept[IllegalArgumentException] {
+      BydbQL.run(
+        """SELECT trace_id, event_id FROM TRACE traces IN testdata
+          |TIME > '-30d' WHERE event_type MATCH ('click')""".stripMargin,
+        Map("traces" -> BydbQL.Resource(df,
+          graft.sources.TableDef("traces", tsCol = Some("ts_ns")),
+          traceIdCol = Some("trace_id"), spanStruct = Seq("event_id"))),
+        now = now)
+    }
+    assert(e.getMessage.contains("MATCH is not supported on trace"))
+  }
+
+  test("trace gen_feat_order_duration_desc_filter_service_eq_limit2_7.ql: IR shape") {
+    val stmt = Parser.parse(
+      """SELECT () FROM TRACE events IN testdata TIME > '-15m'
+        |WHERE event_type = 'click' ORDER BY duration DESC LIMIT 2""".stripMargin)
+    Transformer.transform(stmt, schema, now) match {
+      case TraceStatement(q) =>
+        assert(q.projection.isEmpty)
+        assert(q.criteria.contains(Cond("event_type", Op.Eq, Seq("click"))))
+        assert(q.orderBy.contains(OrderBy(Some("duration"), desc = true)))
+        assert(q.limit == 2)
+      case other => fail(s"expected trace, got $other")
+    }
+  }
+
   // -- property -------------------------------------------------------------
 
   private lazy val propLog = {

@@ -63,13 +63,38 @@ class CatalogStoreSuite extends SparkSpec {
     assert(agg.collect().map(_.toSeq).toSet == aggWant.collect().map(_.toSeq).toSet)
   }
 
+  test("stage-tiered resources reopen with routing intact") {
+    val hotRoot = tmp("hot")
+    val warmRoot = tmp("warm")
+    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L
+    val staged = entry.copy(segmentDays = 7,
+      stageRoots = Map("hot" -> hotRoot, "warm" -> warmRoot))
+    Layout.append(events.filter(col("ts_ns") >= ns(cut)), hotRoot, staged.spec,
+      mode = "overwrite")
+    Layout.append(events.filter(col("ts_ns") < ns(cut)), warmRoot, staged.spec,
+      mode = "overwrite")
+    val metaRoot = tmp("catalog")
+    CatalogStore.save(spark, metaRoot, staged)
+
+    val resources = CatalogStore.open(spark, metaRoot)
+    val hot = BydbQL.run(
+      "SELECT event_id FROM MEASURE events IN testdata ON (hot) STAGES LIMIT 1000000",
+      resources)
+    assert(hot.count() == events.filter(col("ts_ns") >= ns(cut)).count())
+    val all = BydbQL.run(
+      "SELECT event_id FROM MEASURE events IN testdata LIMIT 1000000", resources)
+    assert(all.count() == events.count())
+  }
+
   test("entries round-trip every binding field") {
     val root = tmp("catalog")
     val full = entry.copy(versionCol = Some("event_id"),
       arrayTags = Seq("tags"), traceIdCol = Some("trace_id"),
       spanStruct = Seq("event_id", "ts_ns"),
       propertyIdCol = Some("pid"), propertyRevCol = Some("rev"),
-      propertyDeletedCol = Some("deleted"))
+      propertyDeletedCol = Some("deleted"),
+      stageRoots = Map("hot" -> "/tiers/hot", "cold" -> "/tiers/cold"))
     CatalogStore.save(spark, root, full)
     val back = CatalogStore.entries(spark, root)
     assert(back == Seq(full))
