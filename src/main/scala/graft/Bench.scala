@@ -38,6 +38,10 @@ object Bench {
       import org.apache.spark.sql.expressions.Window
       spark.range(4)
         .select(graft.functions.Analyzers.standard(lit("warm up")).as("t")).count()
+      // first interpreted Lower.eval loads ICU collation dictionaries
+      // (CollationAwareUTF8String static init, ~1s) — fold one here
+      spark.range(1).select(lower(lit("WARM")).as("l"))
+        .filter(col("l") === "warm").count()
       spark.range(64).withColumn("g", col("id") % 4)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("g")).orderBy(col("id"))))
