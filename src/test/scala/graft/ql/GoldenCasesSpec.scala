@@ -366,6 +366,24 @@ class GoldenCasesSpec extends SparkSpec {
     treeCase("event_type MATCH ('click')", col("event_type") === "click")
   }
 
+  test("gen_leaf op × type matrix: every comparison over int and string tags") {
+    // measure.go:123-141 registers the full generated matrix; each case
+    // executes against an independently-built DataFrame mirror
+    val cases: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("event_id != 5", col("event_id") =!= 5L),
+      ("event_id < 100", col("event_id") < 100L),
+      ("event_id > 100", col("event_id") > 100L),
+      ("event_id <= 100", col("event_id") <= 100L),
+      ("event_id >= 100", col("event_id") >= 100L),
+      ("event_type = 'error'", col("event_type") === "error"),
+      ("event_type != 'view'", col("event_type") =!= "view"),
+      ("event_type < 'error'", col("event_type") < "error"),
+      ("event_type >= 'error'", col("event_type") >= "error"),
+      ("event_type IN ('click', 'view')", col("event_type").isin("click", "view")),
+      ("event_id NOT IN (1, 2, 3)", !col("event_id").isin(1L, 2L, 3L)))
+    for ((where, mirror) <- cases) treeCase(where, mirror)
+  }
+
   test("gen_err_match_int.ql: MATCH on an int tag is an error (WantErr)") {
     val e = intercept[IllegalArgumentException] {
       measureOf(
