@@ -76,11 +76,18 @@ object Dedup {
       w: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    // Barrier 1: shingle sets, tokenized exactly once per doc.
-    val sh = barrier(df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
-      .filter(size(col("sh")) > 0))
-    // Barrier 2: signatures (k min-hash lanes over the persisted sets).
-    val sigs = barrier(sh.select(col("id"), minhashSignature(col("sh"), k).as("sig")))
+    // ONE barrier materializes shingle sets AND signatures: the projection
+    // computes `shingles(text)` once per row (whole-stage codegen
+    // subexpression elimination) and the downstream band-slicing cannot
+    // inline the signature into its per-band lambda (which would recompute
+    // all k lanes once per band). Shingle sets are re-read from the same
+    // materialization by the exact-Jaccard verification joins.
+    val mat = barrier(df
+      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k)))
+    val sh = mat.select("id", "sh")
+    val sigs = mat.select("id", "sig")
     // Band buckets carry ids ONLY — no signature payload through the shuffle.
     val buckets = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
