@@ -396,6 +396,22 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
         TextAnalysis.tokenCountBpeish(col("text")).as("n_bpeish_tokens"))),
 
+    // --- pipeline composition: corpus curation — exact-dedup survivors →
+    // quality gates → language filter → token budget (the operators
+    // composing the way a real training-data pipeline chains them; the
+    // dedup-survivor join broadcasts at runtime via AQE)
+    "q53_corpus_curation" -> ((s, d) => {
+      val docs0 = docs(s, d)
+      val keep = Dedup.exact(docs0, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      TextAnalysis.qualityFeatures(docs0.join(keep, "doc_id"), col("text"))
+        .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
+        .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.5 &&
+          col("stopword_ratio") >= 0.01 && col("pred_lang") === "en")
+        .withColumn("n_bpeish_tokens", TextAnalysis.tokenCountBpeish(col("text")))
+        .select("doc_id", "n_tokens", "n_bpeish_tokens")
+    }),
+
     // --- F5 analyzers: URL tokenizer term frequencies
     "q32_url_tokens" -> ((s, d) =>
       docs(s, d).select(explode(Analyzers.url(col("source"))).as("token"))
@@ -900,6 +916,32 @@ object SparkEntry {
         |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
         |       len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
+
+    "q53_corpus_curation" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |f AS (
+        |  SELECT d.doc_id, d.text,
+        |         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        |         list_filter(regexp_split_to_array(lower(d.text), '[^\p{L}]+'), x -> x <> '') AS ltoks
+        |  FROM documents d JOIN keep USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, text, len(toks) AS n_tokens,
+        |         round(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 1.0
+        |               / greatest(length(text), 1), 6) AS punct_ratio,
+        |         round(len(list_filter(toks, t -> list_contains(
+        |               ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], t))) * 1.0
+        |               / greatest(len(toks), 1), 6) AS stopword_ratio,
+        |         len(list_filter(ltoks, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+        |         len(list_filter(ltoks, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
+        |         len(list_filter(ltoks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |         len(list_filter(ltoks, t -> list_contains(['el','la','los','las','es'], t))) AS s_es
+        |  FROM f)
+        |SELECT doc_id, n_tokens,
+        |       len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpeish_tokens
+        |FROM q
+        |WHERE n_tokens >= 5 AND punct_ratio <= 0.5 AND stopword_ratio >= 0.01
+        |  AND greatest(s_en, s_fr, s_de, s_es) > 0
+        |  AND s_en = greatest(s_en, s_fr, s_de, s_es)""".stripMargin,
 
     "q32_url_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
