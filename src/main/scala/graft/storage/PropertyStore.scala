@@ -29,7 +29,9 @@ object PropertyStore {
     * apply a thousand-row batch. */
   private def withNextRev(current: DataFrame, rows: DataFrame,
       idCol: String, revCol: String): DataFrame = {
-    val batchKeys = rows.select(col(idCol)).distinct()
+    // callers guarantee key-unique rows (apply's in-plan validation;
+    // delete dedupes its id list), so no distinct shuffle here
+    val batchKeys = rows.select(col(idCol))
     val maxRev = current
       .join(broadcast(batchKeys), Seq(idCol), "leftsemi")
       .groupBy(col(idCol))
@@ -67,7 +69,7 @@ object PropertyStore {
       idCol: String, revCol: String, deletedCol: String): DataFrame = {
     val spark = current.sparkSession
     import spark.implicits._
-    val keys = ids.map(_.toString).toDF(idCol)
+    val keys = ids.map(_.toString).distinct.toDF(idCol)
       .withColumn(idCol, col(idCol).cast(current.schema(idCol).dataType))
     val tombs = withNextRev(current, keys, idCol, revCol)
       .withColumn(deletedCol, lit(true))
