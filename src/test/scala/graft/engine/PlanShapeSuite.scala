@@ -98,6 +98,14 @@ class PlanShapeSuite extends SparkSpec {
     assert(n == 0, s"$n persistent RDDs still pinned after GC")
   }
 
+  test("q53 curation: AQE converts the dedup-survivor join to a broadcast") {
+    val df = SparkEntry.queries("q53_corpus_curation")(spark, sf0001)
+    df.collect() // AQE finalizes the plan at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "survivor join stayed a sort-merge join")
+  }
+
   test("q01 time scan pushes the range to parquet and prunes columns") {
     val p = plan("q01_scan_timerange")
     assert(p.contains("PushedFilters: [IsNotNull(ts)") ||
