@@ -58,12 +58,13 @@ object GraftExtensions {
     fn("graft_simhash", "graft_simhash(text) - 60-bit simhash of the token stream") {
       args => SimHash60Expr(args(0))
     },
-    fn("graft_tokens", "graft_tokens(text, 'standard'|'simple'|'url') - analyzer token array") {
+    fn("graft_tokens", "graft_tokens(text, 'standard'|'simple'|'keyword'|'url') - analyzer token array") {
       args =>
         val mode = args(1) match {
           case Literal(s, _) if s != null => s.toString match {
             case "standard" => AnalyzerImpl.MODE_STANDARD
             case "simple" => AnalyzerImpl.MODE_SIMPLE
+            case "keyword" => AnalyzerImpl.MODE_KEYWORD
             case "url" => AnalyzerImpl.MODE_URL
             case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
           }

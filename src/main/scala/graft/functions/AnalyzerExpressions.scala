@@ -31,8 +31,11 @@ object AnalyzerImpl {
   val MODE_STANDARD = 0 // lowercase, [letter|digit] runs
   val MODE_SIMPLE = 1   // lowercase, letter runs
   val MODE_URL = 2      // case preserved, [letter|digit] runs
+  val MODE_KEYWORD = 3  // entire input as ONE lowercased token
 
   def tokenize(text: UTF8String, mode: Int): ArrayData = {
+    if (mode == MODE_KEYWORD)
+      return new GenericArrayData(Array[Any](text.toLowerCase))
     val s =
       if (mode == MODE_URL) text.toString
       else text.toLowerCase.toString // UTF8String lowercasing = Spark `lower`

@@ -29,8 +29,10 @@ object Analyzers {
   /** bluge keyword analyzer: entire input as ONE token, matched
     * case-insensitively (analyzer.go:36-62; SURVEY §2.6) — both the doc
     * column and the query values pass through the same lowercasing, so
-    * MATCH('EN','keyword') hits a 'en' tag. */
-  def keyword(c: Column): Column = array(lower(c))
+    * MATCH('EN','keyword') hits a 'en' tag. Routed through the same
+    * native kernel as the other three modes: one codegen call, and the
+    * SQL surface (`graft_tokens(c, 'keyword')`) covers all four. */
+  def keyword(c: Column): Column = AnalyzerFunctions.tokens(c, AnalyzerImpl.MODE_KEYWORD)
 
   /** reference URL analyzer: letter-or-number runs, case preserved
     * (analyzer.go:46-56 CharacterTokenizer + alphanumericFilter). */

@@ -86,12 +86,18 @@ object Similarity {
    * top-k aggregate.
    *
    * Scale shape: assignment is MAP-ONLY (the centroid matrix is a plan-time
-   * literal, like the LSH planes) — at 100 TB the corpus is scanned once to
-   * write cell-partitioned parquet, and a query reads nprobe/nlist of the
-   * data; probing is a broadcast equi-join on the cell id, never a cross
-   * join. The `collect()` here resolves the nlist centroid vectors at
-   * PLAN-BUILD time (broadcast-sized, like a dimension table) — it is not
-   * per-row driver work.
+   * reference object, like the LSH planes) — at 100 TB the corpus is
+   * scanned once to write cell-partitioned parquet, and a query reads
+   * nprobe/nlist of the data; probing is a broadcast equi-join on the cell
+   * id, never a cross join. The `collect()` here resolves the nlist
+   * centroid vectors at PLAN-BUILD time (broadcast-sized, like a dimension
+   * table) — it is not per-row driver work.
+   *
+   * Cell scoring runs through the native [[graft.functions.IvfProbeCellsExpr]]
+   * kernel: the centroid matrix is one flat double[] and the whole
+   * assignment (nlist cosines + nprobe selection) is one fused codegen'd
+   * loop per row, instead of an nlist-subtree literal-array expression
+   * evaluated per reference — the form that stops scaling past toy nlist.
    *
    * The quantizer takes the `nlist` lowest-id corpus vectors as centroids —
    * deterministic and recomputable by an external SQL oracle; a production
@@ -107,19 +113,21 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    // (sim, -cid) structs: lexicographic max = argmax cosine, smaller cid on ties
-    def cellScores(v: Column): Column = array(cents.map { case (cid, cv) =>
-      struct(cosine(v, array(cv.map(lit): _*)).as("s"), lit(-cid).as("nc"))
-    }: _*)
-    def bestCell(v: Column): Column = -array_max(cellScores(v)).getField("nc")
-    def probeCells(v: Column): Column =
-      transform(slice(sort_array(cellScores(v), asc = false), 1, nprobe),
-        s => -s.getField("nc"))
+    val dim = cents.head._2.length
+    val flat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    import graft.functions.IvfFunctions.probeCells
 
+    // both sides assign cells via explode(kernel): the Generate node
+    // materializes the cell id as an output ATTRIBUTE, so the join-key
+    // null filter references the attribute instead of re-inlining the
+    // kernel (element_at in a projection got duplicated into the pushed
+    // isnotnull predicate — two full scorings per corpus row). The corpus
+    // probe list has length 1, so its Generate is row-preserving.
     val lists = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
-      bestCell(col(vecCol)).as("__cell"))
+      explode(probeCells(col(vecCol), flat, cids, dim, 1)).as("__cell"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      explode(probeCells(col(vecCol))).as("__cell"))
+      explode(probeCells(col(vecCol), flat, cids, dim, nprobe)).as("__cell"))
     val scored = lists.join(broadcast(probes), Seq("__cell"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("nbr_vec")), 6))

@@ -32,6 +32,11 @@ class PlanShapeSuite extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("ObjectHashAggregate"))
     assert(!p.contains("Window"))
+    // cell scoring runs through the native kernel, evaluated ONCE per side
+    // (corpus best-cell projection + query probe-list generate) — not an
+    // nlist-subtree literal array inlined per reference
+    val kernelRefs = "ivfprobecells".r.findAllIn(p.toLowerCase).size
+    assert(kernelRefs >= 1 && kernelRefs <= 2, s"expected 1-2 kernel refs, got $kernelRefs:\n${p.take(3000)}")
   }
 
   test("q45 LSH near-dup: equi-join on bucket, NOT a nested loop") {
