@@ -38,8 +38,13 @@ object CriteriaTranslator {
     // EQ/NE are also valid on array tags — exact array equality
     // (tag_filter.go:413-442).
     case Op.Eq if values.size > 1 => c === array(values.map(litOf): _*)
+    // `tag = NULL` selects rows where the tag is unset — the topn golden
+    // case null_group.ql matches pre-agg groups whose group tag is null
+    // (test/cases/topn/data/want/null_group.yaml).
+    case Op.Eq if values.head == null => c.isNull
     case Op.Eq => c === litOf(values.head)
     case Op.Ne if values.size > 1 => c =!= array(values.map(litOf): _*)
+    case Op.Ne if values.head == null => c.isNotNull
     case Op.Ne => c =!= litOf(values.head)
     case Op.Lt => c < litOf(values.head)
     case Op.Gt => c > litOf(values.head)
@@ -72,12 +77,18 @@ object CriteriaTranslator {
    * planner calls this.
    */
   def validateEntityResolvable(c: Criteria, entityTags: Seq[String]): Unit =
-    if (entityTags.nonEmpty) {
-      entitiesOf(c, entityTags.zipWithIndex.toMap, entityTags.length); ()
-    }
+    if (entityTags.nonEmpty &&
+        entitiesOf(c, entityTags.zipWithIndex.toMap, entityTags.length).isEmpty)
+      throw new IllegalArgumentException(
+        "criteria AND pins an entity tag to conflicting values: no resolvable series")
 
   /** Per-branch entity assignments; inner Vector = one candidate series
-    * key, None = any value at that position. */
+    * key, None = any value at that position. An EMPTY result is the
+    * reference's nil — a conflicting AND merge. Nil is treated as "any" by
+    * an ENCLOSING merge (parser.go:124-134 anyEntity iterates a nil slice
+    * vacuously, so `if leftAny { return right }` recovers), and only an
+    * empty result AT THE ROOT fails the query — e.g. ((a=1 AND a=2) AND
+    * a=1) resolves to a=1 while gen_tree_depth5_deep_or stays an error. */
   private def entitiesOf(c: Criteria, pos: Map[String, Int],
       n: Int): Seq[Vector[Option[Any]]] = {
     val any = Vector.fill[Option[Any]](n)(None)
@@ -94,13 +105,9 @@ object CriteriaTranslator {
         else if (isAny(re)) le
         else {
           val merged = le ++ re
-          Seq(Vector.tabulate(n) { i =>
-            val defined = merged.flatMap(_(i)).distinct
-            if (defined.size > 1) throw new IllegalArgumentException(
-              "criteria AND pins an entity tag to conflicting values: " +
-                defined.mkString(" vs "))
-            defined.headOption
-          })
+          val perPos = Vector.tabulate(n)(i => merged.flatMap(_(i)).distinct)
+          if (perPos.exists(_.size > 1)) Nil // nil-as-any (parser.go:148-162)
+          else Seq(perPos.map(_.headOption))
         }
       case Or(l, r) =>
         val (le, re) = (entitiesOf(l, pos, n), entitiesOf(r, pos, n))

@@ -27,7 +27,12 @@ object Planners {
 
   private[engine] def applyTime(df: DataFrame, tdef: TableDef, tr: Option[TimeRange]): DataFrame =
     tr match {
-      case Some(TimeRange(b, e)) =>
+      case Some(TimeRange(b0, e)) =>
+        // CreatedAt clamp (banyand/liaison/grpc/schema_revision.go:32-49):
+        // begin advances to the resource's creation time; a begin pushed
+        // past end folds to an unsatisfiable range (empty result), matching
+        // the reference's rangeEmpty short-circuit.
+        val b = tdef.createdAt.filter(_.isAfter(b0)).getOrElse(b0)
         val name = tdef.tsCol.getOrElse("ts")
         val ts = col(name)
         // [begin, end) — model/v1/query.proto:125-130. A LongType ts column

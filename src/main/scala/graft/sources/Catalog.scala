@@ -30,7 +30,11 @@ final case class TableDef(
     /** version column for latest-version-wins dedup, if the table has one. */
     versionCol: Option[String] = None,
     /** columns that are array-typed tags (HAVING-able). */
-    arrayTags: Set[String] = Set.empty)
+    arrayTags: Set[String] = Set.empty,
+    /** resource creation time: a query's time-range begin is clamped
+      * forward to this (banyand/liaison/grpc/schema_revision.go:32-49
+      * clampTimeRangeBegin) so pre-creation timestamps are never served. */
+    createdAt: Option[java.time.Instant] = None)
 
 object Catalog {
 

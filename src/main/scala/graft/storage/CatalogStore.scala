@@ -39,14 +39,23 @@ final case class CatalogEntry(
     /** lifecycle stage → layout root (hot/warm/cold tiers). When present,
       * [[CatalogStore.open]] rebuilds the per-stage frames so `ON (...)
       * STAGES` routing survives the session like the rest of the schema. */
-    stageRoots: Map[String, String] = Map.empty) {
+    stageRoots: Map[String, String] = Map.empty,
+    /** ingest-time tokenization (source column → analyzer name) — part of
+      * the schema exactly like the reference's IndexRule `analyzer`
+      * (database/v1/schema.proto:180-189): it must survive save/open, or a
+      * reopened resource would stop materializing its MATCH token columns. */
+    analyzerColumns: Map[String, String] = Map.empty,
+    /** resource creation time (epoch millis); query begin times clamp
+      * forward to it (schema_revision.go:32-49 clampTimeRangeBegin). */
+    createdAtMs: Option[Long] = None) {
 
   def spec: LayoutSpec = LayoutSpec(group, name, entity, tsCol, tsIsNanos,
-    shardNum, segmentDays)
+    shardNum, segmentDays, analyzerColumns)
 
   def tdef: graft.sources.TableDef = graft.sources.TableDef(name,
     entity = entity, tsCol = Some(tsCol), versionCol = versionCol,
-    arrayTags = arrayTags.toSet)
+    arrayTags = arrayTags.toSet,
+    createdAt = createdAtMs.map(java.time.Instant.ofEpochMilli))
 }
 
 object CatalogStore {
@@ -72,41 +81,59 @@ object CatalogStore {
     save(df.sparkSession, root, e)
   }
 
-  /** All catalog entries recorded under a root. */
+  /** All catalog entries recorded under a root: ONE json read over every
+    * entry directory (one Spark job total, not one per entry — at a
+    * thousand registered resources a per-entry job loop is a thousand
+    * driver round-trips for kilobytes of metadata). */
   def entries(spark: SparkSession, root: String): Seq[CatalogEntry] = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val dir = new Path(s"$root/$CatalogDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).filter(_.isDirectory).toSeq.map { st =>
-      spark.read
-        .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
-        .json(st.getPath.toString).as[CatalogEntry].head()
-    }
+    val dirs = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.toString)
+    if (dirs.isEmpty) return Nil
+    spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
+      .json(dirs: _*).as[CatalogEntry].collect().toSeq
+      .sortBy(e => (e.group, e.name))
   }
 
   /** Open a layout root as ready-to-query resources — no manual
     * registration. Keys: both `name` and `group/name` (the resolution
     * order BydbQL.resolve expects). */
   def open(spark: SparkSession, root: String): Map[String, graft.ql.BydbQL.Resource] =
-    entries(spark, root).flatMap { e =>
-      val stageDfs = e.stageRoots.map { case (st, r) =>
-        st -> Layout.read(spark, r, e.spec)
+    openAll(spark, Seq(root))
+
+  /** Multi-root open: one deployment commonly spreads groups over several
+    * roots (per-tenant buckets, per-stage storage classes); the merged map
+    * is queryable as one namespace. Later roots win on key collisions, the
+    * same last-writer rule a re-`save` has within one root. */
+  def open(spark: SparkSession, roots: Seq[String]): Map[String, graft.ql.BydbQL.Resource] =
+    openAll(spark, roots)
+
+  private def openAll(spark: SparkSession,
+      roots: Seq[String]): Map[String, graft.ql.BydbQL.Resource] =
+    roots.flatMap { root =>
+      entries(spark, root).flatMap { e =>
+        // stage reads route through Stages.read so migration fencing
+        // (Stages.Migration) applies to catalog-opened resources too
+        val sr = if (e.stageRoots.nonEmpty) Some(StageRoots(e.stageRoots)) else None
+        val stageDfs = sr.fold(Map.empty[String, org.apache.spark.sql.DataFrame]) { s =>
+          e.stageRoots.keys.map(st => st -> Stages.read(spark, e.spec, s, Seq(st))).toMap
+        }
+        val res = graft.ql.BydbQL.Resource(
+          df = sr.fold(Layout.read(spark, root, e.spec))(s => Stages.read(spark, e.spec, s)),
+          tdef = e.tdef,
+          stageDfs = stageDfs,
+          fields = e.fields.toSet,
+          elementIdCol = e.elementIdCol,
+          traceIdCol = e.traceIdCol,
+          spanStruct = e.spanStruct,
+          propertyIdCol = e.propertyIdCol,
+          propertyRevCol = e.propertyRevCol,
+          propertyDeletedCol = e.propertyDeletedCol)
+        Seq(e.name -> res, s"${e.group}/${e.name}" -> res)
       }
-      val res = graft.ql.BydbQL.Resource(
-        df =
-          if (stageDfs.isEmpty) Layout.read(spark, root, e.spec)
-          else stageDfs.toSeq.sortBy(_._1).map(_._2).reduce(_.unionByName(_)),
-        tdef = e.tdef,
-        stageDfs = stageDfs,
-        fields = e.fields.toSet,
-        elementIdCol = e.elementIdCol,
-        traceIdCol = e.traceIdCol,
-        spanStruct = e.spanStruct,
-        propertyIdCol = e.propertyIdCol,
-        propertyRevCol = e.propertyRevCol,
-        propertyDeletedCol = e.propertyDeletedCol)
-      Seq(e.name -> res, s"${e.group}/${e.name}" -> res)
     }.toMap
 }

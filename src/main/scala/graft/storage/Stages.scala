@@ -1,5 +1,6 @@
 package graft.storage
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,15 +27,91 @@ final case class StageRoots(roots: Map[String, String]) {
 
 object Stages {
 
+  /** In-flight migration record, persisted as `_graft_migration` inside the
+    * TARGET stage's table directory (underscore-prefixed → invisible to
+    * parquet file listing, like `_SUCCESS`). The reference's lifecycle
+    * migration keeps a segment live in exactly one tier by tracking segment
+    * state (banyand/backup/lifecycle/); the marker is that state:
+    *
+    *  - `copying`:   target may hold partial data for `segs` → target reads
+    *                 exclude them; source still serves them. Exactly once.
+    *  - `committed`: target copy is complete → source reads exclude `segs`;
+    *                 target serves them. Exactly once, before the source
+    *                 delete has happened.
+    *
+    * A crash at any point leaves a state where every row is visible in
+    * exactly one tier, and re-running [[migrate]] resumes idempotently
+    * (the copy is a dynamic-partition overwrite, not an append).
+    */
+  private[storage] final case class Migration(
+      state: String, from: String, to: String, segs: Seq[Int])
+
+  private val MarkerName = "_graft_migration"
+
+  private def markerPath(root: String, spec: LayoutSpec): Path =
+    new Path(Layout.path(root, spec), MarkerName)
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMarker(spark: SparkSession, root: String, spec: LayoutSpec,
+      m: Migration): Unit = {
+    val p = markerPath(root, spec)
+    val out = fs(spark, p).create(p, true)
+    try out.write(
+      s"${m.state}\n${m.from}\n${m.to}\n${m.segs.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[storage] def readMarker(spark: SparkSession, root: String,
+      spec: LayoutSpec): Option[Migration] = {
+    val p = markerPath(root, spec)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split("\n")
+    Some(Migration(lines(0), lines(1), lines(2),
+      lines.lift(3).filter(_.nonEmpty).toSeq.flatMap(_.split(",")).map(_.trim.toInt)))
+  }
+
+  private def clearMarker(spark: SparkSession, root: String, spec: LayoutSpec): Unit = {
+    val p = markerPath(root, spec)
+    fs(spark, p).delete(p, false)
+  }
+
+  /** Per-stage segment exclusions implied by in-flight migrations: scan
+    * every stage root for a marker (driver-side, one tiny file per root)
+    * and fence the tier that must NOT serve the in-flight segments. */
+  private def migrationExclusions(spark: SparkSession, spec: LayoutSpec,
+      sr: StageRoots): Map[String, Set[Int]] =
+    sr.roots.values.toSeq.distinct
+      .flatMap(root => readMarker(spark, root, spec))
+      .flatMap { m =>
+        m.state match {
+          case "copying"   => Some(m.to -> m.segs.toSet)   // target partial
+          case "committed" => Some(m.from -> m.segs.toSet) // source stale
+          case _           => None
+        }
+      }
+      .groupBy(_._1).map { case (st, xs) => st -> xs.flatMap(_._2).toSet }
+
   /** Scan the selected stages (all stages when `stages` is empty —
     * query.proto: unspecified = query every stage). One parquet scan per
     * selected root, unioned; an unselected stage's directories are never
-    * listed. */
+    * listed. Segments of an in-flight migration are excluded from the tier
+    * that must not serve them (see [[Migration]]) — the exclusion is a
+    * partition-column predicate, so the fenced directories are pruned at
+    * file-listing time. */
   def read(spark: SparkSession, spec: LayoutSpec, sr: StageRoots,
       stages: Seq[String] = Nil): DataFrame = {
     val sel = if (stages.isEmpty) sr.roots.keys.toSeq.sorted else stages
-    sel.map(st => Layout.read(spark, sr.root(st), spec))
-      .reduce(_.unionByName(_))
+    val excl = migrationExclusions(spark, spec, sr)
+    sel.map { st =>
+      val df = Layout.read(spark, sr.root(st), spec)
+      excl.get(st).filter(_.nonEmpty)
+        .fold(df)(s => df.filter(!col(Layout.SegCol).isin(s.toSeq.sorted: _*)))
+    }.reduce(_.unionByName(_))
   }
 
   /** Ingest into one stage's root (writes normally land in `hot`). */
@@ -48,18 +125,58 @@ object Stages {
    * granular like TTL — the moved unit is a directory, so at scale this
    * is a copy + prefix-delete, never a row-level rewrite. Returns the
    * migrated segment ids.
+   *
+   * Exactly-once under concurrency AND crash-retry:
+   *  1. record the in-flight segment ids (marker `copying` in the target
+   *     table dir) — concurrent readers fence the target for those segs;
+   *  2. copy with dynamic-partition OVERWRITE — a retried migration
+   *     replaces the target segment directories instead of appending a
+   *     second copy;
+   *  3. flip the marker to `committed` — readers now fence the source;
+   *  4. TTL the segments out of the source, drop the marker.
+   *
+   * `onPhase` is a test seam: invoked with "copying" / "copied" /
+   * "committed" between the steps so a suite can assert mid-migration
+   * visibility.
    */
   def migrate(spark: SparkSession, spec: LayoutSpec, sr: StageRoots,
-      from: String, to: String, olderThan: java.time.Instant): Seq[Int] = {
+      from: String, to: String, olderThan: java.time.Instant,
+      onPhase: String => Unit = _ => ()): Seq[Int] = {
     val horizon = Layout.segFor(spec, olderThan)
+    val srcTable = new Path(Layout.path(sr.root(from), spec))
+    val f = fs(spark, srcTable)
+    val segs: Seq[Int] =
+      if (!f.exists(srcTable)) Nil
+      else f.listStatus(srcTable).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${Layout.SegCol}="))
+        .map(_.getPath.getName.stripPrefix(s"${Layout.SegCol}=").toInt)
+        .filter(_ < horizon).sorted
+    if (segs.isEmpty) {
+      // resume tail of a crashed run: source already emptied, marker left
+      readMarker(spark, sr.root(to), spec) match {
+        case Some(m) if m.state == "committed" && m.from == from =>
+          clearMarker(spark, sr.root(to), spec)
+          return m.segs
+        case _ => return Nil
+      }
+    }
+    writeMarker(spark, sr.root(to), spec, Migration("copying", from, to, segs))
+    onPhase("copying")
     val src = Layout.read(spark, sr.root(from), spec)
-      .filter(col(Layout.SegCol) < horizon)
+      .filter(col(Layout.SegCol).isin(segs: _*))
     // rows are already routed (seg/shard are partition columns of the
     // source layout) — write them straight into the target's directories
     src.repartition(col(Layout.SegCol), col(Layout.ShardCol))
-      .write.mode("append")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(Layout.SegCol, Layout.ShardCol)
       .parquet(Layout.path(sr.root(to), spec))
+    spark.catalog.refreshByPath(Layout.path(sr.root(to), spec))
+    onPhase("copied")
+    writeMarker(spark, sr.root(to), spec, Migration("committed", from, to, segs))
+    onPhase("committed")
     Layout.enforceTtl(spark, sr.root(from), spec, olderThan)
+    clearMarker(spark, sr.root(to), spec)
+    segs
   }
 }

@@ -84,15 +84,19 @@ class IntegrationSuite extends SparkSpec {
       "session queries → migration → TTL") {
     import graft.storage.{CatalogEntry, CatalogStore, Stages, StageRoots}
     val events = Catalog.load(spark, sf0001, "events")
-    val cut = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    // a SEGMENT boundary (epoch-day 19740 = 7×2820): lifecycle tiers hold
+    // whole segments — a segment lives in exactly one tier, the invariant
+    // Stages.migrate's overwrite copy relies on
+    val cut = java.time.Instant.parse("2024-01-18T00:00:00Z")
     def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L
 
     // 1. ingest into hot/warm tiers, analyzer column materialized at write
     val entry = CatalogEntry("it2", "events", entity = Seq("user_id"),
       tsCol = "ts_ns", tsIsNanos = true, shardNum = 4, segmentDays = 7,
       fields = Seq("value"),
-      stageRoots = Map("hot" -> tmp("it2hot"), "warm" -> tmp("it2warm")))
-    val spec = entry.spec.copy(analyzerColumns = Map("event_type" -> "standard"))
+      stageRoots = Map("hot" -> tmp("it2hot"), "warm" -> tmp("it2warm")),
+      analyzerColumns = Map("event_type" -> "standard"))
+    val spec = entry.spec
     val sr = StageRoots(entry.stageRoots)
     Stages.appendTo(events.filter(col("ts_ns") >= ns(cut)), "hot", sr, spec,
       mode = "overwrite")

@@ -35,6 +35,52 @@ class PlannersSuite extends SparkSpec {
     assert(excl.filter(col("ts_ns") === t).count() == 0)
   }
 
+  test("CreatedAt clamps the time-range begin forward (clampTimeRangeBegin)") {
+    val createdAt = Instant.parse("2024-01-15T00:00:00Z")
+    val tdef = evDef.copy(createdAt = Some(createdAt))
+    // begin far before creation: served rows start at createdAt
+    val out = Planners.measure(events, tdef, MeasureQuery(Seq("g"), "events",
+      timeRange = Some(TimeRange(Instant.EPOCH, Instant.parse("2024-02-01T00:00:00Z"))),
+      limit = 1000000))
+    def ns(i: Instant) = i.getEpochSecond * 1000000000L
+    assert(out.count() ==
+      events.filter(col("ts_ns") >= ns(createdAt) &&
+        col("ts_ns") < ns(Instant.parse("2024-02-01T00:00:00Z"))).count())
+    assert(out.count() > 0)
+    // begin clamped past end → empty (schema_revision.go:45-47 rangeEmpty)
+    assert(Planners.measure(events, tdef, MeasureQuery(Seq("g"), "events",
+      timeRange = Some(TimeRange(Instant.EPOCH, Instant.parse("2024-01-10T00:00:00Z"))),
+      limit = 1000000)).count() == 0)
+    // begin after creation is untouched; no createdAt → no clamp
+    assert(Planners.measure(events, tdef, MeasureQuery(Seq("g"), "events",
+      timeRange = Some(TimeRange(Instant.parse("2024-01-20T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"))), limit = 1000000)).count() ==
+      events.filter(col("ts_ns") >= ns(Instant.parse("2024-01-20T00:00:00Z")) &&
+        col("ts_ns") < ns(Instant.parse("2024-02-01T00:00:00Z"))).count())
+    assert(Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+      timeRange = Some(TimeRange(Instant.EPOCH, Instant.parse("2024-02-01T00:00:00Z"))),
+      limit = 1000000)).count() == events.count())
+  }
+
+  test("conflicting entity AND recovers when an enclosing AND re-pins (nil-as-any)") {
+    // ((u=2 AND u=4) AND u=2): the inner conflict resolves to nil, the
+    // enclosing AND adopts the other side (parser.go:141-146) — the query
+    // plans, and the contradictory FILTER simply matches nothing
+    val q = MeasureQuery(Seq("g"), "events",
+      criteria = Some(And(
+        And(Cond("user_id", Op.Eq, Seq(2L)), Cond("user_id", Op.Eq, Seq(4L))),
+        Cond("user_id", Op.Eq, Seq(2L)))), limit = 1000000)
+    assert(Planners.measure(events, evDef, q).count() == 0)
+    // a bare conflicting AND at the root still fails
+    val e = intercept[IllegalArgumentException] {
+      Planners.measure(events, evDef, MeasureQuery(Seq("g"), "events",
+        criteria = Some(Or(
+          And(Cond("user_id", Op.Eq, Seq(2L)), Cond("user_id", Op.Eq, Seq(4L))),
+          And(Cond("user_id", Op.Eq, Seq(5L)), Cond("user_id", Op.Eq, Seq(6L)))))))
+    }
+    assert(e.getMessage.contains("conflicting values"))
+  }
+
   test("non-EQ/IN on an entity tag is rejected (F6)") {
     val q = MeasureQuery(Seq("g"), "events",
       criteria = Some(Cond("user_id", Op.Gt, Seq(5L))))

@@ -94,9 +94,41 @@ class CatalogStoreSuite extends SparkSpec {
       spanStruct = Seq("event_id", "ts_ns"),
       propertyIdCol = Some("pid"), propertyRevCol = Some("rev"),
       propertyDeletedCol = Some("deleted"),
-      stageRoots = Map("hot" -> "/tiers/hot", "cold" -> "/tiers/cold"))
+      stageRoots = Map("hot" -> "/tiers/hot", "cold" -> "/tiers/cold"),
+      analyzerColumns = Map("event_type" -> "standard", "props" -> "url"),
+      createdAtMs = Some(1704067200000L))
     CatalogStore.save(spark, root, full)
     val back = CatalogStore.entries(spark, root)
     assert(back == Seq(full))
+    // tokenization config reaches the layout spec (ADVICE: ingest-time
+    // token columns must survive save/open) and createdAt reaches the
+    // planner's clamp via tdef
+    assert(back.head.spec.analyzerColumns == full.analyzerColumns)
+    assert(back.head.tdef.createdAt.contains(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")))
+  }
+
+  test("multi-root open merges namespaces; entries is ONE job per root") {
+    val rootA = tmp("rootA")
+    val rootB = tmp("rootB")
+    CatalogStore.ingest(events, rootA, entry, mode = "overwrite")
+    CatalogStore.ingest(events, rootB,
+      entry.copy(group = "g2", name = "events2"), mode = "overwrite")
+    // several entries under one root: catalog reads must not loop jobs
+    CatalogStore.ingest(events.limit(50), rootA,
+      entry.copy(name = "events_idx"), mode = "overwrite")
+
+    spark.sparkContext.setJobGroup("catalog-entries", "catalog-entries")
+    val es = try CatalogStore.entries(spark, rootA)
+      finally spark.sparkContext.clearJobGroup()
+    assert(es.map(_.name).sorted == Seq("events", "events_idx"))
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("catalog-entries")
+    assert(jobs.length == 1, s"expected ONE catalog job, saw ${jobs.length}")
+
+    val res = CatalogStore.open(spark, Seq(rootA, rootB))
+    assert(res.contains("testdata/events") && res.contains("g2/events2"))
+    assert(BydbQL.run(
+      "SELECT event_id FROM MEASURE events2 IN g2 LIMIT 1000000", res)
+      .count() == events.count())
   }
 }

@@ -93,6 +93,60 @@ class StagesSuite extends SparkSpec {
     }
   }
 
+  test("mid-migration reads see each row exactly once at every phase") {
+    val sr = StageRoots(Map("hot" -> tmp("hot"), "warm" -> tmp("warm")))
+    // segment-ALIGNED seeding — the lifecycle invariant is that a segment
+    // lives in exactly one tier, so tiers must split on a segment boundary
+    val segBoundary = Layout.segFor(spec, java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val seg = Layout.segExprFor(spec)
+    Stages.appendTo(events.filter(seg < segBoundary), "warm", sr, spec, mode = "overwrite")
+    Stages.appendTo(events.filter(seg >= segBoundary), "hot", sr, spec, mode = "overwrite")
+    val total = events.count()
+    val horizon = java.time.Instant.parse("2024-01-22T00:00:00Z")
+
+    var phases = List.empty[String]
+    val moved = Stages.migrate(spark, spec, sr, "hot", "warm", horizon, onPhase = { ph =>
+      phases ::= ph
+      val hot = Stages.read(spark, spec, sr, Seq("hot")).count()
+      val warm = Stages.read(spark, spec, sr, Seq("warm")).count()
+      assert(hot + warm == total, s"phase $ph: $hot hot + $warm warm != $total")
+      assert(Stages.read(spark, spec, sr).count() == total, s"phase $ph: union")
+    })
+    assert(phases.reverse == List("copying", "copied", "committed"))
+    assert(moved.nonEmpty)
+    assert(Stages.read(spark, spec, sr).count() == total)
+    // marker cleared — no exclusions linger
+    assert(Stages.readMarker(spark, sr.root("warm"), spec).isEmpty)
+  }
+
+  test("migration retried after a crash between copy and commit does not duplicate") {
+    val sr = StageRoots(Map("hot" -> tmp("hot"), "warm" -> tmp("warm")))
+    val segBoundary = Layout.segFor(spec, java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val seg = Layout.segExprFor(spec)
+    Stages.appendTo(events.filter(seg < segBoundary), "warm", sr, spec, mode = "overwrite")
+    Stages.appendTo(events.filter(seg >= segBoundary), "hot", sr, spec, mode = "overwrite")
+    val total = events.count()
+    val horizon = java.time.Instant.parse("2024-01-22T00:00:00Z")
+
+    // crash AFTER the copy landed in warm but BEFORE the commit flip
+    val boom = intercept[RuntimeException] {
+      Stages.migrate(spark, spec, sr, "hot", "warm", horizon,
+        onPhase = ph => if (ph == "copied") throw new RuntimeException("boom"))
+    }
+    assert(boom.getMessage == "boom")
+    // marker=copying fences the half-written target: still exactly once
+    assert(Stages.read(spark, spec, sr).count() == total)
+
+    // the retry must REPLACE the target copy (dynamic overwrite), not append
+    val moved = Stages.migrate(spark, spec, sr, "hot", "warm", horizon)
+    assert(moved.nonEmpty)
+    assert(Stages.read(spark, spec, sr).count() == total)
+    assert(Stages.read(spark, spec, sr, Seq("warm")).count() ==
+      events.filter(seg < Layout.segFor(spec, horizon)).count())
+    // and a further run is a no-op
+    assert(Stages.migrate(spark, spec, sr, "hot", "warm", horizon).isEmpty)
+  }
+
   test("migration moves whole expired segments hot → warm, preserving rows") {
     val sr = StageRoots(Map("hot" -> tmp("hot"), "warm" -> tmp("warm")))
     // everything starts hot; migrate the pre-cut segments to warm
