@@ -282,10 +282,57 @@ object Planners {
     agged.orderBy(ord, col("entity").asc).limit(q.topN)
   }
 
+  /**
+   * TopN rewrite-to-raw fallback (measure/v1/query.proto:149-150
+   * `rewrite_agg_top_n_result`): when the measure has NO registered
+   * `_top_n_result` pre-aggregation (or it is stale), the reference answers
+   * the TopN query from the raw measure. Spark shape: compose the bucket
+   * pre-compute and the TopN read into ONE declarative plan — Catalyst
+   * fuses them; the bucket ranking stays the bounded TopK aggregate, so
+   * nothing unbounded appears even though the pre-agg table is skipped.
+   */
+  def topNFromRaw(df: DataFrame, tsNanosCol: String, entityCol: String,
+      valueExpr: Column, intervalMs: Long, countersN: Int,
+      q: TopNQuery, groupCols: Seq[String] = Nil): DataFrame = {
+    val buckets = topNBuckets(df, tsNanosCol, entityCol, valueExpr,
+      intervalMs, countersN, desc = q.desc, groupCols = groupCols)
+      .withColumnRenamed("bucket_ms", "bucket_start").drop("rank")
+    topNRead(buckets, q)
+  }
+
   private def aggName(fn: AggFn): String = fn match {
     case AggFn.Sum => "sum_value"; case AggFn.Count => "count_value"
     case AggFn.Max => "max_value"; case AggFn.Min => "min_value"
     case AggFn.Mean => "mean_value"
+  }
+
+  /**
+   * Schema-flexible property documents (docs/concept/data-model.md:256-293):
+   * reference properties carry PER-DOCUMENT tag sets — two documents of one
+   * property need not share columns. Spark shape: a map-typed `tags` column
+   * holds each document's own tags; the tags a query actually references
+   * (projection, criteria, order) are promoted to real columns via
+   * `element_at` (null where a document lacks the tag — the reference
+   * returns null tags the same way), then the normal property path runs.
+   * Promotion is by-reference only, so the scan reads just the map column
+   * plus the fixed keys regardless of how many distinct tag names exist
+   * across a 100 TB property group.
+   */
+  def propertyFlexible(df: DataFrame, q: PropertyQuery, idCol: String,
+      revCol: String, deletedCol: Option[String] = None,
+      tagsCol: String = "tags"): DataFrame = {
+    def tagsOf(c: Criteria): Seq[String] = c match {
+      case Cond(t, _, _) => Seq(t)
+      case And(l, r) => tagsOf(l) ++ tagsOf(r)
+      case Or(l, r) => tagsOf(l) ++ tagsOf(r)
+    }
+    val referenced = (q.projection ++ q.criteria.toSeq.flatMap(tagsOf) ++
+      q.orderBy.flatMap(_.tag).toSeq).distinct
+    val fixed = df.columns.toSet
+    val flat = referenced.filterNot(fixed.contains).foldLeft(df) { (acc, k) =>
+      acc.withColumn(k, element_at(col(tagsCol), k))
+    }
+    property(flat.drop(tagsCol), q, idCol, revCol, deletedCol)
   }
 
   /** Multi-group union with schema merge (measure_analyzer.go:96-108;

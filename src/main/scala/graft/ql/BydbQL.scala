@@ -36,7 +36,28 @@ object BydbQL {
       /** property key / revision / tombstone columns. */
       propertyIdCol: Option[String] = None,
       propertyRevCol: Option[String] = None,
-      propertyDeletedCol: Option[String] = None)
+      propertyDeletedCol: Option[String] = None,
+      /** schema-flexible property documents: name of a map-typed column
+        * holding each document's own tag set (docs/concept/
+        * data-model.md:256-293); queried tags are promoted on demand. */
+      propertyTagsCol: Option[String] = None,
+      /** TopN fallback source (measure/v1/query.proto:149-150
+        * rewrite_agg_top_n_result): when the resource is a RAW measure with
+        * no `_top_n_result` table, this carries the TopNAggregation schema
+        * (ranked field, interval, counters) so a SHOW TOP query is answered
+        * by composing the pre-compute and the read in one plan. */
+      topNRule: Option[TopNRule] = None)
+
+  /** The TopNAggregation declaration a raw measure carries
+    * (database/v1/schema.proto:129-156): what to rank, per which time
+    * bucket, keeping how many per-bucket counters. */
+  final case class TopNRule(
+      tsNanosCol: String,
+      entityCol: String,
+      valueExpr: org.apache.spark.sql.Column,
+      intervalMs: Long,
+      countersNumber: Int,
+      groupCols: Seq[String] = Nil)
 
   def parse(ql: String): QlStatement = Parser.parse(ql)
 
@@ -105,7 +126,8 @@ object BydbQL {
       case t: QlShowTopN => (t.from.name, t.from.groups)
     }
     val res = resolve(resources, name, groups)
-    val schema = QlSchema(res.df.schema, res.fields)
+    val schema = QlSchema(res.df.schema, res.fields,
+      flexible = res.propertyTagsCol.isDefined)
     Transformer.transform(stmt, schema, now) match {
       case MeasureStatement(q) =>
         Planners.measure(stagedDf(res, q.stages, name), res.tdef, q)
@@ -124,9 +146,21 @@ object BydbQL {
           case _ => throw new IllegalArgumentException(
             s"resource $name has no property id/revision columns")
         }
-        Planners.property(res.df, q, idc, revc, res.propertyDeletedCol)
+        res.propertyTagsCol match {
+          case Some(tc) =>
+            Planners.propertyFlexible(res.df, q, idc, revc,
+              res.propertyDeletedCol, tc)
+          case None =>
+            Planners.property(res.df, q, idc, revc, res.propertyDeletedCol)
+        }
       case TopNStatement(q) =>
-        Planners.topNRead(stagedDf(res, q.stages, name), q)
+        res.topNRule match {
+          // no registered `_top_n_result` → rewrite to the raw measure
+          case Some(r) => Planners.topNFromRaw(stagedDf(res, q.stages, name),
+            r.tsNanosCol, r.entityCol, r.valueExpr, r.intervalMs,
+            r.countersNumber, q, r.groupCols)
+          case None => Planners.topNRead(stagedDf(res, q.stages, name), q)
+        }
     }
   }
 

@@ -15,9 +15,13 @@ import org.apache.spark.sql.types._
 final case class QlSchema(
     struct: StructType,
     /** field (aggregatable value) column names; everything else is a tag. */
-    fields: Set[String]) {
+    fields: Set[String],
+    /** schema-flexible resources (Property documents carry per-document tag
+      * sets, docs/concept/data-model.md:256-293): tags outside the fixed
+      * columns are legal — they resolve per document, null where absent. */
+    flexible: Boolean = false) {
 
-  def has(name: String): Boolean = struct.fieldNames.contains(name)
+  def has(name: String): Boolean = flexible || struct.fieldNames.contains(name)
 
   /** Coerce a QL literal to the column's Spark type (the reference converts
     * by the registered tag type, transformer.go:1230-1310). */
