@@ -240,11 +240,13 @@ object Planners {
     if (q.ids.nonEmpty) d = d.filter(col(idCol).cast("string").isin(q.ids: _*))
     q.criteria.foreach(cr => d = d.filter(CriteriaTranslator.toColumn(cr)))
     // ORDER BY tag ASC|DESC with id tiebreak (property/data/input/order_by_*.ql);
-    // sorted BEFORE projection so the sort tag may stay unprojected (P3)
-    q.orderBy.foreach { case OrderBy(tag, desc) =>
-      val c = col(tag.getOrElse(idCol))
-      d = d.orderBy(if (desc) c.desc else c.asc, col(idCol).asc)
-    }
+    // sorted BEFORE projection so the sort tag may stay unprojected (P3).
+    // Default = id ascending — the reference store iterates documents in id
+    // order, which is what makes a bare LIMIT deterministic (limit.ql's
+    // expected row is the lowest id).
+    val OrderBy(obTag, obDesc) = q.orderBy.getOrElse(OrderBy(None, desc = false))
+    val obCol = col(obTag.getOrElse(idCol))
+    d = d.orderBy(if (obDesc) obCol.desc else obCol.asc, col(idCol).asc)
     if (q.projection.nonEmpty) d = d.select(q.projection.map(col): _*)
     if (q.limit > 0) d.limit(q.limit) else d
   }
