@@ -103,6 +103,28 @@ class PlanShapeSuite extends SparkSpec {
     assert(n == 0, s"$n persistent RDDs still pinned after GC")
   }
 
+  test("dedup barrier modes: reliable checkpoint and persist agree with default") {
+    // cluster deployments trade localCheckpoint's cleanup for fault
+    // tolerance (reliable checkpoint keeps the job recoverable on executor
+    // loss; persist keeps lineage) — all three modes must be equivalent
+    import graft.operators.Dedup
+    import graft.sources.Catalog
+    val docs = Catalog.load(spark, sf0001, "documents").limit(200)
+    def run() = Dedup.minhashLshPairs(docs, "doc_id", "text", w = 3,
+      bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    val base = run()
+    val ckptDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      spark.conf.set("spark.graft.dedup.barrier", "checkpoint")
+      assert(run() == base, "reliable checkpoint diverged")
+      spark.conf.set("spark.graft.dedup.barrier", "persist")
+      assert(run() == base, "persist diverged")
+    } finally spark.conf.unset("spark.graft.dedup.barrier")
+  }
+
   test("q53 curation: AQE converts the dedup-survivor join to a broadcast") {
     val df = SparkEntry.queries("q53_corpus_curation")(spark, sf0001)
     df.collect() // AQE finalizes the plan at execution
