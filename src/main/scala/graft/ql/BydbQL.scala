@@ -23,6 +23,11 @@ object BydbQL {
       tdef: TableDef,
       /** aggregatable field columns (measure). */
       fields: Set[String] = Set.empty,
+      /** index-mode measure (S2, database/v1/database.proto IndexMode):
+        * the whole point lives in the index, so the read path skips the
+        * latest-version merge. Declared on the resource — the reference
+        * reads it from the measure schema, not the query. */
+      indexMode: Boolean = false,
       /** lifecycle stage tiers (hot/warm/cold → per-stage frame), each
         * typically a [[graft.storage.Stages]] per-root scan; `ON (...)
         * STAGES` selects among them and an unselected stage's storage is
@@ -90,6 +95,7 @@ object BydbQL {
         vs.head
       }
       uniform("entity", _.tdef.entity)
+      uniform("indexMode", _.indexMode)
       uniform("tsCol", _.tdef.tsCol)
       uniform("versionCol", _.tdef.versionCol)
       uniform("elementIdCol", _.elementIdCol)
@@ -130,7 +136,8 @@ object BydbQL {
       flexible = res.propertyTagsCol.isDefined)
     Transformer.transform(stmt, schema, now) match {
       case MeasureStatement(q) =>
-        Planners.measure(stagedDf(res, q.stages, name), res.tdef, q)
+        Planners.measure(stagedDf(res, q.stages, name), res.tdef,
+          q.copy(indexMode = q.indexMode || res.indexMode))
       case StreamStatement(q) =>
         val eid = res.elementIdCol.getOrElse(
           throw new IllegalArgumentException(s"resource $name has no elementIdCol"))

@@ -213,7 +213,10 @@ object Transformer {
         case Some("AND") => MatchOp.And
         case _ => MatchOp.Or // reference default is OR (OPERATOR_UNSPECIFIED → or)
       }
-      Cond(id, Op.Match(analyzer.getOrElse("standard"), mop),
+      // an EMPTY analyzer name means "the tag's indexed analyzer" in the
+      // reference (entity_match.ql passes MATCH('…', '', 'AND')); absent
+      // and empty both resolve to the default
+      Cond(id, Op.Match(analyzer.filter(_.nonEmpty).getOrElse("standard"), mop),
         vs.map(schema.coerce(id, _)))
     case QlInE(id, not, vs) =>
       requireTag(schema, id)
@@ -280,6 +283,11 @@ object Transformer {
           agg = Some((aggFn(fn), field))
         case None =>
           val n = c.name.get
+          // projecting an unknown column is an error, not a null column
+          // (golden cases project_non_existent_tag / project_non_existent_field,
+          // both WantErr in the reference)
+          if (!schema.has(n)) throw new IllegalArgumentException(
+            s"${if (isField(c, schema)) "field" else "tag"} '$n' not found in the queried resource")
           if (isField(c, schema)) fields :+= n else tags :+= n
       }
     }

@@ -44,11 +44,11 @@ class BydbqlSpec extends SparkSpec {
 
   test("group_max.ql shape: agg + group by incl field") {
     // reference golden case test/cases/measure/data/input/group_max.ql
-    val q = measureOf(
+    val q = measureOfSchema(
       """SELECT id, total::field, value::field, MAX(value)
         |FROM MEASURE service_cpm_minute IN sw_metric
         |TIME > '-15m'
-        |GROUP BY id, value""".stripMargin)
+        |GROUP BY id, value""".stripMargin, refSchema)
     assert(q.name == "service_cpm_minute" && q.groups == Seq("sw_metric"))
     assert(q.agg.contains((AggFn.Max, "value")))
     assert(q.groupByTags == Seq("id")) // `value` names the aggregated field
@@ -59,10 +59,10 @@ class BydbqlSpec extends SparkSpec {
   }
 
   test("bottom.ql shape: TOP n ASC with agg") {
-    val q = measureOf(
+    val q = measureOfSchema(
       """SELECT TOP 2 value ASC, id, total, value, MEAN(value)
         |FROM MEASURE service_cpm_minute IN sw_metric
-        |TIME > '-15m' GROUP BY id, value""".stripMargin)
+        |TIME > '-15m' GROUP BY id, value""".stripMargin, refSchema)
     assert(q.top.contains(TopSpec(2, "mean_value", desc = false)))
     assert(q.agg.contains((AggFn.Mean, "value")))
   }
@@ -108,8 +108,9 @@ class BydbqlSpec extends SparkSpec {
   }
 
   test("LIMIT / OFFSET / ORDER BY tag DESC / multi-group") {
-    val q = measureOf(
-      "SELECT id FROM MEASURE m IN (g1, g2) ORDER BY value DESC LIMIT 42 OFFSET 7")
+    val q = measureOfSchema(
+      "SELECT id FROM MEASURE m IN (g1, g2) ORDER BY value DESC LIMIT 42 OFFSET 7",
+      refSchema)
     assert(q.groups == Seq("g1", "g2"))
     assert(q.orderBy.contains(OrderBy(Some("value"), desc = true)))
     assert(q.limit == 42 && q.offset == 7)
@@ -157,10 +158,12 @@ class BydbqlSpec extends SparkSpec {
   }
 
   test("TIME < t yields [epoch, t); TIME = t yields [t, t)") {
-    val q1 = measureOf("SELECT id FROM MEASURE m IN g TIME < '2024-01-10T00:00:00Z'")
+    val q1 = measureOfSchema(
+      "SELECT id FROM MEASURE m IN g TIME < '2024-01-10T00:00:00Z'", refSchema)
     assert(q1.timeRange.contains(
       TimeRange(Instant.EPOCH, Instant.parse("2024-01-10T00:00:00Z"))))
-    val q2 = measureOf("SELECT id FROM MEASURE m IN g TIME = '2024-01-10T00:00:00Z'")
+    val q2 = measureOfSchema(
+      "SELECT id FROM MEASURE m IN g TIME = '2024-01-10T00:00:00Z'", refSchema)
     assert(q2.timeRange.contains(TimeRange(
       Instant.parse("2024-01-10T00:00:00Z"), Instant.parse("2024-01-10T00:00:00Z"))))
   }
@@ -169,7 +172,7 @@ class BydbqlSpec extends SparkSpec {
 
   test("positional parameter binding incl IN expansion") {
     val stmt = Parser.parse(
-      "SELECT id FROM MEASURE events IN testdata WHERE event_type = ? AND user_id IN (?) LIMIT ?")
+      "SELECT event_id FROM MEASURE events IN testdata WHERE event_type = ? AND user_id IN (?) LIMIT ?")
     val bound = Transformer.bind(stmt, Seq("click", Seq(1L, 2L, 3L), 25L))
     val df = Catalog.load(spark, sf0001, "events")
     Transformer.transform(bound, QlSchema(df.schema, Set("value")), now) match {
