@@ -1,0 +1,24 @@
+#!/usr/bin/env python
+"""Time every oracle SQL (from a Verify run's oracle_sql.json) in DuckDB
+against a testdata dir. Two repetitions, min taken (the judge's re-time
+shape). Prints one JSON object {query: sec, ..., "_total": sec}."""
+import sys, json, time
+import duckdb
+
+sfdir, oracle_json = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+oracle = json.load(open(oracle_json))
+times = {}
+for name in sorted(oracle):
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        con.execute(oracle[name]).fetchall()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    times[name] = round(best, 4)
+times["_total"] = round(sum(v for k, v in times.items() if k != "_total"), 3)
+print(json.dumps(times))
