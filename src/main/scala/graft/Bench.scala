@@ -15,6 +15,13 @@ object Bench {
       // partitions to the target size instead of maximizing parallelism —
       // fewer, fuller reduce tasks per stage.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Scan-split size matched to the LOCAL scale factors (Spark tuning
+      // guidance: size maxPartitionBytes so every core gets work at the
+      // target SF). The 128m default is right for a 100 TB cluster but
+      // serializes a toy-scale scan into one task when a table is a single
+      // ~100 MB file.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,7 +63,12 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Evaluate the query's OWN output columns (toRdd executes the plan
+      // as declared). A count() here would let Catalyst prune every
+      // computed column — map-only queries would time a bare scan while
+      // the DuckDB oracle fetchall()s fully materialized rows.
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
