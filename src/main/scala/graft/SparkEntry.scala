@@ -661,6 +661,21 @@ object SparkEntry {
           propertyDeletedCol = Some("deleted"), propertyTagsCol = Some("tags"))))
     }),
 
+    // --- trace ORDER BY a span tag (sidx iteration semantics: a trace
+    // ranks at its first span value in scan direction — max for DESC).
+    // One aggregate more in the same groupBy; no extra shuffle.
+    "q57_trace_order_duration" -> ((s, d) => {
+      val df = ev(s, d).withColumn("trace_id", pmod(col("event_id"), lit(97L)))
+      Planners.traceSpanGroups(df, TableDef("traces", tsCol = Some("ts_ns")),
+        TraceQuery(groups = Seq("testdata"), name = "traces",
+          orderBy = Some(OrderBy(Some("value"), desc = true)), limit = 10),
+        traceIdCol = "trace_id", spanStruct = Seq("event_id"))
+        .withColumn("start_ms", expr("start_ts DIV 1000000"))
+        .withColumn("span_ids", concat_ws(",",
+          transform(col("spans"), sp => sp.getField("event_id").cast("string"))))
+        .select("trace_id", "span_count", "start_ms", "span_ids")
+    }),
+
     // --- lifecycle-stage routing (common.proto:65-94): `ON (hot) STAGES`
     // scans ONLY the hot tier's root — stage selection is directory
     // selection before any file listing; the warm root is never touched
@@ -830,6 +845,15 @@ object SparkEntry {
         |         CASE WHEN doc_id % 2 = 0 THEN source ELSE NULL END AS source
         |  FROM documents)
         |WHERE lang = 'en'""".stripMargin,
+
+    "q57_trace_order_duration" ->
+      """SELECT trace_id, span_count, start_ms, span_ids FROM (
+        |  SELECT event_id % 97 AS trace_id, COUNT(*) AS span_count,
+        |         MIN(epoch_ms(ts)) AS start_ms,
+        |         string_agg(event_id::VARCHAR, ',' ORDER BY event_id) AS span_ids,
+        |         MAX(value) AS k
+        |  FROM events GROUP BY event_id % 97)
+        |ORDER BY k DESC, trace_id LIMIT 10""".stripMargin,
 
     "q20_union_groups" ->
       """SELECT event_id, user_id, value, NULL AS event_type FROM events WHERE event_type = 'click'

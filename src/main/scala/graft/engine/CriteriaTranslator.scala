@@ -135,4 +135,19 @@ object CriteriaTranslator {
     }
     case _ => ()
   }
+
+  /** Array tags admit exact equality, HAVING containment, and MATCH —
+    * membership/range operators are errors in the reference
+    * (pkg/query/logical/tag_filter.go; stream golden case err_in_arr,
+    * WantErr), not coercions. */
+  def validateArrayOps(c: Criteria, arrayTags: Set[String]): Unit = c match {
+    case And(l, r) => validateArrayOps(l, arrayTags); validateArrayOps(r, arrayTags)
+    case Or(l, r)  => validateArrayOps(l, arrayTags); validateArrayOps(r, arrayTags)
+    case Cond(tag, op, _) if arrayTags.contains(tag) => op match {
+      case Op.Eq | Op.Ne | Op.Having | Op.NotHaving | _: Op.Match => ()
+      case other => throw new IllegalArgumentException(
+        s"op $other is not supported on array tag '$tag'")
+    }
+    case _ => ()
+  }
 }

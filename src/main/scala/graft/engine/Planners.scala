@@ -53,6 +53,7 @@ object Planners {
     c match {
       case Some(cr) =>
         CriteriaTranslator.validateEntityOps(cr, tdef.entity.toSet)
+        CriteriaTranslator.validateArrayOps(cr, tdef.arrayTags)
         df.filter(CriteriaTranslator.toColumn(cr, df.columns.toSet))
       case None => df
     }
@@ -204,17 +205,27 @@ object Planners {
     q.criteria.foreach(CriteriaTranslator.rejectMatch(_, "trace"))
     var df = applyTime(df0, tdef, q.timeRange)
     df = applyCriteria(df, tdef, q.criteria)
+    // Per-trace sort key with sidx iteration semantics (banyand/internal/
+    // sidx/): the index holds (span value, trace id) entries scanned in key
+    // order with distinct trace ids, so a trace surfaces at its FIRST span
+    // value in scan direction — min of the span tag ascending, max
+    // descending. `timestamp` (and an absent tag) order on the span
+    // timestamp column. Computed as one more aggregate in the same
+    // groupBy — no extra shuffle.
+    val (sortSrc, sortDesc) = q.orderBy match {
+      case Some(OrderBy(tag, d)) =>
+        (tag.filterNot(_ == "timestamp").getOrElse(tdef.tsCol.getOrElse("ts")), d)
+      case None => (tdef.tsCol.getOrElse("ts"), false)
+    }
     val grouped = df.groupBy(col(traceIdCol)).agg(
       count(lit(1)).as("span_count"),
       min(col(tdef.tsCol.getOrElse("ts"))).as("start_ts"),
+      (if (sortDesc) max(col(sortSrc)) else min(col(sortSrc))).as("__sort"),
       // deterministic span ordering inside each trace
       sort_array(collect_list(struct(spanStruct.map(col): _*))).as("spans"))
-    val ranked = q.orderBy match {
-      case Some(OrderBy(tag, desc)) =>
-        val c = col(tag.getOrElse("start_ts"))
-        grouped.orderBy((if (desc) c.desc else c.asc), col(traceIdCol).asc)
-      case None => grouped.orderBy(col("start_ts").asc, col(traceIdCol).asc)
-    }
+    val ranked = grouped.orderBy(
+      (if (sortDesc) col("__sort").desc else col("__sort").asc),
+      col(traceIdCol).asc).drop("__sort")
     page(ranked, q.offset, effLimit(q.limit))
   }
 

@@ -33,11 +33,18 @@ def shift_col(table, name, delta):
 
 
 def replicate(name, mutate):
+    # one FILE PER COPY under a dataset directory (the layout a real
+    # ingest produces — single giant files serialize the scan), with
+    # bounded row groups so byte-range splits stay fine-grained
     t = pq.read_table(f"{SRC}/{name}.parquet")
-    parts = [mutate(t, i) for i in range(K)]
-    out = pa.concat_tables(parts)
-    pq.write_table(out, f"{DST}/{name}.parquet")
-    print(f"{name}: {t.num_rows} -> {out.num_rows}")
+    d = f"{DST}/{name}.parquet"
+    os.makedirs(d, exist_ok=True)
+    n = 0
+    for i in range(K):
+        part = mutate(t, i)
+        n += part.num_rows
+        pq.write_table(part, f"{d}/part-{i:03d}.parquet", row_group_size=131072)
+    print(f"{name}: {t.num_rows} -> {n} in {K} files")
 
 
 def events_copy(t, i):

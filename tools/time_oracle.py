@@ -2,14 +2,16 @@
 """Time every oracle SQL (from a Verify run's oracle_sql.json) in DuckDB
 against a testdata dir. Two repetitions, min taken (the judge's re-time
 shape). Prints one JSON object {query: sec, ..., "_total": sec}."""
-import sys, json, time
+import os, sys, json, time
 import duckdb
 
 sfdir, oracle_json = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 oracle = json.load(open(oracle_json))
 times = {}
 for name in sorted(oracle):
