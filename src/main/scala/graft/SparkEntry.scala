@@ -676,6 +676,20 @@ object SparkEntry {
         .select("trace_id", "span_count", "start_ms", "span_ids")
     }),
 
+    // --- tail-based trace retention (common/v1/common.proto:156-177;
+    // latency-status sampler, test/cases/tracepipeline/ops.go:146-177):
+    // drop a trace iff duration < threshold AND status = success. Verdict
+    // = one trace-level aggregate; retention = span semi-join.
+    "q58_trace_sampling" -> ((s, d) => {
+      val spans = ev(s, d)
+        .withColumn("trace_id", pmod(col("event_id"), lit(9973L)))
+        .withColumn("status",
+          when(col("event_type") === "error", "error").otherwise("success"))
+      graft.operators.TracePipeline
+        .latencyStatusSample(spans, "trace_id", "value", "status", thresholdMs = 400)
+        .groupBy("trace_id").agg(count(lit(1)).as("span_count"))
+    }),
+
     // --- lifecycle-stage routing (common.proto:65-94): `ON (hot) STAGES`
     // scans ONLY the hot tier's root — stage selection is directory
     // selection before any file listing; the warm root is never touched
@@ -854,6 +868,21 @@ object SparkEntry {
         |         MAX(value) AS k
         |  FROM events GROUP BY event_id % 97)
         |ORDER BY k DESC, trace_id LIMIT 10""".stripMargin,
+
+    "q58_trace_sampling" ->
+      """WITH spans AS (
+        |  SELECT event_id % 9973 AS trace_id, value,
+        |         CASE WHEN event_type = 'error' THEN 'error' ELSE 'success' END AS status
+        |  FROM events),
+        |verdicts AS (
+        |  SELECT trace_id,
+        |         NOT (MAX(value) < 400 AND
+        |              (CASE WHEN MAX(CASE WHEN status = 'error' THEN 1 ELSE 0 END) = 1
+        |                    THEN 'error' ELSE MAX(status) END) = 'success') AS keep
+        |  FROM spans GROUP BY trace_id)
+        |SELECT trace_id, COUNT(*) AS span_count FROM spans
+        |WHERE trace_id IN (SELECT trace_id FROM verdicts WHERE keep)
+        |GROUP BY trace_id""".stripMargin,
 
     "q20_union_groups" ->
       """SELECT event_id, user_id, value, NULL AS event_type FROM events WHERE event_type = 'click'
