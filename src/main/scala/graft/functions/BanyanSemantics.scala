@@ -43,15 +43,26 @@ object BanyanSemantics {
    * rows sharing (series, timestamp), only the highest `version` survives.
    * Must run BEFORE any aggregation or counts drift (SURVEY §7.4.2).
    *
-   * Scale note: the window shuffles once on (series, ts); downstream
-   * group-bys on the same keys reuse the exchange. On a partitioned layout
-   * the shuffle is avoided entirely when parquet is bucketed by entity.
+   * Scale shape: [[MinStructAgg.minStruct]] over (-version, payload) —
+   * the lexicographic minimum IS the max-version row. Same
+   * ObjectHashAggregate plan as [[firstSeenRow]]: partial aggregation
+   * (map-side combine collapses duplicate versions before the shuffle),
+   * ONE buffered row per (series, ts), no per-partition sort — a
+   * `Window.partitionBy` here pays a full sort of every row for a
+   * row_number that is immediately filtered to 1, and breaks version
+   * ties nondeterministically; the aggregate refines ties to the
+   * lexicographic payload minimum. Version must be numeric (int64 in
+   * the reference, model/v1/common.proto DataPoint.version). On a layout
+   * bucketed by entity the shuffle disappears entirely.
    */
   def latestVersion(df: DataFrame, seriesCols: Seq[String], tsCol: String,
       versionCol: String): DataFrame = {
-    val w = Window.partitionBy((seriesCols :+ tsCol).map(col): _*)
-      .orderBy(col(versionCol).desc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val keys = seriesCols :+ tsCol
+    val payload = df.columns.filterNot(keys.contains)
+    val fields = negate(col(versionCol)).as("__negv") +: payload.map(col(_))
+    df.groupBy(keys.map(col): _*)
+      .agg(MinStructAgg.minStruct(struct(fields: _*)).as("__lv"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__lv.`$c`").as(c)): _*)
   }
 
   /**

@@ -82,6 +82,15 @@ class PlanShapeSuite extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q42 version dedup is a max-struct aggregate, not a window sort") {
+    val p = plan("q42_measure_version_dedup")
+    // latest-version-wins must partial-aggregate (map-side combine folds
+    // duplicate versions before the shuffle) — a Window here full-sorts
+    // every row for a row_number filtered to 1
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), "found a window in the version-dedup plan")
+  }
+
   test("dedup barriers release executor storage once results are dropped") {
     import graft.operators.Dedup
     import graft.sources.Catalog
