@@ -22,6 +22,11 @@ object Bench {
       // ~100 MB file.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+      // NOTE: spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // stays at its default (128): raising it to 1M was measured 23%
+      // SLOWER on this surface at sf1 — with nearly-unique keys partial
+      // aggregation combines nothing, and the sort-based fallback streams
+      // groups cache-friendly where a giant object hash map churns GC.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

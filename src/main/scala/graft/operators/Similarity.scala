@@ -99,20 +99,67 @@ object Similarity {
    * loop per row, instead of an nlist-subtree literal-array expression
    * evaluated per reference — the form that stops scaling past toy nlist.
    *
-   * The quantizer takes the `nlist` lowest-id corpus vectors as centroids —
-   * deterministic and recomputable by an external SQL oracle; a production
-   * deployment swaps in k-means-trained centroids (same shapes, the
-   * training loop is offline).
+   * The quantizer here takes the `nlist` lowest-id corpus vectors as
+   * centroids — deterministic and recomputable by an external SQL oracle;
+   * the production path is [[trainIvfCentroids]] (offline k-means) fed to
+   * [[ivfTopKWith]], identical shapes.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nprobe <= nlist, "nprobe must not exceed nlist")
     val cents: Array[(Long, Array[Double])] = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    ivfTopKWith(corpus, queries, k, cents, nprobe, idCol, vecCol)
+  }
+
+  /**
+   * Offline coarse-quantizer training for [[ivfTopKWith]]: Lloyd's
+   * iterations as pure DataFrame aggregates — assignment is the same
+   * map-only [[graft.functions.IvfFunctions.probeCells]] kernel the query
+   * path uses (nprobe=1 = nearest cell), and the centroid update is `dim`
+   * per-dimension means, partial-aggregated (map-side combine, no member
+   * collection, no ML library). Each iteration is one job collecting
+   * `nlist` rows. Means accumulate via DECIMAL so the trained centroids
+   * are bit-identical run-to-run regardless of partition merge order
+   * (plain double sums are not). Empty cells keep their previous centroid
+   * (the standard k-means dead-cell rule). Train on a sample at 100 TB —
+   * the quantizer only needs cluster structure, not the full corpus.
+   */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int = 8, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    import graft.functions.IvfFunctions.probeCells
+    var cents: Array[(Long, Array[Double])] = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val dim = cents.head._2.length
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+    for (_ <- 1 to iters) {
+      val flat = cents.flatMap(_._2)
+      val cids = cents.map(_._1)
+      val aggs = (0 until dim).map(i =>
+        (sum(col("__v")(i).cast("decimal(27,10)")) / count(lit(1)))
+          .cast("double").as(s"__d$i"))
+      val updated = vecs
+        .select(explode(probeCells(col("__v"), flat, cids, dim, 1)).as("__cell"), col("__v"))
+        .groupBy("__cell").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> Array.tabulate(dim)(i => r.getDouble(1 + i)))
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with explicit centroids (e.g. [[trainIvfCentroids]]
+    * output) — the production path; the id-prefix quantizer above stays
+    * for oracle-recomputable tests. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[(Long, Array[Double])], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe <= cents.length, "nprobe must not exceed the centroid count")
     val dim = cents.head._2.length
     val flat = cents.flatMap(_._2)
     val cids = cents.map(_._1)
