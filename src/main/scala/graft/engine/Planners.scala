@@ -92,7 +92,17 @@ object Planners {
     // before any aggregation (banyand/measure/query.go:966-1026).
     df = tdef.versionCol match {
       case Some(v) if tdef.entity.nonEmpty && !q.indexMode =>
-        BanyanSemantics.latestVersion(df, tdef.entity, tdef.tsCol.getOrElse("ts"), v)
+        // prune the dedup payload to the columns the query touches —
+        // pruning can't reach inside the aggregate's struct buffer
+        val keep = if (q.tagProjection.isEmpty && q.fieldProjection.isEmpty) None
+          else Some((q.tagProjection ++ q.fieldProjection ++
+            q.criteria.toSeq.flatMap(CriteriaTranslator.tags) ++
+            q.orderBy.flatMap(_.tag).toSeq ++ q.groupByTags ++
+            q.agg.map(_._2).toSeq ++
+            // a raw TOP may rank a field outside the projection; agg-case
+            // TOP fields name the agg output and are filtered out harmlessly
+            q.top.map(_.fieldName).toSeq).distinct)
+        BanyanSemantics.latestVersion(df, tdef.entity, tdef.tsCol.getOrElse("ts"), v, keep)
       case _ => df
     }
     df = applyCriteria(df, tdef, q.criteria)

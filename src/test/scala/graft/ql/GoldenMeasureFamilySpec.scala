@@ -328,6 +328,19 @@ class GoldenMeasureFamilySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("raw TOP ranking an unprojected field survives version dedup") {
+    // the dedup payload prune must keep the TOP rank field even though
+    // the projection doesn't mention it
+    val got = run(
+      """SELECT TOP 3 value DESC, event_id FROM MEASURE events IN exception
+        |TIME > '-30d'""".stripMargin, resOf(dupDf, dupDef))
+    val doubled = inWin.withColumn("value", col("value") * 2)
+    val want = doubled
+      .orderBy(col("value").desc, col("user_id").asc, col("ts_ns").asc, col("event_id").asc)
+      .limit(3).select("event_id").collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 3)
+  }
+
   test("index_mode_all.ql: index mode skips the version merge (S2)") {
     val got = run(
       """SELECT user_id, value FROM MEASURE events IN index_mode
