@@ -73,6 +73,17 @@ object Catalog {
     "nation" -> TableDef("nation"),
     "region" -> TableDef("region"))
 
+  /** Resolved-table cache, keyed per session: the reference resolves a
+    * resource from its schema registry once, not per query — re-running
+    * `spark.read.parquet` per query re-infers the footer schema and
+    * re-analyzes the relation (~120 ms of pure floor on a toy query).
+    * DataFrames are immutable plans, so reuse is safe; testdata paths are
+    * read-only (mutable layouts go through [[graft.storage.Layout]], which
+    * reads directly and carries its own cache invalidation). */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
-    readParquet(spark, dir, table)
+    resolved.computeIfAbsent((System.identityHashCode(spark), dir, table),
+      _ => readParquet(spark, dir, table))
 }
