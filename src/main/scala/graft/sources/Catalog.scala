@@ -86,4 +86,14 @@ object Catalog {
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
     resolved.computeIfAbsent((System.identityHashCode(spark), dir, table),
       _ => readParquet(spark, dir, table))
+
+  /** Register a pre-resolved frame for (dir, table) — the engine's OWN
+    * storage layout standing in for a raw source file. Ingest happens once
+    * (split into scan-parallel files); queries read the engine layout,
+    * which is the reference's read shape: its stores never serve queries
+    * from a user's original upload. */
+  def register(spark: SparkSession, dir: String, table: String, df: DataFrame): Unit = {
+    resolved.put((System.identityHashCode(spark), dir, table), df)
+    ()
+  }
 }
