@@ -117,6 +117,13 @@ object CriteriaTranslator {
 
   /** Reject MATCH anywhere in a criteria tree (trace queries — the trace
     * index is an int64 TREE sidx with no analyzer). */
+  /** All tag names a criteria tree references. */
+  def tags(c: Criteria): Seq[String] = c match {
+    case And(l, r) => tags(l) ++ tags(r)
+    case Or(l, r)  => tags(l) ++ tags(r)
+    case Cond(t, _, _) => Seq(t)
+  }
+
   def rejectMatch(c: Criteria, model: String): Unit = c match {
     case And(l, r) => rejectMatch(l, model); rejectMatch(r, model)
     case Or(l, r)  => rejectMatch(l, model); rejectMatch(r, model)

@@ -56,9 +56,15 @@ object BanyanSemantics {
    * bucketed by entity the shuffle disappears entirely.
    */
   def latestVersion(df: DataFrame, seriesCols: Seq[String], tsCol: String,
-      versionCol: String): DataFrame = {
+      versionCol: String, keep: Option[Seq[String]] = None): DataFrame = {
     val keys = seriesCols :+ tsCol
-    val payload = df.columns.filterNot(keys.contains)
+    // `keep` prunes the buffered payload to what the query actually needs:
+    // Catalyst cannot prune columns INSIDE an aggregate's struct child, so
+    // without it every wide column rides through the buffers and shuffle.
+    val payload = keep
+      .map(k => (k :+ versionCol).distinct.filterNot(keys.contains)
+        .filter(df.columns.contains))
+      .getOrElse(df.columns.filterNot(keys.contains).toSeq)
     val fields = negate(col(versionCol)).as("__negv") +: payload.map(col(_))
     df.groupBy(keys.map(col): _*)
       .agg(MinStructAgg.minStruct(struct(fields: _*)).as("__lv"))

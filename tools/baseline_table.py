@@ -30,14 +30,15 @@ L.append("|---|---|---|---|")
 L.append(f"| sf0.1 | {tot(sp01):.1f} s | {tot(d01):.1f} s | **{tot(sp01)/tot(d01):.2f}×** |")
 L.append(f"| sf1 (10× rows) | {tot(sp1):.1f} s | {tot(d1):.1f} s | **{tot(sp1)/tot(d1):.2f}×** |")
 L.append("")
+small = [q for q in sp01 if sp01[q] < 0.6]
 L.append(f"Spark's total grows {tot(sp1)/tot(sp01):.1f}× for 10× data; DuckDB's grows "
          f"{tot(d1)/tot(d01):.1f}×. The sf0.1 gap is the fixed per-query scheduling/codegen")
-L.append("floor: ~40 of the 58 queries spend under 0.6 s in Spark against sub-100 ms oracle")
-L.append("runs — ~15 s of the Spark total is floor, constant per query while the work grows.")
-L.append("(Round 4's 1.92× used count()-based timing, which let Catalyst prune the computed")
-L.append("columns of map-only queries; timing full evaluation is the honest comparison")
-L.append("against the oracle's fetchall and costs ~2 s of real work on this surface. AQE")
-L.append("on/off was measured a wash at sf0.1: 34.8 s vs 35.8 s.) At sf1 the floor is")
+L.append(f"floor: {len(small)} of the {len(sp01)} queries spend under 0.6 s in Spark "
+         f"({sum(sp01[q] for q in small):.1f} s combined) against mostly sub-100 ms oracle")
+L.append("runs — cost that is constant per query while the work grows. (Round 4's 1.92×")
+L.append("used count()-based timing, which let Catalyst prune the computed columns of")
+L.append("map-only queries; timing full evaluation is the honest comparison against the")
+L.append("oracle's fetchall. AQE on/off measured a wash at sf0.1.) At sf1 the floor is")
 L.append("amortized and the engine is faster than the single-node oracle — the trend the")
 L.append("100 TB design claims predict. Per-query ratios, heaviest Spark sf1 compute first:")
 L.append("")
