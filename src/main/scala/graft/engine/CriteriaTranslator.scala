@@ -132,6 +132,20 @@ object CriteriaTranslator {
     case _ => ()
   }
 
+  /** MATCH needs an index rule WITH an analyzer (pkg/index/analyzer/;
+    * index_filter.go MATCH path). A resource that declares its
+    * analyzer-indexed tags rejects MATCH on any other tag — the stream
+    * golden case gen_err_match_trace_id (WantErr) matches on `trace_id`,
+    * whose index rule has no analyzer. */
+  def validateMatchable(c: Criteria, matchable: Set[String]): Unit = c match {
+    case And(l, r) => validateMatchable(l, matchable); validateMatchable(r, matchable)
+    case Or(l, r)  => validateMatchable(l, matchable); validateMatchable(r, matchable)
+    case Cond(tag, _: Op.Match, _) if !matchable.contains(tag) =>
+      throw new IllegalArgumentException(
+        s"tag '$tag' has no analyzer index rule: MATCH is not supported")
+    case _ => ()
+  }
+
   def validateEntityOps(c: Criteria, entityTags: Set[String]): Unit = c match {
     case And(l, r) => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)
     case Or(l, r)  => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)

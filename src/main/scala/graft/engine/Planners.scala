@@ -54,6 +54,7 @@ object Planners {
       case Some(cr) =>
         CriteriaTranslator.validateEntityOps(cr, tdef.entity.toSet)
         CriteriaTranslator.validateArrayOps(cr, tdef.arrayTags)
+        tdef.matchableTags.foreach(CriteriaTranslator.validateMatchable(cr, _))
         df.filter(CriteriaTranslator.toColumn(cr, df.columns.toSet))
       case None => df
     }
@@ -215,6 +216,18 @@ object Planners {
     q.criteria.foreach(CriteriaTranslator.rejectMatch(_, "trace"))
     var df = applyTime(df0, tdef, q.timeRange)
     df = applyCriteria(df, tdef, q.criteria)
+    // Explicit projection restricts the tags each span carries
+    // (trace/v1/query.proto:31-56 Span.tags follows the request's
+    // projection; golden cases gen_feat_*_proj_explicit_*). An unknown
+    // projected tag is an error (trace project_non_existent_tag, WantErr),
+    // not a null column. Empty projection = raw span shape (P4).
+    val spanCols = if (q.projection.nonEmpty) {
+      val avail = df.columns.toSet
+      q.projection.foreach(t => if (!avail.contains(t))
+        throw new IllegalArgumentException(
+          s"tag '$t' not found in the queried resource"))
+      q.projection
+    } else spanStruct
     // Per-trace sort key with sidx iteration semantics (banyand/internal/
     // sidx/): the index holds (span value, trace id) entries scanned in key
     // order with distinct trace ids, so a trace surfaces at its FIRST span
@@ -232,7 +245,7 @@ object Planners {
       min(col(tdef.tsCol.getOrElse("ts"))).as("start_ts"),
       (if (sortDesc) max(col(sortSrc)) else min(col(sortSrc))).as("__sort"),
       // deterministic span ordering inside each trace
-      sort_array(collect_list(struct(spanStruct.map(col): _*))).as("spans"))
+      sort_array(collect_list(struct(spanCols.map(col): _*))).as("spans"))
     val ranked = grouped.orderBy(
       (if (sortDesc) col("__sort").desc else col("__sort").asc),
       col(traceIdCol).asc).drop("__sort")
@@ -359,22 +372,32 @@ object Planners {
   }
 
   /** Multi-group union with schema merge (measure_analyzer.go:96-108;
-    * cross_group_merge.go): missing columns null-filled, but a tag that
-    * exists in several groups with CONFLICTING types is rejected — the
-    * reference's schema merge refuses to coerce
-    * (pkg/query/logical/measure/schema.go). */
+    * cross_group_merge.go): missing columns null-filled. A tag that exists
+    * in several groups with CONFLICTING types widens to
+    * `TAG_TYPE_UNSPECIFIED` (logical/schema.go:240-246 MergeTagSpecs;
+    * fields likewise, measure/schema.go:165-176) — per-row values keep
+    * their group's native form on the wire, which maps to a string-typed
+    * merged column rendering each group's native value (golden case
+    * multi_group_tag_type: int rows and str rows of `status_code` coexist,
+    * null where a group lacks the tag). Only an entity-list mismatch
+    * rejects (MergeSchemas, schema.go:201-204) — enforced where the model
+    * bindings merge, [[graft.ql.BydbQL.resolve]]. */
   def unionGroups(dfs: Seq[DataFrame]): DataFrame = {
-    val types = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
+    val types = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    val conflicted = scala.collection.mutable.Set.empty[String]
     dfs.foreach(_.schema.fields.foreach { f =>
       types.get(f.name) match {
-        case Some(t) if t != f.dataType =>
-          throw new IllegalArgumentException(
-            s"conflicting type for tag '${f.name}' across groups: $t vs ${f.dataType}")
+        case Some(t) if t != f.dataType => conflicted += f.name
         case None => types(f.name) = f.dataType
         case _ =>
       }
     })
-    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    dfs.map { df =>
+      conflicted.toSeq.sorted.intersect(df.columns.toSeq).foldLeft(df) {
+        (acc, name) => acc.withColumn(name, col(name).cast("string"))
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /**

@@ -31,6 +31,13 @@ final case class TableDef(
     versionCol: Option[String] = None,
     /** columns that are array-typed tags (HAVING-able). */
     arrayTags: Set[String] = Set.empty,
+    /** tags carrying an analyzer index rule (database/v1/schema.proto:
+      * 180-189): MATCH is only legal on these. None = undeclared —
+      * permissive (any string tag analyzable with the default analyzer);
+      * Some(set) rejects MATCH on tags outside it, the reference's
+      * behavior for tags whose index rule has no analyzer (stream golden
+      * case gen_err_match_trace_id, WantErr). */
+    matchableTags: Option[Set[String]] = None,
     /** resource creation time: a query's time-range begin is clamped
       * forward to this (banyand/liaison/grpc/schema_revision.go:32-49
       * clampTimeRangeBegin) so pre-creation timestamps are never served. */

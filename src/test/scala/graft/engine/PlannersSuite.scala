@@ -238,7 +238,7 @@ class PlannersSuite extends SparkSpec {
     assert(e.getMessage.contains("EQ"))
   }
 
-  test("union null-fills missing columns but rejects type conflicts (T6)") {
+  test("union null-fills missing columns and widens type conflicts (T6)") {
     val a = Seq((1L, "x")).toDF("id", "tag")
     val b = Seq((2L, 3.5)).toDF("id", "score")
     val merged = Planners.unionGroups(Seq(a, b))
@@ -246,11 +246,21 @@ class PlannersSuite extends SparkSpec {
     assert(merged.count() == 2)
     assert(merged.filter(col("score").isNull).count() == 1)
 
-    val conflict = Seq(("1", "x")).toDF("id", "tag") // id string vs long
-    val e = intercept[IllegalArgumentException] {
-      Planners.unionGroups(Seq(a, conflict))
-    }
-    assert(e.getMessage.contains("conflicting type"))
+    // a type-conflicted tag widens to TAG_TYPE_UNSPECIFIED — the merged
+    // column is a string rendering each group's native value (logical/
+    // schema.go:240-246; stream golden case multi_group_tag_type keeps int
+    // rows and str rows of status_code side by side)
+    val conflict = Seq(("7", "y")).toDF("id", "tag") // id string vs long
+    val widened = Planners.unionGroups(Seq(a, conflict))
+    assert(widened.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(widened.select("id").collect().map(_.getString(0)).sorted
+      .sameElements(Array("1", "7")))
+    // non-conflicted columns keep their native types
+    assert(widened.schema("tag").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(Planners.unionGroups(Seq(a, b)).schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
   }
 
   test("time-range + tag predicates reach the parquet scan (pushdown guard)") {
