@@ -29,7 +29,7 @@ object CriteriaTranslator {
       Analyzers.matchesTokens(
         col(graft.storage.Layout.tokenColName(tag, analyzer)),
         values.map(_.toString), analyzer, mop == MatchOp.And)
-    case Cond(tag, op, values) => cond(col(tag), op, values)
+    case Cond(tag, op, values) => cond(Planners.qcol(tag), op, values)
   }
 
   private def litOf(v: Any): Column = lit(v)

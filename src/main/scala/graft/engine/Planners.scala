@@ -23,6 +23,12 @@ object Planners {
     * (measure_analyzer.go:32; vec plan/analyzer.go:33). */
   val DefaultLimit = 100
 
+  /** Column by EXACT tag name. BanyanDB tag names may contain dots
+    * (`http.method`, `db.instance` — the sw stream schema), which Spark's
+    * `col` would parse as a struct path; backtick-quote those. */
+  private[graft] def qcol(name: String): Column =
+    if (name.contains(".")) col("`" + name + "`") else col(name)
+
   private def effLimit(l: Int): Int = if (l <= 0) DefaultLimit else l
 
   private[engine] def applyTime(df: DataFrame, tdef: TableDef, tr: Option[TimeRange]): DataFrame =
@@ -65,7 +71,7 @@ object Planners {
   private def orderCols(ob: Option[OrderBy], tdef: TableDef): Seq[Column] = {
     val primary = ob match {
       case Some(OrderBy(tag, desc)) =>
-        val c = col(tag.getOrElse(tdef.tsCol.getOrElse("ts")))
+        val c = qcol(tag.getOrElse(tdef.tsCol.getOrElse("ts")))
         Seq(if (desc) c.desc else c.asc)
       case None => tdef.tsCol.map(t => col(t).asc).toSeq
     }
@@ -117,14 +123,42 @@ object Planners {
         (q.tagProjection ++ q.fieldProjection).distinct
       else df.columns.toSeq
 
+    // Projected tags OUTSIDE the group keys ride along as the group's
+    // first-row values (A6/A7: "tag families from the first row of the
+    // group", measure_plan_aggregation.go:242-369) — a partial-aggregable
+    // `min_by` ordered by (ts, version), the same first-seen order A5 uses.
+    def firstRowExtras(keys: Seq[String]): Seq[Column] = {
+      val extras = q.tagProjection.filterNot(keys.contains)
+      val ordCols = (tdef.tsCol.toSeq ++ tdef.versionCol.toSeq).map(col)
+      extras.map { t =>
+        (if (ordCols.nonEmpty) min_by(qcol(t), struct(ordCols: _*))
+         else min(qcol(t))).as(t)
+      }
+    }
+    def aggOutName(fn: AggFn, field: String): String = fn match {
+      case AggFn.Sum => s"sum_$field"; case AggFn.Count => s"count_$field"
+      case AggFn.Max => s"max_$field"; case AggFn.Min => s"min_$field"
+      case AggFn.Mean => s"mean_$field"
+    }
+
     val afterAgg = q.agg.isDefined
     val (core, postProject) = (q.groupByTags, q.agg) match {
       case (Nil, None) => (df, Some(projected))
       case (keys, Some((fn, field))) if keys.nonEmpty =>
-        (df.groupBy(keys.map(col): _*).agg(aggColumn(df, fn, field, meanIsIntegral)), None)
+        val grouped = df.groupBy(keys.map(qcol): _*).agg(
+          aggColumn(df, fn, field, meanIsIntegral), firstRowExtras(keys): _*)
+        // egress order: projected tags (projection order) then the agg value
+        val post = if (q.tagProjection.isEmpty) None
+          else Some(q.tagProjection.distinct :+ aggOutName(fn, field))
+        (grouped, post)
       case (Nil, Some((fn, field))) =>
-        // scalar reduce to one row (measure_plan_aggregation.go:306-369)
-        (df.agg(aggColumn(df, fn, field, meanIsIntegral)), None)
+        // scalar reduce to one row (measure_plan_aggregation.go:306-369);
+        // projected tags carry the first input row's values
+        val reduced = df.agg(aggColumn(df, fn, field, meanIsIntegral),
+          firstRowExtras(Nil): _*)
+        val post = if (q.tagProjection.isEmpty) None
+          else Some(q.tagProjection.distinct :+ aggOutName(fn, field))
+        (reduced, post)
       case (keys, None) =>
         // GROUP BY without aggregation → first-seen row per group (A5),
         // as a partial-aggregable min(struct) — see BanyanSemantics. The
@@ -151,12 +185,12 @@ object Planners {
         } else q.orderBy match {
           // post-agg ordering is only meaningful on a surviving group key
           case Some(OrderBy(Some(tag), desc)) if core.columns.contains(tag) =>
-            core.orderBy(if (desc) col(tag).desc else col(tag).asc)
+            core.orderBy(if (desc) qcol(tag).desc else qcol(tag).asc)
           case _ => core
         }
     }
     val paged = page(sorted, q.offset, effLimit(q.limit))
-    postProject.fold(paged)(p => paged.select(p.map(col): _*))
+    postProject.fold(paged)(p => paged.select(p.map(qcol): _*))
   }
 
   private def isFloat(df: DataFrame, field: String): Boolean =
@@ -202,7 +236,7 @@ object Planners {
     // order+limit on the full row (hidden tags usable as sort keys),
     // project at egress
     df = page(df.orderBy(ord: _*), q.offset, effLimit(q.limit))
-    if (q.projection.nonEmpty) df.select(q.projection.map(col): _*) else df
+    if (q.projection.nonEmpty) df.select(q.projection.map(qcol): _*) else df
   }
 
   /** Trace read path: spans grouped per trace, LIMIT counts traces
@@ -243,9 +277,9 @@ object Planners {
     val grouped = df.groupBy(col(traceIdCol)).agg(
       count(lit(1)).as("span_count"),
       min(col(tdef.tsCol.getOrElse("ts"))).as("start_ts"),
-      (if (sortDesc) max(col(sortSrc)) else min(col(sortSrc))).as("__sort"),
+      (if (sortDesc) max(qcol(sortSrc)) else min(qcol(sortSrc))).as("__sort"),
       // deterministic span ordering inside each trace
-      sort_array(collect_list(struct(spanCols.map(col): _*))).as("spans"))
+      sort_array(collect_list(struct(spanCols.map(qcol): _*))).as("spans"))
     val ranked = grouped.orderBy(
       (if (sortDesc) col("__sort").desc else col("__sort").asc),
       col(traceIdCol).asc).drop("__sort")
@@ -281,7 +315,7 @@ object Planners {
     val OrderBy(obTag, obDesc) = q.orderBy.getOrElse(OrderBy(None, desc = false))
     val obCol = col(obTag.getOrElse(idCol))
     d = d.orderBy(if (obDesc) obCol.desc else obCol.asc, col(idCol).asc)
-    if (q.projection.nonEmpty) d = d.select(q.projection.map(col): _*)
+    if (q.projection.nonEmpty) d = d.select(q.projection.map(qcol): _*)
     if (q.limit > 0) d.limit(q.limit) else d
   }
 

@@ -433,4 +433,212 @@ class GoldenMeasureFamilySpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("field") ||
       e.getMessage.contains("not found"))
   }
+
+  test("project_non_existent_tag.ql: unknown projected tag is an error (WantErr)") {
+    val e = intercept[IllegalArgumentException] {
+      run(
+        """SELECT event_id, nonexistent_tag, value FROM MEASURE events IN sw_metric
+          |TIME > '-30d'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  // -- round-5 remainder: named cases beyond the earlier slabs ---------------
+
+  test("all_latency.ql: lowercase keywords (the grammar is case-insensitive)") {
+    assert(run(
+      "select user_id, value::field from measure events in sw_metric time > '-30d'") ==
+      mirror(lit(true), defaultOrd, Seq("user_id", "value")))
+  }
+
+  test("float.ql: plain multi-column projection over the FLOAT measure") {
+    assert(run(
+      """SELECT event_type, user_id, value FROM MEASURE events IN sw_metric
+        |TIME > '-30d'""".stripMargin) ==
+      mirror(lit(true), defaultOrd, Seq("event_type", "user_id", "value")))
+  }
+
+  test("top_entity.ql / bottom_entity.ql: TOP 5 entity MEAN, GROUP BY with ::field") {
+    for (desc <- Seq(true, false)) {
+      val dir = if (desc) "DESC" else "ASC"
+      val got = run(
+        s"""SELECT TOP 5 value $dir, user_id, value::field, MEAN(value)
+           |FROM MEASURE events IN sw_metric
+           |TIME > '-30d' GROUP BY user_id, value::field""".stripMargin)
+      val want = inWin.groupBy("user_id").agg(meanD.as("mean_value"))
+        .orderBy(if (desc) col("mean_value").desc else col("mean_value").asc,
+          col("user_id").asc)
+        .limit(5).collect().map(_.toSeq).toSeq
+      assert(got == want && got.size == 5, dir)
+    }
+  }
+
+  test("top_entity_svc.ql / bottom_entity_svc.ql: projected tag OUTSIDE the group keys") {
+    // `service_id` is projected but not grouped — it carries the group's
+    // first-row value (A7, measure_plan_aggregation.go:242-304); under the
+    // EQ filter it is constant, exactly the reference's fixture shape
+    for (desc <- Seq(true, false)) {
+      val dir = if (desc) "DESC" else "ASC"
+      val got = run(
+        s"""SELECT TOP 2 value $dir, user_id, event_type, value::field, MEAN(value)
+           |FROM MEASURE events IN sw_metric
+           |TIME > '-30d'
+           |WHERE event_type = 'click'
+           |GROUP BY user_id, value::field""".stripMargin)
+      val want = inWin.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(meanD.as("mean_value"))
+        .withColumn("event_type", lit("click"))
+        .orderBy(if (desc) col("mean_value").desc else col("mean_value").asc,
+          col("user_id").asc)
+        .limit(2).select("user_id", "event_type", "mean_value")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want && got.size == 2, dir)
+    }
+  }
+
+  test("top_with_filter.ql: TOP 2 MEAN with NE filter") {
+    val got = run(
+      """SELECT TOP 2 value DESC, event_type, value::field, MEAN(value)
+        |FROM MEASURE events IN sw_metric
+        |TIME > '-30d'
+        |WHERE event_type != 'view'
+        |GROUP BY event_type, value""".stripMargin)
+    val want = inWin.filter(col("event_type") =!= "view")
+      .groupBy("event_type").agg(meanD.as("mean_value"))
+      .orderBy(col("mean_value").desc, col("event_type").asc).limit(2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 2)
+  }
+
+  test("tag_filter_not_in.ql: NOT IN filter") {
+    assert(run(
+      """SELECT event_id, user_id, value FROM MEASURE events IN sw_metric
+        |TIME > '-30d'
+        |WHERE event_type NOT IN ('view')""".stripMargin) ==
+      mirror(!col("event_type").isin("view"), defaultOrd,
+        Seq("event_id", "user_id", "value")))
+  }
+
+  test("tag_filter_unknown.ql: EQ against an unmatched value is empty (WantEmpty)") {
+    assert(run(
+      """SELECT event_type, value::field FROM MEASURE events IN sw_metric
+        |TIME > '-30d'
+        |WHERE event_type = 'unknown'""".stripMargin).isEmpty)
+  }
+
+  test("entity_replicated.ql: entity EQ against a replicated group reads ONE copy") {
+    // replication (replicated_group, shard replicas) is a storage concern —
+    // both replicas serve the same logical rows; the query sees one copy
+    assert(run(
+      """SELECT event_id, event_type, value FROM MEASURE events IN replicated_group
+        |TIME > '-30d' WHERE user_id = 1""".stripMargin) ==
+      mirror(col("user_id") === 1L, defaultOrd, Seq("event_id", "event_type", "value")))
+  }
+
+  test("write_mixed.ql: multi-group WITHOUT parens + entity IN spanning both groups") {
+    // `IN sw_spec, sw_spec2` — two schema-evolution groups holding disjoint
+    // slices; the IN list picks entities from each (measure.go:110 DisOrder)
+    val spec1 = events.filter(col("user_id") < 8L)
+    val spec2 = events.filter(col("user_id") >= 8L)
+      .withColumn("extra_tag", concat(lit("s2-"), col("event_type")))
+    val r = Map(
+      "sw_spec/events" -> BydbQL.Resource(spec1, tdef, fields = Set("value")),
+      "sw_spec2/events" -> BydbQL.Resource(spec2, tdef, fields = Set("value")))
+    val got = run(
+      """SELECT event_id, user_id, value FROM MEASURE events IN sw_spec, sw_spec2
+        |TIME > '-30d'
+        |WHERE user_id IN (3, 7, 8, 12) LIMIT 100000""".stripMargin, r)
+    assert(got == mirror(col("user_id").isin(3L, 7L, 8L, 12L), defaultOrd,
+      Seq("event_id", "user_id", "value"), limit = 100000))
+    assert(got.map(_(1).asInstanceOf[Long]).toSet == Set(3L, 7L, 8L, 12L))
+  }
+
+  test("gen_leaf_eq_null.ql / gen_leaf_ne_null.ql: NULL literal comparisons") {
+    // `WHERE id = NULL` selects rows whose tag is unset; != NULL the rest
+    val withNulls = events.withColumn("maybe_type",
+      when(pmod(col("user_id"), lit(3L)) === 0L, lit(null).cast("string"))
+        .otherwise(col("event_type")))
+    val r = Map("events" -> BydbQL.Resource(withNulls, tdef, fields = Set("value")))
+    val winNulls = withNulls.filter(col("ts_ns") >= tLo && col("ts_ns") < tHi)
+    assert(run(
+      """SELECT event_id, user_id, value FROM MEASURE events IN sw_metric
+        |TIME > '-30d' WHERE maybe_type = NULL""".stripMargin, r) ==
+      mirror(col("maybe_type").isNull, defaultOrd,
+        Seq("event_id", "user_id", "value"), src = winNulls))
+    assert(run(
+      """SELECT event_id, user_id, value FROM MEASURE events IN sw_metric
+        |TIME > '-30d' WHERE maybe_type != NULL""".stripMargin, r) ==
+      mirror(col("maybe_type").isNotNull, defaultOrd,
+        Seq("event_id", "user_id", "value"), src = winNulls))
+  }
+
+  test("gen_leaf named op × type matrix executes (remaining named cases)") {
+    // gen_leaf_{ne,lt,gt,le,ge}_int · gen_leaf_{eq,ne,lt,ge}_str ·
+    // gen_leaf_in_str_array · gen_leaf_not_in_int_array — statements
+    // verbatim modulo binding; each checked against a DataFrame mirror
+    val cases: Seq[(String, String, Column)] = Seq(
+      ("gen_leaf_ne_int", "event_id != 5", col("event_id") =!= 5L),
+      ("gen_leaf_lt_int", "event_id < 100", col("event_id") < 100L),
+      ("gen_leaf_gt_int", "event_id > 100", col("event_id") > 100L),
+      ("gen_leaf_le_int", "event_id <= 100", col("event_id") <= 100L),
+      ("gen_leaf_ge_int", "event_id >= 100", col("event_id") >= 100L),
+      ("gen_leaf_eq_str", "event_type = 'error'", col("event_type") === "error"),
+      ("gen_leaf_ne_str", "event_type != 'view'", col("event_type") =!= "view"),
+      ("gen_leaf_lt_str", "event_type < 'error'", col("event_type") < "error"),
+      ("gen_leaf_ge_str", "event_type >= 'error'", col("event_type") >= "error"),
+      ("gen_leaf_in_str_array", "event_type IN ('click', 'view')",
+        col("event_type").isin("click", "view")),
+      ("gen_leaf_not_in_int_array", "event_id NOT IN (1, 2, 3)",
+        !col("event_id").isin(1L, 2L, 3L)))
+    for ((name, where, m) <- cases) {
+      assert(run(
+        s"""SELECT event_id, user_id, value FROM MEASURE events IN sw_metric
+           |TIME > '-30d' WHERE $where LIMIT 100000""".stripMargin) ==
+        mirror(m, defaultOrd, Seq("event_id", "user_id", "value"),
+          limit = 100000), name)
+    }
+  }
+
+  // gen_err_in_scalar.ql (WantErr): the error is a TYPED-REQUEST shape —
+  // BINARY_OP_IN carrying a scalar `str` value instead of a strArray
+  // (input/gen_err_in_scalar.yaml). The QL text `IN ('svc1')` parses to a
+  // legal one-element list in both engines; our typed IR (Cond values:
+  // Seq[Any]) cannot express a scalar-IN, so the malformed request is
+  // unconstructible by design rather than validated.
+
+  test("gen_feat_mean_top_{desc,asc}_group_order_{desc,asc}_{3,4}.ql + " +
+      "gen_feat_mean_group_order_asc_5.ql") {
+    // TOP 2 over MEAN × both directions with a trailing bare ORDER BY
+    // (ignored post-agg unless it names a surviving key)
+    for ((dir, desc, ord) <- Seq(("DESC", true, "DESC"), ("ASC", false, "ASC"))) {
+      val got = run(
+        s"""SELECT TOP 2 value $dir, event_type, MEAN(value), value::field
+           |FROM MEASURE events IN sw_metric TIME > '-30d'
+           |GROUP BY event_type, value ORDER BY $ord""".stripMargin)
+      val want = inWin.groupBy("event_type").agg(meanD.as("mean_value"))
+        .orderBy(if (desc) col("mean_value").desc else col("mean_value").asc,
+          col("event_type").asc)
+        .limit(2).select("event_type", "mean_value").collect().map(_.toSeq).toSeq
+      assert(got == want && got.size == 2, dir)
+    }
+    // _5: MEAN + GROUP BY + bare ORDER BY ASC, no TOP
+    val got = run(
+      """SELECT event_type, MEAN(value), value::field FROM MEASURE events IN sw_metric
+        |TIME > '-30d' GROUP BY event_type, value ORDER BY ASC""".stripMargin)
+    assert(got.toSet == groupedMirror(meanD))
+  }
+
+  test("gen_feat_{max,min,count,sum}_group_order_desc_{6,7,8,9}.ql") {
+    val cases: Seq[(String, String, Column)] = Seq(
+      ("gen_feat_max_group_order_desc_6", "MAX", max(col("value"))),
+      ("gen_feat_min_group_order_desc_7", "MIN", min(col("value"))),
+      ("gen_feat_count_group_order_desc_8", "COUNT", count(col("value")).cast("double")),
+      ("gen_feat_sum_group_order_desc_9", "SUM", sumD))
+    for ((name, fn, agg) <- cases) {
+      val got = run(
+        s"""SELECT event_type, $fn(value), value::field FROM MEASURE events IN sw_metric
+           |TIME > '-30d' GROUP BY event_type, value ORDER BY DESC""".stripMargin)
+      assert(got.toSet == groupedMirror(agg), name)
+    }
+  }
 }
