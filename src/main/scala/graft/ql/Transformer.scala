@@ -341,7 +341,13 @@ object Transformer {
       case ProjColumns(cs) =>
         if (cs.exists(_.agg.isDefined))
           throw new IllegalArgumentException("STREAM queries do not support aggregation")
-        cs.map(_.name.get)
+        // projecting an unknown tag is an error (stream golden case
+        // project_non_existent_tag, WantErr), not a null column
+        cs.map(_.name.get).map { n =>
+          if (!schema.has(n)) throw new IllegalArgumentException(
+            s"tag '$n' not found in the queried resource")
+          n
+        }
       case _ =>
         throw new IllegalArgumentException("invalid projection for STREAM query")
     }

@@ -292,6 +292,278 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
       "ts_ns", desc = true, limit = 10) && got.size == 10)
   }
 
+  // == STREAM round-5 remainder =============================================
+
+  test("sort_desc.ql: bare ORDER BY duration DESC") {
+    assert(runSw(
+      """SELECT event_id, value FROM STREAM sw IN default TIME > '-30d'
+        |ORDER BY value DESC""".stripMargin) ==
+      mirrorSw(lit(true), valOrd(desc = true), Seq("event_id", "value")))
+  }
+
+  test("filter_no_indexed.ql: EQ on a non-indexed tag") {
+    assert(runSw(
+      """SELECT event_id, event_type FROM STREAM sw IN default TIME > '-30d'
+        |WHERE event_type = 'view'""".stripMargin) ==
+      mirrorSw(col("event_type") === "view", tsOrd, Seq("event_id", "event_type")))
+  }
+
+  test("all_with_http_method.ql: projection of a DOTTED tag name") {
+    // the sw stream's `http.method` tag — dots are part of the tag name,
+    // not a path (qcol backtick-quotes them for Catalyst)
+    val dotted = swStream.withColumn("http.method",
+      when(col("event_type") === "click", lit("GET")).otherwise(lit("POST")))
+    val got = runSw(
+      """SELECT event_id, http.method, props FROM STREAM sw IN default
+        |TIME > '-30d' LIMIT 5""".stripMargin,
+      Map("sw" -> BydbQL.Resource(dotted, swDef, elementIdCol = Some("element_id"))))
+    val want = dotted.filter(inWin).orderBy(tsOrd: _*).limit(5)
+      .select(col("event_id"), col("`http.method`"), col("props"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 5)
+  }
+
+  test("deduplication_test_limit_40.ql / deduplication_test_limit_100.ql") {
+    val dup = swStream.unionByName(swStream.withColumn("value", col("value") + 1000.0))
+    for (lim <- Seq(40, 100)) {
+      val got = runSw(
+        s"""SELECT element_id, event_id, value FROM STREAM sw IN default
+           |TIME > '-30d' LIMIT $lim""".stripMargin, swRes(dup))
+      assert(got.size == lim && got.map(_.head).distinct.size == lim, s"limit $lim")
+    }
+  }
+
+  test("duplicated_order_by_filter.ql: EQ filter + ORDER BY tag DESC over duplicates") {
+    val dup = swStream.unionByName(swStream.withColumn("value", col("value") + 1000.0))
+    val someId = swStream.filter(inWin).orderBy("ts_ns")
+      .select("event_id").head.getLong(0)
+    val got = runSw(
+      s"""SELECT element_id, event_id, value FROM STREAM sw IN default
+         |TIME > '-30d' WHERE event_id = $someId ORDER BY value DESC""".stripMargin,
+      swRes(dup))
+    // one element survives dedup; the kept copy is the first in (value
+    // desc, ts, entity) order = the high copy
+    assert(got.size == 1 && got.head(2).asInstanceOf[Double] > 1000.0)
+  }
+
+  test("global_indices.ql: multi-point IN incl a no-match member") {
+    val ids = swStream.filter(inWin).orderBy("ts_ns").select("event_id")
+      .limit(3).collect().map(_.getLong(0))
+    val got = runSw(
+      s"""SELECT event_id, props FROM STREAM sw IN default TIME > '-30d'
+         |WHERE event_id IN (${ids.mkString(", ")}, -1)""".stripMargin)
+    assert(got == mirrorSw(col("event_id").isin(ids: _*), tsOrd,
+      Seq("event_id", "props")) && got.size == 3)
+  }
+
+  test("having_non_indexed.ql: HAVING with a BARE scalar value (no parens)") {
+    assert(runSw(
+      """SELECT event_id, extended_tags, props FROM STREAM sw IN default
+        |TIME > '-30d' WHERE extended_tags HAVING 'click'""".stripMargin) ==
+      mirrorSw(col("event_type") === "click", tsOrd,
+        Seq("event_id", "extended_tags", "props")))
+  }
+
+  test("having_non_indexed_arr.ql / gen_leaf_having_extended_tags.ql / " +
+      "gen_leaf_not_having_extended_tags.ql") {
+    assert(runSw(
+      """SELECT event_id, extended_tags, props FROM STREAM sw IN default
+        |TIME > '-30d' WHERE extended_tags HAVING ('click-x', 'click')""".stripMargin) ==
+      mirrorSw(col("event_type") === "click", tsOrd,
+        Seq("event_id", "extended_tags", "props")))
+    assert(runSw(
+      """SELECT event_id, event_type FROM STREAM sw IN default
+        |TIME > '-30d' WHERE extended_tags NOT HAVING ('click')""".stripMargin) ==
+      mirrorSw(col("event_type") =!= "click", tsOrd, Seq("event_id", "event_type")))
+  }
+
+  test("hybrid_index.ql: HAVING on an array tag AND a point lookup") {
+    val someId = swStream.filter(inWin && col("event_type") === "click")
+      .orderBy("ts_ns").select("event_id").head.getLong(0)
+    val got = runSw(
+      s"""SELECT event_id, extended_tags, props FROM STREAM sw IN default
+         |TIME > '-30d'
+         |WHERE extended_tags HAVING ('click-x', 'click') AND event_id = $someId""".stripMargin)
+    assert(got == mirrorSw(col("event_type") === "click" && col("event_id") === someId,
+      tsOrd, Seq("event_id", "extended_tags", "props")) && got.size == 1)
+  }
+
+  test("gen_tree_depth2_contradict_and.ql: contradictory range AND is empty (WantEmpty)") {
+    assert(runSw(
+      """SELECT event_id, value FROM STREAM sw IN default TIME > '-30d'
+        |WHERE (value > 500 AND value < 500) ORDER BY value DESC""".stripMargin).isEmpty)
+  }
+
+  test("gen_leaf_{eq,ne,lt,gt,le,ge}_duration.ql + gen_leaf_{eq,in}_state.ql") {
+    // duration (an INT tag in the sw schema) → floor(value) · state →
+    // user_id (entity: EQ/IN legal). Literals stay integral — the grammar
+    // has no float literal, faithfully: tag types are int64/string only.
+    val durDf = swStream.withColumn("duration", floor(col("value")).cast("long"))
+    val durRes = swRes(durDf)
+    val someD = durDf.filter(inWin).orderBy("ts_ns").select("duration").head.getLong(0)
+    val cases: Seq[(String, String, Column)] = Seq(
+      ("gen_leaf_eq_duration", s"duration = $someD", col("duration") === someD),
+      ("gen_leaf_ne_duration", s"duration != $someD", col("duration") =!= someD),
+      ("gen_leaf_lt_duration", "duration < 1000", col("duration") < 1000L),
+      ("gen_leaf_gt_duration", "duration > 200", col("duration") > 200L),
+      ("gen_leaf_le_duration", "duration <= 1000", col("duration") <= 1000L),
+      ("gen_leaf_ge_duration", "duration >= 200", col("duration") >= 200L),
+      ("gen_leaf_eq_state", "user_id = 1", col("user_id") === 1L),
+      ("gen_leaf_in_state", "user_id IN (0, 1)", col("user_id").isin(0L, 1L)))
+    for ((name, where, m) <- cases) {
+      assert(runSw(
+        s"""SELECT event_id, user_id, duration, props FROM STREAM sw IN default
+           |TIME > '-30d' WHERE $where""".stripMargin, durRes) ==
+        mirrorSw(m, tsOrd, Seq("event_id", "user_id", "duration", "props"),
+          src = durDf), name)
+    }
+  }
+
+  /** the reference sw stream has TWO entity tags (service_id, state) —
+    * event_type plays service_id here so EQ/IN pass and every other op
+    * errors (F6). */
+  private lazy val svcEntityDef = swDef.copy(entity = Seq("event_type", "user_id"))
+  private def svcRes = Map("sw" -> BydbQL.Resource(swStream, svcEntityDef,
+    elementIdCol = Some("element_id")))
+
+  test("gen_leaf_eq_service_id.ql / gen_leaf_in_service_id.ql: entity EQ and IN") {
+    assert(runSw(
+      """SELECT event_id, event_type, value FROM STREAM sw IN default
+        |TIME > '-30d' WHERE event_type = 'click'""".stripMargin, svcRes) ==
+      mirrorSw(col("event_type") === "click", tsOrd,
+        Seq("event_id", "event_type", "value")))
+    assert(runSw(
+      """SELECT event_id, event_type, value FROM STREAM sw IN default
+        |TIME > '-30d'
+        |WHERE event_type IN ('click', 'missing_id')""".stripMargin, svcRes) ==
+      mirrorSw(col("event_type") === "click", tsOrd,
+        Seq("event_id", "event_type", "value")))
+  }
+
+  test("gen_err_ne_service_id.ql / gen_err_not_in_service_id.ql (WantErr)") {
+    // completes the state-side matrix already covered: gen_err_ne_state,
+    // gen_err_lt_state, gen_err_gt_state, gen_err_le_state, gen_err_ge_state,
+    // gen_err_not_in_state (stream.go:113-123, all WantErr)
+    for (p <- Seq("event_type != 'webapp_id'", "event_type NOT IN ('webapp_id')")) {
+      val e = intercept[IllegalArgumentException] {
+        runSw(s"SELECT event_id FROM STREAM sw IN default TIME > '-30d' WHERE $p", svcRes)
+      }
+      assert(e.getMessage.contains("only EQ and IN"), p)
+    }
+  }
+
+  test("gen_err_match_trace_id.ql: MATCH on a tag with NO analyzer rule (WantErr)") {
+    // the resource declares its analyzer-indexed tags; trace_id (here
+    // element_id) carries no analyzer → MATCH rejects
+    val r = Map("sw" -> BydbQL.Resource(swStream,
+      swDef.copy(matchableTags = Some(Set("event_type"))),
+      elementIdCol = Some("element_id")))
+    val e = intercept[IllegalArgumentException] {
+      runSw(
+        """SELECT event_id FROM STREAM sw IN default TIME > '-30d'
+          |WHERE element_id MATCH ('1')""".stripMargin, r)
+    }
+    assert(e.getMessage.contains("no analyzer"))
+    // a MATCH on the declared tag still passes through the same resource
+    assert(runSw(
+      """SELECT event_id, event_type FROM STREAM sw IN default TIME > '-30d'
+        |WHERE event_type MATCH ('click')""".stripMargin, r) ==
+      mirrorSw(col("event_type") === "click", tsOrd, Seq("event_id", "event_type")))
+  }
+
+  test("gen_leaf_match_db.instance.ql: MATCH on a DOTTED tag name") {
+    val dotted = swStream.withColumn("db.instance",
+      when(col("event_type") === "click", lit("mysql-primary"))
+        .otherwise(lit("pg-replica")))
+    val got = runSw(
+      """SELECT event_id, db.instance FROM STREAM sw IN default TIME > '-30d'
+        |WHERE db.instance MATCH ('mysql')""".stripMargin,
+      Map("sw" -> BydbQL.Resource(dotted, swDef, elementIdCol = Some("element_id"))))
+    val want = dotted.filter(inWin && col("`db.instance`") === "mysql-primary")
+      .orderBy(tsOrd: _*).limit(100)
+      .select(col("event_id"), col("`db.instance`")).collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("multi_group_new_tag.ql: second group's new tag null-fills (IgnoreElementID)") {
+    val updated = swStream
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("element_id", col("event_id").cast("string"))
+      .withColumn("new_tag", concat(lit("n-"), col("event_type")))
+    val r = Map(
+      "default/sw" -> BydbQL.Resource(swStream, swDef, elementIdCol = Some("element_id")),
+      "updated/sw" -> BydbQL.Resource(updated, swDef, elementIdCol = Some("element_id")))
+    val got = BydbQL.run(
+      """SELECT event_id, event_type, new_tag FROM STREAM sw IN default, updated
+        |TIME > '-30d' LIMIT 100000""".stripMargin, r, Nil, now)
+      .collect().map(_.toSeq).toSeq
+    assert(got.size == 2 * swStream.filter(inWin).count())
+    assert(got.exists(_(2) == null) && got.exists(_(2) != null))
+  }
+
+  test("multi_group_tag_type.ql: conflicting tag type widens to UNSPECIFIED") {
+    // status_code is INT in `default` and STRING in `updated`
+    // (logical/schema.go:240-246): the merged column renders each group's
+    // native value; want file keeps int rows and str rows side by side
+    val dflt = swStream.withColumn("status_code", (col("user_id") % 5L + 200L))
+    val updated = swStream
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("element_id", col("event_id").cast("string"))
+      .withColumn("status_code", concat(lit("HTTP-"), col("event_type")))
+    val r = Map(
+      "default/sw" -> BydbQL.Resource(dflt, swDef, elementIdCol = Some("element_id")),
+      "updated/sw" -> BydbQL.Resource(updated, swDef, elementIdCol = Some("element_id")))
+    val got = BydbQL.run(
+      """SELECT event_id, event_type, status_code FROM STREAM sw IN default, updated
+        |TIME > '-30d' LIMIT 100000""".stripMargin, r, Nil, now)
+      .collect().map(_.toSeq).toSeq
+    assert(got.size == 2 * swStream.filter(inWin).count())
+    val codes = got.map(_(2).asInstanceOf[String]).distinct
+    assert(codes.exists(_.startsWith("HTTP-")) && codes.exists(_.forall(_.isDigit)))
+  }
+
+  test("multi_group_sort_duration.ql: ORDER BY across merged groups") {
+    val updated = swStream
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("element_id", col("event_id").cast("string"))
+      .withColumn("value", col("value") + 0.5)
+    val r = Map(
+      "default/sw" -> BydbQL.Resource(swStream, swDef, elementIdCol = Some("element_id")),
+      "updated/sw" -> BydbQL.Resource(updated, swDef, elementIdCol = Some("element_id")))
+    val got = BydbQL.run(
+      """SELECT event_id, value FROM STREAM sw IN default, updated
+        |TIME > '-30d' ORDER BY value DESC""".stripMargin, r, Nil, now)
+      .collect().map(_.toSeq).toSeq
+    assert(got.size == 100)
+    assert(got == mirrorSw(lit(true), valOrd(desc = true), Seq("event_id", "value"),
+      src = swStream.unionByName(updated)))
+  }
+
+  test("stream project_non_existent_tag.ql: unknown projected tag errors (WantErr)") {
+    val e = intercept[IllegalArgumentException] {
+      runSw(
+        """SELECT event_id, nonexistent_tag FROM STREAM sw IN default
+          |TIME > '-30d'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("stream write_mixed.ql: two schema-evolution groups + IN spanning both") {
+    val spec1 = swStream.filter(col("user_id") < 8L)
+    val spec2 = swStream.filter(col("user_id") >= 8L)
+      .withColumn("span_id", concat(col("event_type"), lit("#"), col("event_id")))
+    val r = Map(
+      "default-spec/sw" -> BydbQL.Resource(spec1, swDef, elementIdCol = Some("element_id")),
+      "default-spec2/sw" -> BydbQL.Resource(spec2, swDef, elementIdCol = Some("element_id")))
+    val got = BydbQL.run(
+      """SELECT event_id, user_id, value FROM STREAM sw IN default-spec, default-spec2
+        |TIME > '-30d' WHERE user_id IN (3, 7, 8, 12) LIMIT 100000""".stripMargin,
+      r, Nil, now).collect().map(_.toSeq).toSeq
+    assert(got == mirrorSw(col("user_id").isin(3L, 7L, 8L, 12L), tsOrd,
+      Seq("event_id", "user_id", "value"), limit = 100000))
+    assert(got.map(_(1).asInstanceOf[Long]).toSet == Set(3L, 7L, 8L, 12L))
+  }
+
   // element-dedup determinism: the kept row for a duplicated element is the
   // FIRST in the stream's total order (ord tiebreaks), not an arbitrary one
   test("duplicated_index_filter.ql: kept duplicate is deterministic under order") {
