@@ -3,6 +3,7 @@ package graft.ql
 import java.time.Instant
 
 import graft.SparkSpec
+import graft.engine.Planners
 import graft.sources.{Catalog, TableDef}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -562,6 +563,300 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
     assert(got == mirrorSw(col("user_id").isin(3L, 7L, 8L, 12L), tsOrd,
       Seq("event_id", "user_id", "value"), limit = 100000))
     assert(got.map(_(1).asInstanceOf[Long]).toSet == Set(3L, 7L, 8L, 12L))
+  }
+
+  // == TRACE round-5 remainder ==============================================
+
+  /** explicit-projection mirror: spans carry ONLY the projected tags
+    * (trace/v1/query.proto:31-56; gen_feat_*_proj_explicit_*). */
+  private def mirrorTraceProj(filter: Column, sortSrc: String, desc: Boolean,
+      proj: Seq[String], limit: Int = 100, offset: Int = 0,
+      src: DataFrame = traceDf): Seq[Seq[Any]] = {
+    val key = if (desc) max(qc(sortSrc)) else min(qc(sortSrc))
+    var d = src.filter(inWin && filter).groupBy("trace_id").agg(
+      count(lit(1)).as("span_count"), min(col("ts_ns")).as("start_ts"),
+      key.as("__k"),
+      sort_array(collect_list(struct(proj.map(qc): _*))).as("spans"))
+      .orderBy(if (desc) col("__k").desc else col("__k").asc, col("trace_id").asc)
+      .drop("__k")
+    if (offset > 0) d = d.offset(offset)
+    d.limit(limit).collect().map(_.toSeq).toSeq
+  }
+
+  private def qc(name: String): Column =
+    if (name.contains(".")) col("`" + name + "`") else col(name)
+
+  private def traceResOf(df: DataFrame, td: TableDef = traceDef)
+      : Map[String, BydbQL.Resource] =
+    Map("sw" -> BydbQL.Resource(df, td, traceIdCol = Some("trace_id"),
+      spanStruct = spanCols))
+
+  test("order_duration_desc.ql / order_timestamp_desc.ql / order_timestamp_desc_limit.ql") {
+    assert(runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |ORDER BY value DESC""".stripMargin) ==
+      mirrorTrace(lit(true), "value", desc = true))
+    assert(runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |ORDER BY timestamp DESC""".stripMargin) ==
+      mirrorTrace(lit(true), "ts_ns", desc = true))
+    val got = runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |ORDER BY timestamp DESC
+        |LIMIT 2""".stripMargin)
+    assert(got == mirrorTrace(lit(true), "ts_ns", desc = true, limit = 2)
+      && got.size == 2)
+  }
+
+  test("eq_endpoint_order_duration_asc.ql / eq_service_instance_order_time_asc.ql / " +
+      "eq_service_instance_and_endpoint_order_timestamp_asc.ql") {
+    // endpoint_id → event_type · service_instance_id → user_id
+    assert(runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE event_type = 'click'
+        |ORDER BY value ASC""".stripMargin) ==
+      mirrorTrace(col("event_type") === "click", "value", desc = false))
+    assert(runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE user_id = '1'
+        |ORDER BY timestamp ASC""".stripMargin) ==
+      mirrorTrace(col("user_id") === 1L, "ts_ns", desc = false))
+    assert(runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE user_id = '1' AND event_type = 'click'
+        |ORDER BY timestamp ASC""".stripMargin) ==
+      mirrorTrace(col("user_id") === 1L && col("event_type") === "click",
+        "ts_ns", desc = false))
+  }
+
+  test("in_trace_ids.ql + gen_leaf_{in,ne,not_in}_trace_id.ql + gen_leaf_eq_trace_id.ql") {
+    assert(runTrace(
+      """SELECT trace_id FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE trace_id IN ('11', '12', '13')""".stripMargin) ==
+      mirrorTraceProj(col("trace_id").isin(11L, 12L, 13L), "ts_ns",
+        desc = false, Seq("trace_id")))
+    assert(runTrace(
+      """SELECT trace_id, event_id, event_type, value FROM TRACE sw IN test-trace-group
+        |TIME > '-30d' WHERE trace_id = '42'""".stripMargin) ==
+      mirrorTraceProj(col("trace_id") === 42L, "ts_ns", desc = false,
+        Seq("trace_id", "event_id", "event_type", "value")))
+    assert(runTrace(
+      """SELECT trace_id FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE trace_id != '42'
+        |ORDER BY timestamp DESC""".stripMargin) ==
+      mirrorTraceProj(col("trace_id") =!= 42L, "ts_ns", desc = true,
+        Seq("trace_id")))
+    assert(runTrace(
+      """SELECT trace_id FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE trace_id NOT IN ('999999')
+        |ORDER BY timestamp DESC""".stripMargin) ==
+      mirrorTraceProj(lit(true), "ts_ns", desc = true, Seq("trace_id")))
+  }
+
+  test("in_empty_span_ids.ql: IN () matches nothing (WantEmpty)") {
+    assert(runTrace(
+      """SELECT trace_id FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE event_id IN ()
+        |ORDER BY timestamp DESC""".stripMargin).isEmpty)
+  }
+
+  test("trace gen_leaf duration/state/service_id matrix (proj_explicit shape)") {
+    // duration (INT tag) → floor(value) · state → user_id · service_id →
+    // event_type; traces have NO entity restriction, so range ops on state
+    // pass here (unlike streams). gen_leaf_{eq,ne,lt,gt,le,ge}_duration,
+    // gen_leaf_{eq,ne,lt,gt,le,ge}_state, gen_leaf_{eq,ne,in,not_in}_service_id
+    val durDf = traceDf.withColumn("duration", floor(col("value")).cast("long"))
+    val durRes = traceResOf(durDf)
+    val someD = durDf.filter(inWin).orderBy("ts_ns").select("duration").head.getLong(0)
+    val proj = Seq("trace_id", "event_id", "event_type", "duration")
+    val cases: Seq[(String, String, Column)] = Seq(
+      ("gen_leaf_eq_duration", s"duration = $someD", col("duration") === someD),
+      ("gen_leaf_ne_duration", s"duration != $someD", col("duration") =!= someD),
+      ("gen_leaf_lt_duration", "duration < 1000", col("duration") < 1000L),
+      ("gen_leaf_gt_duration", "duration > 200", col("duration") > 200L),
+      ("gen_leaf_le_duration", "duration <= 1000", col("duration") <= 1000L),
+      ("gen_leaf_ge_duration", "duration >= 200", col("duration") >= 200L),
+      ("gen_leaf_eq_state", "user_id = 1", col("user_id") === 1L),
+      ("gen_leaf_ne_state", "user_id != 0", col("user_id") =!= 0L),
+      ("gen_leaf_lt_state", "user_id < 1", col("user_id") < 1L),
+      ("gen_leaf_gt_state", "user_id > 0", col("user_id") > 0L),
+      ("gen_leaf_le_state", "user_id <= 1", col("user_id") <= 1L),
+      ("gen_leaf_ge_state", "user_id >= 0", col("user_id") >= 0L),
+      ("gen_leaf_eq_service_id", "event_type = 'click'", col("event_type") === "click"),
+      ("gen_leaf_ne_service_id", "event_type != 'error'", col("event_type") =!= "error"),
+      ("gen_leaf_in_service_id", "event_type IN ('click', 'missing_service')",
+        col("event_type") === "click"),
+      ("gen_leaf_not_in_service_id", "event_type NOT IN ('missing_service')",
+        lit(true)))
+    for ((name, where, m) <- cases) {
+      val got = BydbQL.run(
+        s"""SELECT trace_id, event_id, event_type, duration FROM TRACE sw IN test-trace-group
+           |TIME > '-30d' WHERE $where
+           |ORDER BY timestamp DESC""".stripMargin, durRes, Nil, now)
+        .collect().map(_.toSeq).toSeq
+      assert(got == mirrorTraceProj(m, "ts_ns", desc = true, proj, src = durDf), name)
+    }
+  }
+
+  test("gen_leaf_eq_service_id_null.ql: = NULL over a never-null tag (WantEmpty)") {
+    assert(runTrace(
+      """SELECT trace_id, event_id, event_type, value FROM TRACE sw IN test-trace-group
+        |TIME > '-30d' WHERE event_type = NULL
+        |ORDER BY timestamp DESC""".stripMargin).isEmpty)
+  }
+
+  test("gen_feat_traceid_{limit2_5,proj_explicit_4,limit5_offset3_proj_explicit_2}.ql") {
+    val got = runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
+        |WHERE trace_id = '7'
+        |LIMIT 2""".stripMargin)
+    assert(got == mirrorTrace(col("trace_id") === 7L, "ts_ns", desc = false,
+      limit = 2) && got.size == 1) // one trace matches; LIMIT 2 caps traces
+    assert(runTrace(
+      """SELECT trace_id, event_id, event_type, value FROM TRACE sw IN test-trace-group
+        |TIME > '-30d' WHERE trace_id = '7'""".stripMargin) ==
+      mirrorTraceProj(col("trace_id") === 7L, "ts_ns", desc = false,
+        Seq("trace_id", "event_id", "event_type", "value")))
+    // offset 3 past the single matching trace → empty (WantEmpty)
+    assert(runTrace(
+      """SELECT trace_id, event_id, event_type, value FROM TRACE sw IN test-trace-group
+        |TIME > '-30d' WHERE trace_id = '7'
+        |LIMIT 5
+        |OFFSET 3""".stripMargin).isEmpty)
+  }
+
+  test("gen_feat_order_{duration_asc_limit2_offset1,duration_desc,timestamp_asc_filter_state_eq_limit5_offset1}_proj_explicit_{1,3,8}.ql") {
+    val proj = Seq("trace_id", "event_id", "event_type", "value")
+    val got1 = runTrace(
+      s"""SELECT ${proj.mkString(", ")} FROM TRACE sw IN test-trace-group
+         |TIME > '-30d'
+         |ORDER BY value ASC
+         |LIMIT 2
+         |OFFSET 1""".stripMargin)
+    assert(got1 == mirrorTraceProj(lit(true), "value", desc = false, proj,
+      limit = 2, offset = 1) && got1.size == 2)
+    assert(runTrace(
+      s"""SELECT ${proj.mkString(", ")} FROM TRACE sw IN test-trace-group
+         |TIME > '-30d'
+         |ORDER BY value DESC""".stripMargin) ==
+      mirrorTraceProj(lit(true), "value", desc = true, proj))
+    val got8 = runTrace(
+      s"""SELECT ${proj.mkString(", ")} FROM TRACE sw IN test-trace-group
+         |TIME > '-30d'
+         |WHERE user_id = 1
+         |ORDER BY timestamp ASC
+         |LIMIT 5
+         |OFFSET 1""".stripMargin)
+    assert(got8 == mirrorTraceProj(col("user_id") === 1L, "ts_ns", desc = false,
+      proj, limit = 5, offset = 1) && got8.size == 5)
+  }
+
+  test("having_query_tag.ql / having_query_tag_cond.ql: array tag + HYPHENATED order tag") {
+    // zipkin trace: `query` is a string-array tag, `zipkin-timestamp` the
+    // designated timestamp tag (hyphen is part of the tag name)
+    val zipkin = traceDf
+      .withColumn("query", when(col("event_type") === "click",
+        array(lit("SELECT * FROM users"), lit("COMMIT")))
+        .otherwise(array(lit("COMMIT"))))
+      .withColumn("zipkin-timestamp", col("ts_ns"))
+    val zres = traceResOf(zipkin, traceDef.copy(arrayTags = Set("query")))
+    val proj = Seq("trace_id", "event_id", "query")
+    val got = BydbQL.run(
+      """SELECT trace_id, event_id, query FROM TRACE sw IN zipkinTrace
+        |TIME > '-30d'
+        |WHERE query HAVING ('SELECT * FROM users')
+        |ORDER BY zipkin-timestamp DESC""".stripMargin, zres, Nil, now)
+      .collect().map(_.toSeq).toSeq
+    assert(got == mirrorTraceProj(col("event_type") === "click",
+      "zipkin-timestamp", desc = true, proj, src = zipkin) && got.nonEmpty)
+    val got2 = BydbQL.run(
+      """SELECT trace_id, event_id, query FROM TRACE sw IN zipkinTrace
+        |TIME > '-30d'
+        |WHERE query HAVING ('SELECT * FROM users') AND (user_id = '2' AND event_type = 'click')
+        |ORDER BY zipkin-timestamp DESC""".stripMargin, zres, Nil, now)
+      .collect().map(_.toSeq).toSeq
+    assert(got2 == mirrorTraceProj(
+      col("event_type") === "click" && col("user_id") === 2L,
+      "zipkin-timestamp", desc = true, proj, src = zipkin) && got2.nonEmpty)
+  }
+
+  test("state_duration_range_and_ids_order_timestamp_desc.ql: deep AND chain") {
+    val got = runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group
+        |TIME > '-30d'
+        |WHERE user_id = 0
+        |  AND event_type = 'click'
+        |  AND value >= 15
+        |  AND value <= 120
+        |ORDER BY timestamp DESC
+        |LIMIT 20""".stripMargin)
+    assert(got == mirrorTrace(col("user_id") === 0L && col("event_type") === "click" &&
+      col("value") >= 15.0 && col("value") <= 120.0, "ts_ns", desc = true,
+      limit = 20) && got.nonEmpty)
+  }
+
+  test("trace multi_group_sort_duration.ql + multi_group_tag_type.ql + write_mixed.ql") {
+    val g2 = traceDf
+      .withColumn("trace_id", col("trace_id") + 100L)
+      .withColumn("value", col("value") + 0.25)
+    // sort across merged groups
+    val r = Map(
+      "test-trace-group/sw" -> BydbQL.Resource(traceDf, traceDef,
+        traceIdCol = Some("trace_id"), spanStruct = spanCols),
+      "test-trace-updated/sw" -> BydbQL.Resource(g2, traceDef,
+        traceIdCol = Some("trace_id"), spanStruct = spanCols))
+    val got = BydbQL.run(
+      """SELECT trace_id, value FROM TRACE sw IN test-trace-group, test-trace-updated
+        |TIME > '-30d'
+        |WHERE value >= 100
+        |ORDER BY value DESC
+        |LIMIT 3""".stripMargin, r, Nil, now).collect().map(_.toSeq).toSeq
+    assert(got == mirrorTraceProj(col("value") >= 100.0, "value", desc = true,
+      Seq("trace_id", "value"), limit = 3, src = traceDf.unionByName(g2))
+      && got.size == 3)
+    // tag-type widening through the trace path: state INT in g1, STRING in g2
+    val t1 = traceDf.withColumn("state", pmod(col("user_id"), lit(2L)))
+    val t2 = g2.withColumn("state",
+      when(pmod(col("user_id"), lit(2L)) === 0L, lit("ok")).otherwise(lit("err")))
+    val rt = Map(
+      "test-trace-group/sw" -> BydbQL.Resource(t1, traceDef,
+        traceIdCol = Some("trace_id"), spanStruct = spanCols),
+      "test-trace-updated/sw" -> BydbQL.Resource(t2, traceDef,
+        traceIdCol = Some("trace_id"), spanStruct = spanCols))
+    val gotT = BydbQL.run(
+      """SELECT trace_id, event_type, state FROM TRACE sw IN test-trace-group, test-trace-updated
+        |TIME > '-30d'
+        |WHERE trace_id IN ('7', '107')""".stripMargin, rt, Nil, now)
+      .collect().map(_.toSeq).toSeq
+    assert(gotT == mirrorTraceProj(col("trace_id").isin(7L, 107L), "ts_ns",
+      desc = false, Seq("trace_id", "event_type", "state"),
+      src = Planners.unionGroups(Seq(t1, t2))) && gotT.size == 2)
+    // write_mixed: two spec groups, IN spanning both
+    val s1 = traceDf.filter(col("trace_id") < 50L)
+    val s2 = traceDf.filter(col("trace_id") >= 50L)
+      .withColumn("span_kind", lit("server"))
+    val rw = Map(
+      "test-trace-spec/sw" -> BydbQL.Resource(s1, traceDef,
+        traceIdCol = Some("trace_id"), spanStruct = spanCols),
+      "test-trace-spec2/sw" -> BydbQL.Resource(s2, traceDef,
+        traceIdCol = Some("trace_id"), spanStruct = spanCols))
+    val gotW = BydbQL.run(
+      """SELECT trace_id, event_id, value FROM TRACE sw IN test-trace-spec, test-trace-spec2
+        |TIME > '-30d'
+        |WHERE trace_id IN ('7', '49', '50', '96')""".stripMargin, rw, Nil, now)
+      .collect().map(_.toSeq).toSeq
+    assert(gotW == mirrorTraceProj(col("trace_id").isin(7L, 49L, 50L, 96L),
+      "ts_ns", desc = false, Seq("trace_id", "event_id", "value"))
+      && gotW.size == 4)
+  }
+
+  test("trace project_non_existent_tag.ql: unknown projected tag errors (WantErr)") {
+    val e = intercept[IllegalArgumentException] {
+      runTrace(
+        """SELECT trace_id, nonexistent_tag FROM TRACE sw IN test-trace-group
+          |TIME > '-30d'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not found"))
   }
 
   // element-dedup determinism: the kept row for a duplicated element is the
