@@ -69,6 +69,31 @@ class TracePipelineSpec extends SparkSpec {
     assert(sampled.count() == spans.count())
   }
 
+  test("t_drop_1.ql / t_drop_2.ql / t_keep_{boundary,errfast,errslow,highlat,nostatus}.ql: " +
+      "the named golden queries over the retained store") {
+    // statements verbatim (modulo the resource binding): point lookups
+    // against the `filter` trace in test-trace-pipeline; the two drops are
+    // WantEmpty after the filtering merge, the five keeps return one trace
+    val sampled = TracePipeline.latencyStatusSample(
+      spans, "trace_id", "duration_ms", "status", thresholdMs = 500)
+      .withColumn("ts_ns", col("span_id") * 1000000L)
+    val res = Map("filter" -> graft.ql.BydbQL.Resource(sampled,
+      TableDef("filter", tsCol = Some("ts_ns")),
+      traceIdCol = Some("trace_id"), spanStruct = Seq("span_id", "duration_ms")))
+    def q(tid: String) = graft.ql.BydbQL.run(
+      s"""SELECT trace_id FROM TRACE filter IN test-trace-pipeline
+         |WHERE trace_id = '$tid'
+         |LIMIT 10""".stripMargin, res)
+    for (t <- Seq("t-drop-1", "t-drop-2"))
+      assert(q(t).isEmpty, t)
+    for (t <- Seq("t-keep-boundary", "t-keep-errfast", "t-keep-errslow",
+        "t-keep-highlat", "t-keep-nostatus")) {
+      val rows = q(t).collect()
+      assert(rows.length == 1 && rows.head.getString(0) == t &&
+        rows.head.getLong(1) == 2L, t) // one trace, both spans retained
+    }
+  }
+
   test("retained store answers the trace read path (spans intact)") {
     val sampled = TracePipeline.latencyStatusSample(
       spans, "trace_id", "duration_ms", "status", thresholdMs = 500)
