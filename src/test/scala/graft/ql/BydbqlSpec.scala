@@ -130,7 +130,11 @@ class BydbqlSpec extends SparkSpec {
   }
 
   test("stream query shape with keyword-ish projection") {
+    // projected tags must exist (project_non_existent_tag, WantErr) — give
+    // the frame the sw-style columns
     val df = Catalog.load(spark, sf0001, "events")
+      .withColumn("trace_id", org.apache.spark.sql.functions.col("event_id"))
+      .withColumn("data_binary", org.apache.spark.sql.functions.col("props"))
     val stmt = Parser.parse(
       "SELECT trace_id, data_binary FROM STREAM sw IN default TIME > '-15m' LIMIT 4294967295")
     Transformer.transform(stmt, QlSchema(df.schema, Set.empty), now) match {

@@ -233,6 +233,7 @@ class GoldenMeasureFamilySpec extends SparkSpec {
     assert(got == want && got.size == 3)
   }
 
+  // cases: float_top_count.ql · float_top_mean.ql · float_top_sum.ql
   test("float_top_{count,mean,sum}.ql: TOP n DESC over the agg output") {
     val cases: Seq[(String, Column)] = Seq(
       ("COUNT", count(col("value")).cast("double")),
@@ -606,6 +607,8 @@ class GoldenMeasureFamilySpec extends SparkSpec {
   // Seq[Any]) cannot express a scalar-IN, so the malformed request is
   // unconstructible by design rather than validated.
 
+  // cases: gen_feat_mean_top_desc_group_order_desc_3.ql ·
+  // gen_feat_mean_top_asc_group_order_asc_4.ql · gen_feat_mean_group_order_asc_5.ql
   test("gen_feat_mean_top_{desc,asc}_group_order_{desc,asc}_{3,4}.ql + " +
       "gen_feat_mean_group_order_asc_5.ql") {
     // TOP 2 over MEAN × both directions with a trailing bare ORDER BY

@@ -629,6 +629,8 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
         "ts_ns", desc = false))
   }
 
+  // cases: in_trace_ids.ql · gen_leaf_in_trace_id.ql · gen_leaf_ne_trace_id.ql ·
+  // gen_leaf_not_in_trace_id.ql · gen_leaf_eq_trace_id.ql
   test("in_trace_ids.ql + gen_leaf_{in,ne,not_in}_trace_id.ql + gen_leaf_eq_trace_id.ql") {
     assert(runTrace(
       """SELECT trace_id FROM TRACE sw IN test-trace-group TIME > '-30d'
@@ -705,6 +707,8 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
         |ORDER BY timestamp DESC""".stripMargin).isEmpty)
   }
 
+  // cases: gen_feat_traceid_limit2_5.ql · gen_feat_traceid_proj_explicit_4.ql ·
+  // gen_feat_traceid_limit5_offset3_proj_explicit_2.ql
   test("gen_feat_traceid_{limit2_5,proj_explicit_4,limit5_offset3_proj_explicit_2}.ql") {
     val got = runTrace(
       """SELECT () FROM TRACE sw IN test-trace-group TIME > '-30d'
@@ -725,6 +729,9 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
         |OFFSET 3""".stripMargin).isEmpty)
   }
 
+  // cases: gen_feat_order_duration_asc_limit2_offset1_proj_explicit_1.ql ·
+  // gen_feat_order_duration_desc_proj_explicit_3.ql ·
+  // gen_feat_order_timestamp_asc_filter_state_eq_limit5_offset1_proj_explicit_8.ql
   test("gen_feat_order_{duration_asc_limit2_offset1,duration_desc,timestamp_asc_filter_state_eq_limit5_offset1}_proj_explicit_{1,3,8}.ql") {
     val proj = Seq("trace_id", "event_id", "event_type", "value")
     val got1 = runTrace(

@@ -69,6 +69,8 @@ class TracePipelineSpec extends SparkSpec {
     assert(sampled.count() == spans.count())
   }
 
+  // cases: t_drop_1.ql · t_drop_2.ql · t_keep_boundary.ql · t_keep_errfast.ql ·
+  // t_keep_errslow.ql · t_keep_highlat.ql · t_keep_nostatus.ql
   test("t_drop_1.ql / t_drop_2.ql / t_keep_{boundary,errfast,errslow,highlat,nostatus}.ql: " +
       "the named golden queries over the retained store") {
     // statements verbatim (modulo the resource binding): point lookups
