@@ -734,6 +734,36 @@ object SparkEntry {
           fields = Set("value"), stageDfs = stageDfs)))
     }),
 
+    // --- T6: multi-group merge with a CONFLICTING tag type — widens to
+    // TAG_TYPE_UNSPECIFIED (logical/schema.go:240-246 MergeTagSpecs): the
+    // merged column renders each group's native value as a string; rows
+    // keep their group's form side by side (stream golden case
+    // multi_group_tag_type)
+    "q59_union_type_widen" -> ((s, d) => {
+      val e = ev(s, d)
+      val a = e.filter(col("event_type") =!= "error")
+        .select(col("event_id"), (pmod(col("user_id"), lit(5L)) + 200L).as("status_code"))
+      val b = e.filter(col("event_type") === "error")
+        .select(col("event_id"), concat(lit("HTTP-"), col("event_type")).as("status_code"))
+      Planners.unionGroups(Seq(a, b))
+    }),
+
+    // --- trace explicit span projection (trace/v1/query.proto:31-56):
+    // spans carry ONLY the projected tags — the scan reads two columns, not
+    // the registered span struct (gen_feat_*_proj_explicit_* family)
+    "q60_trace_span_projection" -> ((s, d) => {
+      val df = ev(s, d).withColumn("trace_id", pmod(col("event_id"), lit(97L)))
+      Planners.traceSpanGroups(df, TableDef("traces", tsCol = Some("ts_ns")),
+        TraceQuery(groups = Seq("testdata"), name = "traces",
+          projection = Seq("event_id", "event_type"), limit = 97),
+        traceIdCol = "trace_id", spanStruct = Seq("event_id"))
+        .withColumn("start_ms", expr("start_ts DIV 1000000"))
+        .withColumn("span_tags", concat_ws(",",
+          transform(col("spans"), sp => concat_ws(":",
+            sp.getField("event_id").cast("string"), sp.getField("event_type")))))
+        .select("trace_id", "span_count", "start_ms", "span_tags")
+    }),
+
     // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
     "q35_lineitem_pricing" -> ((s, d) => {
       li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -916,6 +946,19 @@ object SparkEntry {
       """SELECT event_id, user_id, value, NULL AS event_type FROM events WHERE event_type = 'click'
         |UNION ALL
         |SELECT event_id, NULL, NULL, event_type FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q59_union_type_widen" ->
+      """SELECT event_id, CAST(user_id % 5 + 200 AS VARCHAR) AS status_code
+        |FROM events WHERE event_type <> 'error'
+        |UNION ALL
+        |SELECT event_id, 'HTTP-' || event_type AS status_code
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q60_trace_span_projection" ->
+      """SELECT trace_id, COUNT(*) AS span_count, MIN(epoch_ms(ts)) AS start_ms,
+        |       string_agg(event_id::VARCHAR || ':' || event_type, ',' ORDER BY event_id, event_type) AS span_tags
+        |FROM (SELECT event_id % 97 AS trace_id, event_id, event_type, ts FROM events)
+        |GROUP BY trace_id ORDER BY MIN(ts), trace_id LIMIT 97""".stripMargin,
 
     "q21_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
