@@ -469,6 +469,24 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
         TextAnalysis.tokenCountBpeish(col("text")).as("n_bpeish_tokens"))),
 
+    // --- pipeline: overlapping token-window chunking (documents →
+    // fixed-size training windows; map-only row multiplication)
+    "q61_chunking" -> ((s, d) =>
+      TextAnalysis.chunk(docs(s, d), "doc_id", "text", chunkSize = 16, stride = 8)),
+
+    // --- pipeline: deterministic hash sampling (stable ablation slice —
+    // membership is a pure function of the id, like the MinHash lanes)
+    "q62_hash_sample" -> ((s, d) =>
+      TextAnalysis.sampleByHash(docs(s, d), "doc_id", pct = 10)
+        .select("doc_id", "lang", "source")),
+
+    // --- pipeline: PII scrub (redact emails/IPs/long digit runs) + audit
+    // count — map-only codegen'd regexp chain
+    "q63_pii_scrub" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("clean_text"),
+        TextAnalysis.piiCount(col("text")).as("n_pii"))),
+
     // --- pipeline composition: corpus curation — exact-dedup survivors →
     // quality gates → language filter → token budget (the operators
     // composing the way a real training-data pipeline chains them; the
@@ -1152,6 +1170,37 @@ object SparkEntry {
       """SELECT doc_id,
         |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
         |       len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q61_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |idx AS (
+        |  SELECT doc_id, t, n,
+        |         unnest(generate_series(0,
+        |           CASE WHEN n <= 16 THEN 0
+        |                ELSE CAST(ceil((n - 16) / 8.0) AS INT) END)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |       array_to_string(t[chunk_idx*8+1 : chunk_idx*8+16], ' ') AS chunk_text,
+        |       CAST(least(16, n - chunk_idx*8) AS INT) AS n_tokens
+        |FROM idx""".stripMargin,
+
+    "q62_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10""".stripMargin,
+
+    "q63_pii_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{9,}\b', '<ID>', 'g') AS clean_text,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |       + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |       + len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_pii
         |FROM documents""".stripMargin,
 
     "q53_corpus_curation" ->

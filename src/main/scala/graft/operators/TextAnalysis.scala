@@ -102,4 +102,73 @@ object TextAnalysis {
     * near-duplicates exactly (the cheap first pass before MinHash). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /**
+   * Overlapping token-window chunking — the standard pre-training shaping
+   * step (documents → fixed-size training windows). Sliding window of
+   * `chunkSize` whitespace tokens advancing by `stride`; a document shorter
+   * than one window yields one chunk; otherwise the last window covers the
+   * tail (so every token lands in ≥ 1 chunk and the overlap is
+   * `chunkSize - stride`).
+   *
+   * Map-only: one tokenization per document, chunk starts exploded from a
+   * `sequence` — no shuffle, no state; at 100 TB the output is a row-count
+   * multiplication at scan speed, which is exactly what a chunker must be.
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val n = col("__n")
+    // number of windows: 1 when the doc fits one, else ceil((n-size)/stride)+1
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride).cast("int") + 1)
+    val start = col("chunk_idx") * stride
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(n > 0)
+      .select(col(idCol), n, col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), start + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), n - start).as("n_tokens"))
+  }
+
+  /**
+   * Deterministic hash sampling: keep a document iff
+   * `md5(id ++ salt) mod 100 < pct` — the corpus-subsampling primitive
+   * (ablation slices, held-out splits). Unlike `df.sample`, membership is a
+   * pure function of the id: stable across runs, engines, partitionings,
+   * and re-ingests, and two different salts give independent slices.
+   * Map-only; the first 15 md5 hex chars (60 bits) keep the arithmetic in
+   * int64 exactly like the MinHash lanes ([[Dedup]]), so any engine can
+   * recompute membership in SQL.
+   */
+  def sampleByHash(df: DataFrame, idCol: String, pct: Int, salt: String = ""): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be 0..100")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    df.filter(h % 100 < pct)
+  }
+
+  /** PII-bearing spans a scrub pass redacts: emails, dotted-quad IPs, long
+    * digit runs (ids / account numbers). RE2-compatible patterns — no
+    * lookarounds — so the same regexes run in any engine. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{9,}\\b" -> "<ID>")
+
+  /** Redact PII spans (email → IP → long-number order: emails may contain
+    * digits and dots, so they must leave the text first). Map-only codegen'd
+    * regexp chain. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count of PII spans a scrub would redact (audit/reporting side). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (p, _) =>
+      size(regexp_extract_all(text, lit(p), lit(0)))
+    }.reduce(_ + _)
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-shaping operators of the training-data pipeline: overlapping
+ * token-window chunking, deterministic hash sampling, PII scrubbing
+ * (SURVEY.md §2.8 north-star extensions — no reference counterpart; these
+ * are the pre-training steps the engine adds beyond BanyanDB's surface).
+ */
+class CorpusShapingSuite extends SparkSpec {
+
+  private def docsOf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("chunk: short doc yields one chunk, long doc slides with overlap") {
+    val docs = docsOf(Seq(
+      1L -> "a b c",                                     // 3 toks, 1 chunk
+      2L -> (1 to 20).map(i => s"t$i").mkString(" "),    // 20 toks
+      3L -> "",                                          // no tokens: dropped
+      4L -> (1 to 16).map(i => s"u$i").mkString(" ")))   // exactly one window
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 16, stride = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+
+    val byDoc = got.groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getString(2) == "a b c"
+      && byDoc(1L).head.getInt(3) == 3)
+    // 20 tokens, size 16, stride 8 → ceil((20-16)/8)+1 = 2 chunks
+    assert(byDoc(2L).length == 2)
+    assert(byDoc(2L)(0).getString(2) == (1 to 16).map(i => s"t$i").mkString(" "))
+    // second window starts at token 9, clamped to the tail (12 tokens)
+    assert(byDoc(2L)(1).getString(2) == (9 to 20).map(i => s"t$i").mkString(" "))
+    assert(byDoc(2L)(1).getInt(3) == 12)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).length == 1 && byDoc(4L).head.getInt(3) == 16)
+    // every token of doc 2 lands in at least one chunk
+    val covered = byDoc(2L).flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == (1 to 20).map(i => s"t$i").toSet)
+  }
+
+  test("chunk: stride must not exceed chunkSize") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(docsOf(Seq(1L -> "a")), "doc_id", "text",
+        chunkSize = 4, stride = 5)
+    }
+  }
+
+  test("sampleByHash: deterministic, disjoint rates nest, salts differ") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val p10 = TextAnalysis.sampleByHash(ids, "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val p10b = TextAnalysis.sampleByHash(ids, "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val p50 = TextAnalysis.sampleByHash(ids, "doc_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(p10 == p10b)                 // pure function of the id
+    assert(p10.subsetOf(p50))           // rates nest: pct<10 ⊂ pct<50
+    assert(p10.size > 100 && p10.size < 300)  // ≈10% of 2000
+    val salted = TextAnalysis.sampleByHash(ids, "doc_id", 10, salt = "v2")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted != p10)               // independent slice per salt
+    // matches a by-hand md5 recomputation (the oracle's arithmetic)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = java.lang.Long.parseLong(h.take(15), 16) % 100 < 10
+    assert(p10.contains(7L) == want)
+  }
+
+  test("scrubPii: redacts emails, IPs, long digit runs; counts match") {
+    val docs = docsOf(Seq(
+      1L -> "contact bob.smith+x@example.co.uk or 10.0.0.1 ref 1234567890",
+      2L -> "clean text with short 123 and 12.5 numbers"))
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("text")).as("t"),
+      TextAnalysis.piiCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "contact <EMAIL> or <IP> ref <ID>")
+    assert(out(0).getInt(2) == 3)
+    assert(out(1).getString(1) == "clean text with short 123 and 12.5 numbers")
+    assert(out(1).getInt(2) == 0)
+  }
+}
