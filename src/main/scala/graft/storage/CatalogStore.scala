@@ -47,7 +47,15 @@ final case class CatalogEntry(
     analyzerColumns: Map[String, String] = Map.empty,
     /** resource creation time (epoch millis); query begin times clamp
       * forward to it (schema_revision.go:32-49 clampTimeRangeBegin). */
-    createdAtMs: Option[Long] = None) {
+    createdAtMs: Option[Long] = None,
+    /** schema revision, bumped by every accepted [[CatalogStore.update]]
+      * (common/v1/common.proto Metadata.mod_revision; pkg/schema/cache.go
+      * tracks the latest per resource). */
+    modRevision: Long = 1L,
+    /** last accepted schema change (epoch millis). Equals [[createdAtMs]]
+      * right after create — test/cases/schema/apply_rollback.go:121-122
+      * asserts exactly that. */
+    updatedAtMs: Option[Long] = None) {
 
   def spec: LayoutSpec = LayoutSpec(group, name, entity, tsCol, tsIsNanos,
     shardNum, segmentDays, analyzerColumns)
@@ -70,6 +78,60 @@ object CatalogStore {
     import spark.implicits._
     Seq(e).toDS().coalesce(1).write.mode("overwrite")
       .json(entryPath(root, e.group, e.name))
+  }
+
+  /** One entry by (group, name), if registered. */
+  def get(spark: SparkSession, root: String, group: String, name: String): Option[CatalogEntry] =
+    entries(spark, root).find(e => e.group == group && e.name == name)
+
+  /**
+   * Registry create (MeasureRegistryService.Create and siblings): stamps
+   * `mod_revision` and `created_at = updated_at` (apply_rollback.go:104-122
+   * asserts revision > 0 and the timestamp equality on first create).
+   * Creating an already-registered resource is an error — the reference
+   * registry returns AlreadyExists.
+   */
+  def create(spark: SparkSession, root: String, e: CatalogEntry,
+      nowMs: Long = System.currentTimeMillis()): CatalogEntry = {
+    if (get(spark, root, e.group, e.name).isDefined)
+      throw new IllegalArgumentException(
+        s"resource ${e.group}/${e.name} already exists")
+    val stamped = e.copy(modRevision = 1L,
+      createdAtMs = e.createdAtMs.orElse(Some(nowMs)), updatedAtMs = Some(nowMs))
+    save(spark, root, stamped)
+    stamped
+  }
+
+  /**
+   * Registry update with APPLY-ROLLBACK semantics (test/cases/schema/
+   * apply_rollback.go:134-223): a schema change that alters the ENTITY is
+   * rejected with an error and the stored schema — revision, created_at,
+   * updated_at, every field — stays byte-identical (validation runs before
+   * any write, so rejection is trivially atomic). An accepted update bumps
+   * `mod_revision`, preserves `created_at`, and stamps `updated_at`.
+   */
+  def update(spark: SparkSession, root: String, e: CatalogEntry,
+      nowMs: Long = System.currentTimeMillis()): CatalogEntry = {
+    val prev = get(spark, root, e.group, e.name).getOrElse(
+      throw new IllegalArgumentException(s"resource ${e.group}/${e.name} not found"))
+    if (e.entity != prev.entity)
+      throw new IllegalArgumentException(
+        s"entity of ${e.group}/${e.name} is immutable " +
+          s"(${prev.entity.mkString(",")} -> ${e.entity.mkString(",")}): update rejected")
+    val stamped = e.copy(modRevision = prev.modRevision + 1,
+      createdAtMs = prev.createdAtMs, updatedAtMs = Some(nowMs))
+    save(spark, root, stamped)
+    stamped
+  }
+
+  /** Registry delete: drops the entry; returns whether anything existed
+    * (DeleteMeasure returns deleted=true, apply_rollback.go:376-380). The
+    * DATA under the layout root stays — schema deletion and segment TTL
+    * are separate lifecycles in the reference too. */
+  def delete(spark: SparkSession, root: String, group: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(entryPath(root, group, name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
   }
 
   /** Ingest through the layout AND record the schema — the write path a

@@ -131,4 +131,57 @@ class CatalogStoreSuite extends SparkSpec {
       "SELECT event_id FROM MEASURE events2 IN g2 LIMIT 1000000", res)
       .count() == events.count())
   }
+
+  // registry lifecycle semantics: test/cases/schema/apply_rollback.go
+  test("create stamps mod_revision and created_at == updated_at (apply_rollback.go:104-122)") {
+    val root = tmp("catalog")
+    val t0 = 1704067200000L
+    val made = CatalogStore.create(spark, root, entry, nowMs = t0)
+    assert(made.modRevision == 1L)
+    assert(made.createdAtMs.contains(t0) && made.updatedAtMs.contains(t0))
+    // double-create is AlreadyExists
+    val e = intercept[IllegalArgumentException] {
+      CatalogStore.create(spark, root, entry, nowMs = t0 + 1)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("rejected entity change leaves the schema byte-identical (apply-rollback)") {
+    val root = tmp("catalog")
+    val t0 = 1704067200000L
+    CatalogStore.create(spark, root, entry, nowMs = t0)
+    val before = CatalogStore.get(spark, root, "testdata", "events").get
+
+    val e = intercept[IllegalArgumentException] {
+      CatalogStore.update(spark, root,
+        entry.copy(entity = Seq("user_id", "event_type"),
+          fields = Seq("value", "extra")), nowMs = t0 + 5000)
+    }
+    assert(e.getMessage.contains("immutable"))
+    // full state intact: revision, updated_at, every field
+    // (apply_rollback.go:196-215)
+    assert(CatalogStore.get(spark, root, "testdata", "events").get == before)
+
+    // an ACCEPTED update bumps the revision and keeps created_at
+    val v2 = CatalogStore.update(spark, root,
+      entry.copy(arrayTags = Seq("tags")), nowMs = t0 + 9000)
+    assert(v2.modRevision == 2L && v2.createdAtMs.contains(t0)
+      && v2.updatedAtMs.contains(t0 + 9000))
+    assert(CatalogStore.get(spark, root, "testdata", "events").get == v2)
+    // updating an unknown resource is NotFound
+    val nf = intercept[IllegalArgumentException] {
+      CatalogStore.update(spark, root, entry.copy(name = "ghost"))
+    }
+    assert(nf.getMessage.contains("not found"))
+  }
+
+  test("delete removes the resource; recreate starts a fresh lineage (apply_rollback.go:358-380)") {
+    val root = tmp("catalog")
+    CatalogStore.create(spark, root, entry, nowMs = 1L)
+    assert(CatalogStore.delete(spark, root, "testdata", "events"))
+    assert(CatalogStore.get(spark, root, "testdata", "events").isEmpty)
+    assert(!CatalogStore.delete(spark, root, "testdata", "events")) // already gone
+    val again = CatalogStore.create(spark, root, entry, nowMs = 2L)
+    assert(again.modRevision == 1L)
+  }
 }
