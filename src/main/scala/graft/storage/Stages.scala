@@ -179,4 +179,66 @@ object Stages {
     clearMarker(spark, sr.root(to), spec)
     segs
   }
+
+  /**
+   * Orphan-schema archive (test/cases/lifecycle/orphan.go; the lifecycle
+   * command's `--migration-orphan-policy=archive`): a table directory
+   * under a group root whose schema is NO LONGER registered cannot migrate
+   * to the next tier — there is no schema to serve it there. Instead its
+   * expired segments are archived as gzipped JSON-lines plus a
+   * `manifest.json` of per-resource row counts (the reference's
+   * `part-*.jsonl.gz` + manifest shape), then TTL'd out of the source.
+   *
+   * Scale shape: the archive is ONE distributed write per orphan (the
+   * gzip JSONL lands partitioned, like any sink) and the source delete is
+   * segment-directory unlinks — no row-level rewrite, no driver loop over
+   * rows. Counts come from `spark.read.json` over what was actually
+   * written, so the manifest can never disagree with the archive.
+   *
+   * @param registered resource names still in the schema registry (e.g.
+   *                   `CatalogStore.entries(...).map(_.name)`); everything
+   *                   else under the group directory is an orphan
+   * @return (orphan resource name, archived row count) per orphan
+   */
+  def archiveOrphans(spark: SparkSession, sourceRoot: String, group: String,
+      registered: Set[String], archiveDir: String,
+      olderThan: java.time.Instant, segmentDays: Int = 1): Seq[(String, Long)] = {
+    val groupDir = new Path(s"$sourceRoot/$group")
+    val f = fs(spark, groupDir)
+    if (!f.exists(groupDir)) return Nil
+    val days = Math.floorDiv(olderThan.getEpochSecond, 86400L)
+    val horizon = (days - Math.floorMod(days, segmentDays.toLong)).toInt
+    val orphans = f.listStatus(groupDir).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+      .filterNot(p => registered.contains(p.getName))
+    val archived = orphans.map { table =>
+      val name = table.getName
+      val expired = f.listStatus(table).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${Layout.SegCol}="))
+        .map(_.getPath)
+        .filter(_.getName.stripPrefix(s"${Layout.SegCol}=").toInt < horizon)
+      if (expired.isEmpty) name -> 0L
+      else {
+        val out = s"$archiveDir/$group/$name"
+        spark.read.parquet(table.toString)
+          .filter(col(Layout.SegCol) < horizon)
+          .write.mode("overwrite").option("compression", "gzip").json(out)
+        val rows = spark.read.json(out).count()
+        expired.foreach(p => f.delete(p, true))
+        spark.catalog.refreshByPath(table.toString)
+        name -> rows
+      }
+    }
+    if (archived.nonEmpty) {
+      val mPath = new Path(s"$archiveDir/$group/manifest.json")
+      val entries = archived.map { case (n, r) =>
+        s"""{"measure":"$n","rows":$r}""" }.mkString(",")
+      val body =
+        s"""{"measures":[$entries],"total_rows":${archived.map(_._2).sum}}"""
+      val out = fs(spark, mPath).create(mPath, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    archived
+  }
 }

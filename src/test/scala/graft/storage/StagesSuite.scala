@@ -169,4 +169,45 @@ class StagesSuite extends SparkSpec {
     assert(warmNow.count() ==
       events.filter(Layout.segExprFor(spec) < Layout.segFor(spec, cut)).count())
   }
+
+  test("orphan-schema tables archive to gzipped JSONL instead of migrating (orphan.go)") {
+    val root = tmp("src")
+    val archive = tmp("archive")
+    val keptSpec = spec
+    val orphanSpec = spec.copy(name = "orphan_deleted_measure")
+    Layout.append(events, root, keptSpec, mode = "overwrite")
+    Layout.append(events.withColumn("value", col("value") + 1000.0), root,
+      orphanSpec, mode = "overwrite")
+
+    // only `events` is still registered; the other table's schema was deleted
+    val out = Stages.archiveOrphans(spark, root, "testdata",
+      registered = Set("events"), archiveDir = archive, olderThan = cut,
+      segmentDays = spec.segmentDays)
+
+    val expired = events.filter(Layout.segExprFor(spec) < Layout.segFor(spec, cut))
+    assert(out == Seq("orphan_deleted_measure" -> expired.count()))
+
+    // the archive holds exactly the expired orphan rows, gzip JSON lines
+    val arch = spark.read.json(s"$archive/testdata/orphan_deleted_measure")
+    assert(arch.count() == expired.count())
+    assert(arch.agg(min(col("value"))).head().getDouble(0) >= 1000.0)
+    val files = new java.io.File(s"$archive/testdata/orphan_deleted_measure")
+      .listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+
+    // manifest row counts match the archive (orphan.go orphanManifest)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$archive/testdata/manifest.json")), "UTF-8")
+    assert(manifest.contains(s""""measure":"orphan_deleted_measure""""))
+    assert(manifest.contains(s""""total_rows":${expired.count()}"""))
+
+    // source: expired orphan segments removed, tail kept; sibling untouched
+    val orphanLeft = spark.read.parquet(s"$root/testdata/orphan_deleted_measure")
+    assert(orphanLeft.count() == events.count() - expired.count())
+    assert(spark.read.parquet(s"$root/testdata/events").count() == events.count())
+
+    // re-run: expired segments already gone → zero-row archive entry
+    assert(Stages.archiveOrphans(spark, root, "testdata", Set("events"),
+      archive, cut, spec.segmentDays) == Seq("orphan_deleted_measure" -> 0L))
+  }
 }
