@@ -768,9 +768,14 @@ object SparkEntry {
 
     // --- trace explicit span projection (trace/v1/query.proto:31-56):
     // spans carry ONLY the projected tags — the scan reads two columns, not
-    // the registered span struct (gen_feat_*_proj_explicit_* family)
+    // the registered span struct (gen_feat_*_proj_explicit_* family).
+    // Trace cardinality 9973 (vs 97 elsewhere): spans-per-trace stays
+    // BOUNDED as the corpus scales — at 100 TB you have more traces, not
+    // million-span traces, and the per-group span_tags string must model
+    // that (a mod-97 sf1 slice makes 100k-span traces, a shape no tracing
+    // deployment produces)
     "q60_trace_span_projection" -> ((s, d) => {
-      val df = ev(s, d).withColumn("trace_id", pmod(col("event_id"), lit(97L)))
+      val df = ev(s, d).withColumn("trace_id", pmod(col("event_id"), lit(9973L)))
       Planners.traceSpanGroups(df, TableDef("traces", tsCol = Some("ts_ns")),
         TraceQuery(groups = Seq("testdata"), name = "traces",
           projection = Seq("event_id", "event_type"), limit = 97),
@@ -784,11 +789,20 @@ object SparkEntry {
 
     // --- scale shape: TPC-H Q1-style pricing summary (exact decimal sums)
     "q35_lineitem_pricing" -> ((s, d) => {
+      // Exact integer-cents arithmetic: TPC-H money columns carry 2
+      // decimals and discounts 2 decimals, so every sum is an exact int64
+      // (price_cents ≤ 1.1e7, ×100 disc units ×6e7 rows ≪ 2^63) — sums are
+      // order-independent (deterministic under any partial-agg merge order)
+      // AND stay on the codegen'd long-sum path. decimal(25,6) sums gave
+      // the same determinism but on Spark's non-compact BigDecimal
+      // aggregation path: 40× slower than the oracle at sf1, all of it
+      // decimal overhead.
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val discPct = (lit(100) - round(col("l_discount") * 100)).cast("long")
       li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        sum(col("l_quantity").cast("decimal(25,6)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(25,6)")).cast("double").as("sum_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(25,6)"))
-          .cast("double").as("sum_disc_price"),
+        sum(round(col("l_quantity")).cast("long")).cast("double").as("sum_qty"),
+        (sum(cents) / 100.0).as("sum_price"),
+        (sum(cents * discPct) / 10000.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
     }),
 
@@ -975,7 +989,7 @@ object SparkEntry {
     "q60_trace_span_projection" ->
       """SELECT trace_id, COUNT(*) AS span_count, MIN(epoch_ms(ts)) AS start_ms,
         |       string_agg(event_id::VARCHAR || ':' || event_type, ',' ORDER BY event_id, event_type) AS span_tags
-        |FROM (SELECT event_id % 97 AS trace_id, event_id, event_type, ts FROM events)
+        |FROM (SELECT event_id % 9973 AS trace_id, event_id, event_type, ts FROM events)
         |GROUP BY trace_id ORDER BY MIN(ts), trace_id LIMIT 97""".stripMargin,
 
     "q21_dedup_exact" ->
@@ -1372,9 +1386,10 @@ object SparkEntry {
 
     "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+        |       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        |       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(100 - round(l_discount * 100) AS BIGINT)) / 10000.0 AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
