@@ -75,6 +75,40 @@ object GraftExtensions {
     },
     fn("graft_lsh_bucket", "graft_lsh_bucket(vec, dim, nPlanes) - hyperplane sign-pattern bucket id") {
       args => LshBucketExpr(args(0), litInt(args(1), "dim"), litInt(args(2), "nPlanes"))
+    },
+    // corpus-shaping ops (composed from codegen'd built-in expressions —
+    // expression builders, not UDFs, so they inline into the plan; built
+    // as direct Catalyst nodes because a bridged Column tree stays
+    // unresolved inside an already-resolving SQL plan)
+    fn("graft_scrub_pii", "graft_scrub_pii(text) - redact emails/IPs/long digit runs") {
+      args =>
+        import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+        graft.operators.TextAnalysis.piiPatterns.foldLeft(args(0)) {
+          case (e, (p, r)) => RegExpReplace(e, Literal(p), Literal(r))
+        }
+    },
+    fn("graft_pii_count", "graft_pii_count(text) - count of PII spans a scrub would redact") {
+      args =>
+        import org.apache.spark.sql.catalyst.expressions.{Add, RegExpExtractAll, Size}
+        graft.operators.TextAnalysis.piiPatterns
+          .map { case (p, _) => Size(RegExpExtractAll(args(0), Literal(p), Literal(0))): Expression }
+          .reduce(Add(_, _))
+    },
+    fn("graft_sample_hash",
+      "graft_sample_hash(id, pct[, salt]) - deterministic md5 sample membership (hash mod 100 < pct)") {
+      args =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, LessThan, Md5, Remainder, Substring}
+        import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+        val salt = args.lift(2).map {
+          case Literal(s, _) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"salt must be a string literal, got $other")
+        }.getOrElse("")
+        val keyed = Concat(Seq(Cast(args(0), StringType), Literal(salt)))
+        val h = Cast(Conv(Substring(Md5(Cast(keyed, BinaryType)), Literal(1), Literal(15)),
+          Literal(16), Literal(10)), LongType)
+        // h is 60 bits of md5 — non-negative, so % == pmod
+        LessThan(Remainder(h, Literal(100L)), Literal(litInt(args(1), "pct").toLong))
     })
 
   /** Register into an ALREADY-RUNNING session (notebooks, tests); builder

@@ -60,6 +60,25 @@ class GraftExtensionsSuite extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("corpus-shaping functions compose into plans from SQL text") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_scrub_pii('mail a@b.co or 10.0.0.1 ref 1234567890') AS t,
+        |       graft_pii_count('mail a@b.co or 10.0.0.1 ref 1234567890') AS n,
+        |       graft_sample_hash(7, 100) AS always,
+        |       graft_sample_hash(7, 0) AS never,
+        |       graft_sample_hash(7, 10, 'v2') AS salted""".stripMargin).head()
+    assert(r.getString(0) == "mail <EMAIL> or <IP> ref <ID>")
+    assert(r.getInt(1) == 3)
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    // salted membership matches the Column-API operator exactly
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val api = graft.operators.TextAnalysis.sampleByHash(
+      Seq(7L).toDF("id"), "id", 10, salt = "v2").count() == 1
+    assert(r.getBoolean(4) == api)
+  }
+
   test("builder wiring: a session built withExtensions resolves the functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
