@@ -97,6 +97,18 @@ object SparkEntry {
       graft.storage.Layout.append(ev(s, d), dir, q44Spec, mode = "overwrite")
     }
 
+  /** Backup the layout into a time dir and restore it into a fresh root —
+    * once (fingerprinted); q64 then times the READ of the restored root,
+    * the way a disaster-recovered deployment serves its first queries.
+    * The sync paths stay correctness-proven by BackupSuite. */
+  private def ensureRestoredBackup(s: SparkSession, d: String): String =
+    materialized("restore", d, s"${fileSig(d, "events")}|$q44Spec|td=2024-01-21") { dir =>
+      val src = ensureLayout(s, d)
+      graft.storage.Backup.backup(s, src, s"$dir/dest", "2024-01-21")
+      graft.storage.Backup.restore(s, s"$dir/dest", "2024-01-21", s"$dir/root")
+      ()
+    }
+
   private val q41Cfg = graft.streaming.TopNStreamConfig(
     intervalMs = 3600000L, n = 3, countersNumber = 1 << 20)
 
@@ -207,6 +219,7 @@ object SparkEntry {
   def prepare(s: SparkSession, d: String): Unit = {
     ensureBenchTables(s, d)
     ensureLayout(s, d)
+    ensureRestoredBackup(s, d)
     ensureTopnSnapshot(s, d)
     ensureStagedLayout(s, d)
     ensurePropertyLog(s, d)
@@ -618,6 +631,16 @@ object SparkEntry {
       // scan — shard + segment partition predicates at file-listing time
       val root = ensureLayout(s, d)
       graft.storage.Layout.entityScan(s, root, q44Spec, Seq(7L), Some((T0, T1)))
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // --- backup/restore (banyand/backup): the restored root serves the
+    // same pruned entity scan the live layout does — backup + restore run
+    // once untimed (ensureRestoredBackup); the timed query is the
+    // disaster-recovered read path
+    "q64_backup_restore" -> ((s, d) => {
+      val dir = ensureRestoredBackup(s, d)
+      graft.storage.Layout.entityScan(s, s"$dir/root", q44Spec, Seq(11L), Some((T0, T1)))
         .select("event_id", "user_id", "event_type", "value")
     }),
 
@@ -1339,6 +1362,11 @@ object SparkEntry {
     "q44_layout_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "q64_backup_restore" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id = 11
         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
 
     "q46_bydbql_stream" ->
