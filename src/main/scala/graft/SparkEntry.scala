@@ -437,6 +437,15 @@ object SparkEntry {
     "q25_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
 
+    // --- pipeline: transitive near-dup clusters (pairs → connected
+    // components → canonical keeper id) — the step between pair generation
+    // and actually dropping rows; min-label propagation to a fixpoint
+    "q65_dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(
+        Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+          w = 3, bands = 32, rowsPerBand = 2, threshold = 0.5))
+        .withColumnRenamed("id", "doc_id")),
+
     // --- pipeline: brute-force cosine top-k similarity search
     "q26_sim_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
@@ -1066,6 +1075,35 @@ object SparkEntry {
         |JOIN szs sa ON sa.doc_id = id_a
         |JOIN szs sb ON sb.doc_id = id_b
         |WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.5""".stripMargin,
+
+    "q65_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, len(s) AS set_size FROM sh),
+        |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) >= 2),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM ex a JOIN keep USING (shingle) JOIN ex b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |good AS (
+        |  SELECT id_a, id_b FROM pr
+        |  JOIN szs sa ON sa.doc_id = id_a
+        |  JOIN szs sb ON sb.doc_id = id_b
+        |  WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+        |          UNION ALL SELECT id_b, id_a FROM good),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
 
     "q25_simhash" ->
       """WITH toks AS (

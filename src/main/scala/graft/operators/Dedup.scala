@@ -201,4 +201,44 @@ object Dedup {
       .filter(col("jaccard_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
   }
+
+  /**
+   * Transitive near-dup clusters from a pair list: connected components
+   * over the pair graph, each labeled by its minimum member id (the
+   * canonical keeper a dedup pass retains). The step between pair
+   * generation (minhash/simhash/ngram) and actually dropping rows —
+   * near-duplication is transitive in effect (A≈B≈C must collapse to ONE
+   * survivor) even though the similarity relation itself is not.
+   *
+   * Algorithm: min-label propagation to a fixpoint — every node starts
+   * labeled with itself; each round every node takes the minimum label in
+   * its closed neighborhood. Rounds = graph diameter (near-dup components
+   * are short chains in practice; `maxIters` bounds the pathological
+   * case and the loop stops early the first round nothing changes —
+   * checked with one count per round, the canonical driver-side fixpoint
+   * test). Each round is ONE shuffled join + aggregate on the edge list —
+   * the scale shape of iterative graph algorithms on Spark — with a
+   * lineage barrier per round so the plan does not nest `maxIters` deep.
+   */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = barrier(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // min over the closed neighborhood: own label ∪ neighbors' labels
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = barrier(viaEdges.unionByName(labels)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id")))
+      converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("__old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

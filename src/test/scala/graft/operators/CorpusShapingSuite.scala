@@ -70,6 +70,21 @@ class CorpusShapingSuite extends SparkSpec {
     assert(p10.contains(7L) == want)
   }
 
+  test("dedupClusters: transitive components labeled by minimum member") {
+    import spark.implicits._
+    // chain 1-2-3, pair (10,11), triangle 20-21-22, singleton edge (30,31)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+    // a long chain still converges (diameter > 2 propagation)
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labs = Dedup.dedupClusters(chain).collect().map(_.getLong(1)).distinct
+    assert(labs.toSeq == Seq(1L))
+  }
+
   test("scrubPii: redacts emails, IPs, long digit runs; counts match") {
     val docs = docsOf(Seq(
       1L -> "contact bob.smith+x@example.co.uk or 10.0.0.1 ref 1234567890",
