@@ -89,10 +89,15 @@ object GraftExtensions {
     },
     fn("graft_pii_count", "graft_pii_count(text) - count of PII spans a scrub would redact") {
       args =>
-        import org.apache.spark.sql.catalyst.expressions.{Add, RegExpExtractAll, Size}
-        graft.operators.TextAnalysis.piiPatterns
-          .map { case (p, _) => Size(RegExpExtractAll(args(0), Literal(p), Literal(0))): Expression }
-          .reduce(Add(_, _))
+        import org.apache.spark.sql.catalyst.expressions.{Add, RegExpExtractAll, RegExpReplace, Size}
+        // counts run against the progressively scrubbed text, mirroring
+        // graft_scrub_pii's replacement order (no overlap double-count)
+        val (counts, _) = graft.operators.TextAnalysis.piiPatterns
+          .foldLeft((List.empty[Expression], args(0))) { case ((cs, t), (p, r)) =>
+            ((Size(RegExpExtractAll(t, Literal(p), Literal(0))): Expression) :: cs,
+              RegExpReplace(t, Literal(p), Literal(r)))
+          }
+        counts.reduce(Add(_, _))
     },
     fn("graft_sample_hash",
       "graft_sample_hash(id, pct[, salt]) - deterministic md5 sample membership (hash mod 100 < pct)") {

@@ -1268,15 +1268,20 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10""".stripMargin,
 
     "q63_pii_scrub" ->
-      """SELECT doc_id,
-        |       regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |         '\b\d{9,}\b', '<ID>', 'g') AS clean_text,
-        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |       + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-        |       + len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_pii
-        |FROM documents""".stripMargin,
+      """WITH s1 AS (
+        |  SELECT doc_id, text AS t0,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, t0, t1,
+        |         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id,
+        |       regexp_replace(t2, '\b\d{9,}\b', '<ID>', 'g') AS clean_text,
+        |       len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |       + len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |       + len(regexp_extract_all(t2, '\b\d{9,}\b')) AS n_pii
+        |FROM s2""".stripMargin,
 
     "q53_corpus_curation" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -210,17 +210,20 @@ object Dedup {
    * near-duplication is transitive in effect (A≈B≈C must collapse to ONE
    * survivor) even though the similarity relation itself is not.
    *
-   * Algorithm: min-label propagation to a fixpoint — every node starts
-   * labeled with itself; each round every node takes the minimum label in
-   * its closed neighborhood. Rounds = graph diameter (near-dup components
-   * are short chains in practice; `maxIters` bounds the pathological
-   * case and the loop stops early the first round nothing changes —
-   * checked with one count per round, the canonical driver-side fixpoint
-   * test). Each round is ONE shuffled join + aggregate on the edge list —
-   * the scale shape of iterative graph algorithms on Spark — with a
-   * lineage barrier per round so the plan does not nest `maxIters` deep.
+   * Algorithm: min-label propagation with label COMPRESSION — every node
+   * starts labeled with itself; each round every node takes the minimum
+   * label in its closed neighborhood, then labels chase their own labels
+   * (path halving: `label(v) := label(label(v))`), so convergence needs
+   * O(log diameter) rounds, not O(diameter) — a 10⁶-document boilerplate
+   * chain converges in ~20 rounds where plain propagation needs 10⁶. The
+   * loop stops the first round nothing changes (one count per round, the
+   * canonical driver-side fixpoint test) and THROWS if `maxIters` rounds
+   * were not enough — silently returning half-merged components would
+   * keep duplicate documents downstream. Each round is two shuffled
+   * joins + an aggregate on the edge list, with a lineage barrier so the
+   * plan does not nest `maxIters` deep.
    */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = barrier(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
@@ -232,13 +235,22 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("cluster_id"))
-      val next = barrier(viaEdges.unionByName(labels)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id")))
+      val propagated = viaEdges.unionByName(labels)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+      // compression: follow the label's own label (label(v) := label(label(v)))
+      val next = barrier(propagated
+        .join(propagated.select(col("id").as("cluster_id"),
+          col("cluster_id").as("__parent")), Seq("cluster_id"), "left")
+        .select(col("id"),
+          coalesce(col("__parent"), col("cluster_id")).as("cluster_id")))
       converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
         .filter(col("cluster_id") =!= col("__old")).isEmpty
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds — component " +
+        "diameter exceeds 2^rounds; raise maxIters")
     labels
   }
 }

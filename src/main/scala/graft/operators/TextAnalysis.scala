@@ -166,9 +166,15 @@ object TextAnalysis {
   def scrubPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
-  /** Count of PII spans a scrub would redact (audit/reporting side). */
-  def piiCount(text: Column): Column =
-    piiPatterns.map { case (p, _) =>
-      size(regexp_extract_all(text, lit(p), lit(0)))
-    }.reduce(_ + _)
+  /** Count of PII spans a scrub actually redacts (audit/reporting side):
+    * each pattern counts against the PROGRESSIVELY scrubbed text, exactly
+    * like [[scrubPii]] replaces — counting every pattern on the original
+    * text would double-count overlaps (an IP inside an email local-part
+    * is redacted once, as part of the email). */
+  def piiCount(text: Column): Column = {
+    val (_, n) = piiPatterns.foldLeft((text, lit(0))) { case ((t, acc), (p, r)) =>
+      (regexp_replace(t, p, r), acc + size(regexp_extract_all(t, lit(p), lit(0))))
+    }
+    n
+  }
 }

@@ -49,19 +49,25 @@ object Backup {
     else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 
-  /** (relative path → byte size) for every data file under `root`.
-    * Underscore-prefixed top-level dirs are INCLUDED (`_graft_catalog`
-    * rides along — a backup that loses the schema registry restores an
-    * unqueryable tree), except transient markers. */
-  private def listFiles(fs: FileSystem, root: Path): Map[String, Long] = {
+  /** Transient marker files excluded from backup: an in-flight migration
+    * fence must not be restored into a root where no migration is running
+    * (it would fence healthy segments), and build-completion markers are
+    * session-local state, not data. */
+  private val TransientMarkers = Set("_graft_migration", ".graft_done")
+
+  /** (relative path → (byte size, mtime)) for every data file under
+    * `root`. Underscore-prefixed top-level dirs are INCLUDED
+    * (`_graft_catalog` rides along — a backup that loses the schema
+    * registry restores an unqueryable tree); [[TransientMarkers]] are not. */
+  private def listFiles(fs: FileSystem, root: Path): Map[String, (Long, Long)] = {
     if (!fs.exists(root)) return Map.empty
     val rootUri = root.toUri.getPath
-    val out = scala.collection.mutable.Map.empty[String, Long]
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       if (st.isDirectory) walk(st.getPath)
-      else {
+      else if (!TransientMarkers.contains(st.getPath.getName)) {
         val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-        out(rel) = st.getLen
+        out(rel) = (st.getLen, st.getModificationTime)
       }
     }
     walk(root)
@@ -84,23 +90,36 @@ object Backup {
     val dfs = dstPath.getFileSystem(conf)
     val srcFiles = listFiles(sfs, srcPath)
     val dstFiles = listFiles(dfs, dstPath)
+    // copy when the destination lacks the file, the size differs, or the
+    // source was rewritten after the destination copy landed (size alone
+    // misses same-length rewrites; "src newer than dst" keeps the second
+    // pass of an unchanged tree a no-op, since copies are younger)
     val toCopy = srcFiles.collect {
-      case (rel, len) if !dstFiles.get(rel).contains(len) => rel
-    }.toSeq.sorted
+      case (rel, (len, mtime)) if dstFiles.get(rel)
+        .forall { case (dlen, dmtime) => dlen != len || mtime > dmtime } => (rel, mtime)
+    }.toSeq.sortBy(_._1)
     val toDelete = (dstFiles.keySet -- srcFiles.keySet).toSeq.sorted
 
     if (toCopy.nonEmpty) {
       val parts = math.min(toCopy.length,
         math.max(1, spark.sparkContext.defaultParallelism))
-      // distributed copy: executors re-derive FileSystem handles from
-      // their local Hadoop configuration (cluster core-site), so no conf
-      // object rides the closure
+      // distributed copy: the session's Hadoop settings (spark.hadoop.*,
+      // s3a credentials/endpoints) ship to executors as plain key-value
+      // pairs and rebuild a Configuration per partition — a bare
+      // `new Configuration()` on the executor would only see core-site.xml
+      val confEntries: Array[(String, String)] = {
+        val it = conf.iterator()
+        val buf = Array.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+        buf.result()
+      }
       val (srcStr, dstStr) = (src, dst)
       spark.sparkContext.parallelize(toCopy, parts).foreachPartition { files =>
-        val c = new Configuration()
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
         val sp = new Path(srcStr); val dp = new Path(dstStr)
         val s = sp.getFileSystem(c); val d = dp.getFileSystem(c)
-        files.foreach { rel =>
+        files.foreach { case (rel, mtime) =>
           val from = new Path(sp, rel)
           val to = new Path(dp, rel)
           d.mkdirs(to.getParent)
@@ -113,6 +132,12 @@ object Backup {
               while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
             } finally out.close()
           } finally in.close()
+          // preserve the SOURCE mtime (rsync semantics): an unchanged file
+          // compares equal on the next sync in either direction, so
+          // backup → restore → backup never ping-pongs full copies. Stores
+          // that cannot set times just degrade to re-copying (correct,
+          // less incremental).
+          try d.setTimes(to, mtime, -1) catch { case _: Exception => () }
         }
       }
     }
@@ -127,7 +152,7 @@ object Backup {
         parent = parent.getParent
       }
     }
-    SyncReport(toCopy, toDelete, (srcFiles.keySet -- toCopy).size)
+    SyncReport(toCopy.map(_._1), toDelete, (srcFiles.keySet -- toCopy.map(_._1)).size)
   }
 
   /** Back a data root up into `<dest>/<timeDir>` (backup.go backupAction):

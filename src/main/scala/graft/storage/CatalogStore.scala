@@ -50,12 +50,18 @@ final case class CatalogEntry(
     createdAtMs: Option[Long] = None,
     /** schema revision, bumped by every accepted [[CatalogStore.update]]
       * (common/v1/common.proto Metadata.mod_revision; pkg/schema/cache.go
-      * tracks the latest per resource). */
-    modRevision: Long = 1L,
+      * tracks the latest per resource). Optional so catalogs persisted
+      * BEFORE this field existed still deserialize (a missing field reads
+      * as null, and a non-nullable Long would throw) — absent means
+      * revision 1, see [[revision]]. */
+    modRevision: Option[Long] = Some(1L),
     /** last accepted schema change (epoch millis). Equals [[createdAtMs]]
       * right after create — test/cases/schema/apply_rollback.go:121-122
       * asserts exactly that. */
     updatedAtMs: Option[Long] = None) {
+
+  /** Effective mod revision (pre-revision catalogs read as 1). */
+  def revision: Long = modRevision.getOrElse(1L)
 
   def spec: LayoutSpec = LayoutSpec(group, name, entity, tsCol, tsIsNanos,
     shardNum, segmentDays, analyzerColumns)
@@ -80,24 +86,36 @@ object CatalogStore {
       .json(entryPath(root, e.group, e.name))
   }
 
-  /** One entry by (group, name), if registered. */
-  def get(spark: SparkSession, root: String, group: String, name: String): Option[CatalogEntry] =
-    entries(spark, root).find(e => e.group == group && e.name == name)
+  /** One entry by (group, name), if registered — a direct read of that
+    * entry's own directory (the path is addressable), NOT a scan of the
+    * whole catalog: registry mutations stay O(1) in the resource count. */
+  def get(spark: SparkSession, root: String, group: String, name: String): Option[CatalogEntry] = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = new Path(entryPath(root, group, name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
+      .json(dir.toString).as[CatalogEntry].collect().headOption
+  }
 
   /**
    * Registry create (MeasureRegistryService.Create and siblings): stamps
    * `mod_revision` and `created_at = updated_at` (apply_rollback.go:104-122
-   * asserts revision > 0 and the timestamp equality on first create).
-   * Creating an already-registered resource is an error — the reference
-   * registry returns AlreadyExists.
+   * asserts revision > 0 and the timestamp equality on first create; a
+   * caller-supplied backdated createdAtMs stamps BOTH so the invariant
+   * holds). Creating an already-registered resource is an error — the
+   * reference registry returns AlreadyExists.
    */
   def create(spark: SparkSession, root: String, e: CatalogEntry,
       nowMs: Long = System.currentTimeMillis()): CatalogEntry = {
     if (get(spark, root, e.group, e.name).isDefined)
       throw new IllegalArgumentException(
         s"resource ${e.group}/${e.name} already exists")
-    val stamped = e.copy(modRevision = 1L,
-      createdAtMs = e.createdAtMs.orElse(Some(nowMs)), updatedAtMs = Some(nowMs))
+    val created = e.createdAtMs.getOrElse(nowMs)
+    val stamped = e.copy(modRevision = Some(1L),
+      createdAtMs = Some(created), updatedAtMs = Some(created))
     save(spark, root, stamped)
     stamped
   }
@@ -118,7 +136,7 @@ object CatalogStore {
       throw new IllegalArgumentException(
         s"entity of ${e.group}/${e.name} is immutable " +
           s"(${prev.entity.mkString(",")} -> ${e.entity.mkString(",")}): update rejected")
-    val stamped = e.copy(modRevision = prev.modRevision + 1,
+    val stamped = e.copy(modRevision = Some(prev.revision + 1),
       createdAtMs = prev.createdAtMs, updatedAtMs = Some(nowMs))
     save(spark, root, stamped)
     stamped

@@ -220,7 +220,13 @@ object Stages {
         .filter(_.getName.stripPrefix(s"${Layout.SegCol}=").toInt < horizon)
       if (expired.isEmpty) name -> 0L
       else {
-        val out = s"$archiveDir/$group/$name"
+        // horizon-scoped output dir: a LATER run (new horizon, new expired
+        // segments) lands beside earlier archives instead of overwriting
+        // them — the rows deleted from the source in run 1 must survive
+        // run 2. A crash-retry of the SAME horizon overwrites its own
+        // partial output only (the segments are still in the source until
+        // the delete below succeeds).
+        val out = s"$archiveDir/$group/$name/h$horizon"
         spark.read.parquet(table.toString)
           .filter(col(Layout.SegCol) < horizon)
           .write.mode("overwrite").option("compression", "gzip").json(out)
@@ -230,9 +236,11 @@ object Stages {
         name -> rows
       }
     }
-    if (archived.nonEmpty) {
-      val mPath = new Path(s"$archiveDir/$group/manifest.json")
-      val entries = archived.map { case (n, r) =>
+    // manifest is horizon-scoped like the data: each run documents ITS
+    // archive exactly and never rewrites a previous run's counts
+    if (archived.exists(_._2 > 0L)) {
+      val mPath = new Path(s"$archiveDir/$group/manifest_h$horizon.json")
+      val entries = archived.filter(_._2 > 0L).map { case (n, r) =>
         s"""{"measure":"$n","rows":$r}""" }.mkString(",")
       val body =
         s"""{"measures":[$entries],"total_rows":${archived.map(_._2).sum}}"""

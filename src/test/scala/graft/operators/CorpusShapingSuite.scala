@@ -98,4 +98,14 @@ class CorpusShapingSuite extends SparkSpec {
     assert(out(1).getString(1) == "clean text with short 123 and 12.5 numbers")
     assert(out(1).getInt(2) == 0)
   }
+
+  test("piiCount equals the redactions scrub performs on overlapping spans") {
+    // the IP inside the email local-part is redacted ONCE, as the email
+    val docs = docsOf(Seq(1L -> "reach me at 1.2.3.4@mail.co"))
+    val out = docs.select(
+      TextAnalysis.scrubPii(col("text")).as("t"),
+      TextAnalysis.piiCount(col("text")).as("n")).head()
+    assert(out.getString(0) == "reach me at <EMAIL>")
+    assert(out.getInt(1) == 1)
+  }
 }

@@ -137,7 +137,7 @@ class CatalogStoreSuite extends SparkSpec {
     val root = tmp("catalog")
     val t0 = 1704067200000L
     val made = CatalogStore.create(spark, root, entry, nowMs = t0)
-    assert(made.modRevision == 1L)
+    assert(made.revision == 1L)
     assert(made.createdAtMs.contains(t0) && made.updatedAtMs.contains(t0))
     // double-create is AlreadyExists
     val e = intercept[IllegalArgumentException] {
@@ -165,7 +165,7 @@ class CatalogStoreSuite extends SparkSpec {
     // an ACCEPTED update bumps the revision and keeps created_at
     val v2 = CatalogStore.update(spark, root,
       entry.copy(arrayTags = Seq("tags")), nowMs = t0 + 9000)
-    assert(v2.modRevision == 2L && v2.createdAtMs.contains(t0)
+    assert(v2.revision == 2L && v2.createdAtMs.contains(t0)
       && v2.updatedAtMs.contains(t0 + 9000))
     assert(CatalogStore.get(spark, root, "testdata", "events").get == v2)
     // updating an unknown resource is NotFound
@@ -175,6 +175,33 @@ class CatalogStoreSuite extends SparkSpec {
     assert(nf.getMessage.contains("not found"))
   }
 
+  test("a catalog persisted before the revision fields still deserializes") {
+    val root = tmp("catalog")
+    // hand-write an OLD-schema entry (no modRevision/updatedAtMs): reading
+    // it must not throw and must report revision 1
+    val dir = new java.io.File(s"$root/_graft_catalog/testdata__events")
+    dir.mkdirs()
+    val json = """{"group":"testdata","name":"events","entity":["user_id"],""" +
+      """"tsCol":"ts_ns","tsIsNanos":true,"shardNum":4,"segmentDays":7,""" +
+      """"arrayTags":[],"fields":["value"],"spanStruct":[],""" +
+      """"stageRoots":{},"analyzerColumns":{}}"""
+    java.nio.file.Files.write(new java.io.File(dir, "part-0.json").toPath,
+      json.getBytes("UTF-8"))
+    val back = CatalogStore.get(spark, root, "testdata", "events")
+    assert(back.isDefined && back.get.revision == 1L)
+    assert(CatalogStore.entries(spark, root).map(_.name) == Seq("events"))
+    // and an update on it starts the revision lineage at 2
+    assert(CatalogStore.update(spark, root,
+      back.get.copy(arrayTags = Seq("tags")), nowMs = 5L).revision == 2L)
+  }
+
+  test("backdated create keeps created_at == updated_at (clamp resources)") {
+    val root = tmp("catalog")
+    val made = CatalogStore.create(spark, root,
+      entry.copy(createdAtMs = Some(42L)), nowMs = 99L)
+    assert(made.createdAtMs.contains(42L) && made.updatedAtMs.contains(42L))
+  }
+
   test("delete removes the resource; recreate starts a fresh lineage (apply_rollback.go:358-380)") {
     val root = tmp("catalog")
     CatalogStore.create(spark, root, entry, nowMs = 1L)
@@ -182,6 +209,6 @@ class CatalogStoreSuite extends SparkSpec {
     assert(CatalogStore.get(spark, root, "testdata", "events").isEmpty)
     assert(!CatalogStore.delete(spark, root, "testdata", "events")) // already gone
     val again = CatalogStore.create(spark, root, entry, nowMs = 2L)
-    assert(again.modRevision == 1L)
+    assert(again.revision == 1L)
   }
 }

@@ -187,17 +187,21 @@ class StagesSuite extends SparkSpec {
     val expired = events.filter(Layout.segExprFor(spec) < Layout.segFor(spec, cut))
     assert(out == Seq("orphan_deleted_measure" -> expired.count()))
 
-    // the archive holds exactly the expired orphan rows, gzip JSON lines
-    val arch = spark.read.json(s"$archive/testdata/orphan_deleted_measure")
+    // the archive holds exactly the expired orphan rows, gzip JSON lines,
+    // in a horizon-scoped subdir (h<seg>)
+    val arch = spark.read.json(s"$archive/testdata/orphan_deleted_measure/h*")
     assert(arch.count() == expired.count())
     assert(arch.agg(min(col("value"))).head().getDouble(0) >= 1000.0)
-    val files = new java.io.File(s"$archive/testdata/orphan_deleted_measure")
-      .listFiles().map(_.getName)
-    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val runDirs = new java.io.File(s"$archive/testdata/orphan_deleted_measure")
+      .listFiles().filter(_.getName.startsWith("h"))
+    assert(runDirs.length == 1)
+    assert(runDirs.head.listFiles().map(_.getName).exists(_.endsWith(".json.gz")))
 
-    // manifest row counts match the archive (orphan.go orphanManifest)
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$archive/testdata/manifest.json")), "UTF-8")
+    // manifest row counts match the archive (orphan.go orphanManifest),
+    // horizon-scoped like the data
+    val mFile = new java.io.File(s"$archive/testdata").listFiles()
+      .filter(_.getName.startsWith("manifest_h")).head
+    val manifest = new String(java.nio.file.Files.readAllBytes(mFile.toPath), "UTF-8")
     assert(manifest.contains(s""""measure":"orphan_deleted_measure""""))
     assert(manifest.contains(s""""total_rows":${expired.count()}"""))
 
@@ -206,8 +210,27 @@ class StagesSuite extends SparkSpec {
     assert(orphanLeft.count() == events.count() - expired.count())
     assert(spark.read.parquet(s"$root/testdata/events").count() == events.count())
 
-    // re-run: expired segments already gone → zero-row archive entry
+    // re-run: expired segments already gone → zero-row archive entry, and
+    // the run-1 archive files are untouched
     assert(Stages.archiveOrphans(spark, root, "testdata", Set("events"),
       archive, cut, spec.segmentDays) == Seq("orphan_deleted_measure" -> 0L))
+    assert(spark.read.json(s"$archive/testdata/orphan_deleted_measure/h*")
+      .count() == expired.count())
+
+    // a LATER horizon archives the next slice BESIDE run 1's, never over
+    // it — rows deleted from the source in run 1 must survive run 2
+    val later = java.time.Instant.parse("2024-01-22T00:00:00Z")
+    val expired2 = events.filter(
+      Layout.segExprFor(spec) >= Layout.segFor(spec, cut) &&
+      Layout.segExprFor(spec) < Layout.segFor(spec, later))
+    val out2 = Stages.archiveOrphans(spark, root, "testdata", Set("events"),
+      archive, later, spec.segmentDays)
+    assert(out2 == Seq("orphan_deleted_measure" -> expired2.count()))
+    // accumulated archive = run 1 + run 2
+    assert(spark.read.json(s"$archive/testdata/orphan_deleted_measure/h*")
+      .count() == expired.count() + expired2.count())
+    // each run carries its own manifest; run 1's is untouched
+    val mDir = new java.io.File(s"$archive/testdata")
+    assert(mDir.listFiles().map(_.getName).count(_.startsWith("manifest_h")) == 2)
   }
 }
