@@ -437,6 +437,17 @@ object SparkEntry {
     "q25_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
 
+    // --- pipeline: benchmark decontamination — corpus docs sharing
+    // shingles with an eval set (docs 0-19 play the benchmark); the
+    // benchmark shingle set broadcasts, the corpus never shuffles text
+    "q66_decontamination" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationFlags(
+        all.filter(col("doc_id") >= 20), "doc_id", "text",
+        all.filter(col("doc_id") < 20), "text", w = 3, minShared = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // --- pipeline: transitive near-dup clusters (pairs → connected
     // components → canonical keeper id) — the step between pair generation
     // and actually dropping rows; min-label propagation to a fixpoint
@@ -1075,6 +1086,20 @@ object SparkEntry {
         |JOIN szs sa ON sa.doc_id = id_a
         |JOIN szs sb ON sb.doc_id = id_b
         |WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.5""".stripMargin,
+
+    "q66_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 20),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 20)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM ex JOIN bench USING (shingle)
+        |GROUP BY doc_id HAVING COUNT(*) >= 3""".stripMargin,
 
     "q65_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

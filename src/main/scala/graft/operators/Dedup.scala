@@ -203,6 +203,32 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
+   * distinct `w`-token shingles with an evaluation/benchmark set — the
+   * standard pre-training step that keeps test questions out of the
+   * training corpus (train-test overlap detection à la the GPT-3/C4
+   * n-gram decontamination procedure).
+   *
+   * Scale shape: benchmark sets are SMALL (thousands of documents) while
+   * the corpus is the 100 TB side — so the benchmark's distinct shingle
+   * set broadcasts and the corpus is ONE map-side hash join + one
+   * partial-aggregated count, no corpus-side shuffle of text. Shingles
+   * per document are already distinct ([[shingles]]), so the join-row
+   * count per doc IS the distinct-overlap count.
+   */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, w: Int = 5,
+      minShared: Int = 1): DataFrame = {
+    val docSh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), w)).as("shingle"))
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), w)).as("shingle")).distinct()
+    docSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Transitive near-dup clusters from a pair list: connected components
    * over the pair graph, each labeled by its minimum member id (the
    * canonical keeper a dedup pass retains). The step between pair
