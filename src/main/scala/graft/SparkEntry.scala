@@ -704,6 +704,18 @@ object SparkEntry {
         .select("id", "rev", "price")
     }),
 
+    // --- property anti-entropy digest tree (property-repair.md "Build
+    // Merkel Tree"): leaf/slot/root md5 digests over the stored log's
+    // latest revisions incl. tombstones — the replica-comparison structure
+    // gossip repair exchanges; root row at slot = -1
+    "q67_property_merkle" -> ((s, d) => {
+      val root = ensurePropertyLog(s, d)
+      graft.storage.PropertyStore.merkleTree(
+        s.read.parquet(s"$root/log"), "id", "rev", "deleted",
+        payload = Seq(round(col("price") * 100).cast("long").cast("string")),
+        slotCount = 32)
+    }),
+
     // --- TopN rewrite-to-raw fallback (query.proto:149-150): SHOW TOP over
     // a measure with NO registered `_top_n_result` — the pre-compute and
     // the read compose into one plan; result matches q19 (which reads the
@@ -1474,6 +1486,37 @@ object SparkEntry {
         |log2 AS (SELECT * FROM log1 UNION ALL SELECT * FROM del),
         |live AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn FROM log2)
         |SELECT id, rev, price FROM live WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "q67_property_merkle" ->
+      """WITH log0 AS (
+        |  SELECT o_custkey AS id, o_orderkey AS rev, o_totalprice AS price, false AS deleted
+        |  FROM orders),
+        |maxr AS (SELECT id, max(rev) AS m FROM log0 GROUP BY id),
+        |upd AS (SELECT id, m + 1 AS rev, id * 1000.0 AS price, false AS deleted
+        |        FROM maxr WHERE id <= 5),
+        |log1 AS (SELECT * FROM log0 UNION ALL SELECT * FROM upd),
+        |del AS (SELECT id, max(rev) + 1 AS rev, CAST(NULL AS DOUBLE) AS price, true AS deleted
+        |        FROM log1 WHERE id IN (1, 2) GROUP BY id),
+        |log2 AS (SELECT * FROM log1 UNION ALL SELECT * FROM del),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn
+        |    FROM log2) WHERE rn = 1),
+        |leaves AS (
+        |  SELECT id::VARCHAR AS entity,
+        |         md5(concat_ws('|', id::VARCHAR, rev::VARCHAR, deleted::VARCHAR,
+        |             coalesce(CAST(round(price * 100) AS BIGINT)::VARCHAR, ''))) AS leaf_sha,
+        |         ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 32 AS slot
+        |  FROM latest),
+        |slots AS (
+        |  SELECT slot, md5(string_agg(leaf_sha, '' ORDER BY entity)) AS sha,
+        |         COUNT(*) AS n
+        |  FROM leaves GROUP BY slot)
+        |SELECT slot, sha, n FROM slots
+        |UNION ALL
+        |SELECT -1 AS slot,
+        |       (SELECT md5(string_agg(sha, '' ORDER BY slot)) FROM slots) AS sha,
+        |       (SELECT COUNT(*) FROM slots) AS n""".stripMargin,
 
     "q51_stage_routing" ->
       """SELECT event_id, user_id, event_type, value FROM events

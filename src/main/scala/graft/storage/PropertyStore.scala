@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,4 +82,46 @@ object PropertyStore {
       deletedCol: String): DataFrame =
     graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
       .filter(!coalesce(col(deletedCol), lit(false)))
+
+  /**
+   * Anti-entropy digest tree of a property shard (docs/concept/
+   * property-repair.md "Build Merkel Tree"): leaf = digest of each
+   * document's latest revision INCLUDING tombstones (two replicas that
+   * deleted at different revisions must differ), slot = digest over its
+   * leaves' digests in entity order (leaf count recorded), root = digest
+   * over the slot digests (row `slot = -1`). Two stores agree iff their
+   * root digests agree; a mismatch narrows to slots, then entities — the
+   * comparison the reference's gossip repair runs between replicas.
+   *
+   * Engine-portable: md5 digests and an md5-derived slot assignment
+   * (`hash(entity) % slot_count`, property-repair.md "Slot Node"), so an
+   * external store can recompute the identical tree in SQL. `payload`
+   * columns must be canonicalized to strings by the caller (render
+   * money as integer cents etc. — float-to-string differs across
+   * engines). One aggregation per tree level; slot fan-in is bounded by
+   * the shard's document count (properties are finite, per the doc).
+   */
+  def merkleTree(log: DataFrame, idCol: String, revCol: String,
+      deletedCol: String, payload: Seq[Column], slotCount: Int = 32): DataFrame = {
+    val latest = graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
+    val entity = col(idCol).cast("string")
+    val leafSha = md5(concat_ws("|",
+      (Seq(entity, col(revCol).cast("string"),
+        coalesce(col(deletedCol), lit(false)).cast("string")) ++
+        payload.map(p => coalesce(p, lit("")))): _*))
+    val slot = (conv(substring(md5(entity), 1, 15), 16, 10).cast("long")
+      % slotCount).as("slot")
+    val leaves = latest.select(entity.as("entity"), leafSha.as("leaf_sha"), slot)
+    def rollup(df: DataFrame, keyCols: Seq[Column], ordCol: String, shaCol: String) =
+      df.groupBy(keyCols: _*).agg(
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col(ordCol), col(shaCol)))),
+          x => x.getField(shaCol)), "")).as("sha"),
+        count(lit(1)).as("n"))
+    val slots = rollup(leaves, Seq(col("slot")), "entity", "leaf_sha")
+    val root = rollup(slots.withColumnRenamed("sha", "slot_sha"),
+      Nil, "slot", "slot_sha")
+      .select(lit(-1L).as("slot"), col("sha"), col("n"))
+    slots.unionByName(root)
+  }
 }

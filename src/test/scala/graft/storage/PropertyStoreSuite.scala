@@ -63,4 +63,28 @@ class PropertyStoreSuite extends SparkSpec {
     assert(compacted.select("id").as[String].collect().toSeq == Seq("b"))
     assert(compacted.count() == 1)
   }
+
+  test("merkle digest tree localizes a replica divergence (property-repair.md)") {
+    def tree(log: org.apache.spark.sql.DataFrame) =
+      PropertyStore.merkleTree(log, "id", "rev", "deleted",
+        payload = Seq(col("v").cast("string")), slotCount = 8)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    val base = (1 to 40).map(i => (i.toString, 1L, i * 10, false))
+      .toDF("id", "rev", "v", "deleted")
+    // replica A == replica B → identical trees, root included
+    assert(tree(base) == tree(base))
+    // replica B missed one update → roots differ; exactly ONE slot differs
+    val diverged = base.unionByName(
+      Seq(("7", 2L, 999, false)).toDF("id", "rev", "v", "deleted"))
+    val (ta, tb) = (tree(base), tree(diverged))
+    assert(ta(-1L)._1 != tb(-1L)._1)
+    val differing = (0L until 8L).filter(s => ta(s) != tb(s))
+    assert(differing.size == 1)
+    // leaf counts unchanged (same entity set, different leaf digest)
+    assert(ta(differing.head)._2 == tb(differing.head)._2)
+    // tombstones participate: deleting on one side changes its tree
+    val deleted = PropertyStore.delete(base, Seq("7"), "id", "rev", "deleted")
+    assert(tree(base)(-1L)._1 != tree(deleted)(-1L)._1)
+  }
 }
