@@ -148,4 +148,20 @@ class PlanShapeSuite extends SparkSpec {
       p.contains("GreaterThanOrEqual(ts"), p.take(2000))
     assert(!p.contains("props"), "unprojected column read from parquet")
   }
+
+  test("q66 decontamination: benchmark shingles broadcast, corpus never shuffles text") {
+    val p = plan("q66_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "eval-set join degenerated to a corpus-side shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q67 merkle tree: hash-partitioned rollups, no joins at all") {
+    val p = plan("q67_property_merkle")
+    assert(!p.contains("Join"), "digest rollup grew a join")
+    assert(!p.contains("CartesianProduct"))
+    // per-level rollups are aggregates (slot fan-in bounded by shard size)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
 }
