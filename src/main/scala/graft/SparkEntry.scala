@@ -502,6 +502,13 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
         TextAnalysis.tokenCountBpeish(col("text")).as("n_bpeish_tokens"))),
 
+    // --- pipeline: repetition signals (Gopher-style duplicate n-gram
+    // fractions — boilerplate/spam filter); within-row array math, no
+    // explode, no shuffle
+    "q68_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(docs(s, d).select("doc_id", "text"), col("text"))
+        .drop("text")),
+
     // --- pipeline: overlapping token-window chunking (documents →
     // fixed-size training windows; map-only row multiplication)
     "q61_chunking" -> ((s, d) =>
@@ -1283,6 +1290,21 @@ object SparkEntry {
         |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
         |       len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
+
+    "q68_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t,
+        |         list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) AS g2,
+        |         list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(t) > 0 THEN 1.0 - len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END, 6) AS dup_word_frac,
+        |  round(CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0.0 END, 6) AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0.0 END, 6) AS dup_3gram_frac
+        |FROM g""".stripMargin,
 
     "q61_chunking" ->
       """WITH toks AS (

@@ -152,6 +152,43 @@ object TextAnalysis {
     df.filter(h % 100 < pct)
   }
 
+  /**
+   * Repetition signals (the Gopher-style repetitiousness filters):
+   * fraction of duplicated words, 2-grams, and 3-grams — high values mark
+   * boilerplate, keyword spam, and degenerate generations that the
+   * length/punctuation features miss. `1 - |distinct|/|total|` per n-gram
+   * order, computed entirely WITHIN the row (array ops over one
+   * tokenization — no explode, no shuffle): at 100 TB this runs at scan
+   * speed like the other quality features.
+   */
+  def repetitionSignals(df: DataFrame, text: Column): DataFrame = {
+    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+    def dupFrac(arr: Column): Column = {
+      val n = size(arr)
+      round(when(n > 0,
+        lit(1.0) - size(array_distinct(arr)).cast("double") / n)
+        .otherwise(lit(0.0)), 6)
+    }
+    val t = col("__rtoks")
+    val n = size(t)
+    // n-grams WITH multiplicity (the distinct-shingle kernel can't see
+    // repeats): zip shifted slices of one token array; slice lengths clamp
+    // at 0 for docs shorter than the gram order
+    val len2 = greatest(n - 1, lit(0))
+    val len3 = greatest(n - 2, lit(0))
+    val grams2 = zip_with(slice(t, lit(1), len2), slice(t, lit(2), len2),
+      (a, b) => concat_ws(" ", a, b))
+    val grams3 = zip_with(
+      zip_with(slice(t, lit(1), len3), slice(t, lit(2), len3),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(t, lit(3), len3), (ab, c) => concat_ws(" ", ab, c))
+    df.withColumn("__rtoks", toks)
+      .withColumn("dup_word_frac", dupFrac(t))
+      .withColumn("dup_2gram_frac", dupFrac(grams2))
+      .withColumn("dup_3gram_frac", dupFrac(grams3))
+      .drop("__rtoks")
+  }
+
   /** PII-bearing spans a scrub pass redacts: emails, dotted-quad IPs, long
     * digit runs (ids / account numbers). RE2-compatible patterns — no
     * lookarounds — so the same regexes run in any engine. */

@@ -99,6 +99,23 @@ class CorpusShapingSuite extends SparkSpec {
     assert(out(1).getInt(2) == 0)
   }
 
+  test("repetitionSignals: duplicate n-gram fractions per hand-computed model") {
+    val docs = docsOf(Seq(
+      1L -> "spam spam spam spam",          // 4 words 1 distinct; 3 bigrams 1 distinct
+      2L -> "all words here are unique",    // no repetition anywhere
+      3L -> "a b a b a b",                  // words 2/6 distinct; bigrams: ab,ba,ab,ba,ab
+      4L -> "",                             // empty → all zero
+      5L -> "one"))                         // single word → gram fracs zero
+    val got = TextAnalysis.repetitionSignals(docs, col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got(0) == ((1L, 0.75, 0.666667, 0.5)))  // fracs round to 6 places
+    assert(got(1) == ((2L, 0.0, 0.0, 0.0)))
+    assert(got(2) == ((3L, 0.666667, 0.6, 0.5)))
+    assert(got(3) == ((4L, 0.0, 0.0, 0.0)))
+    assert(got(4) == ((5L, 0.0, 0.0, 0.0)))
+  }
+
   test("piiCount equals the redactions scrub performs on overlapping spans") {
     // the IP inside the email local-part is redacted ONCE, as the email
     val docs = docsOf(Seq(1L -> "reach me at 1.2.3.4@mail.co"))
