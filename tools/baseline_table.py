@@ -14,7 +14,7 @@ d1 = load('target/duck_sf1.json')
 tot = lambda d: sum(v for k, v in d.items() if not k.startswith('_'))
 
 L = []
-L.append("## Measured scaling trend (sf0.1 → sf1, 67-query surface)")
+L.append("## Measured scaling trend (sf0.1 → sf1, 68-query surface)")
 L.append("")
 L.append("Method: the sf0.1 testdata replicated 10× with per-copy perturbations that keep")
 L.append("workload shape honest (`tools/gen_scale.py` — key shifts for joins, per-copy token")
