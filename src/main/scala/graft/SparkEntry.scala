@@ -450,11 +450,15 @@ object SparkEntry {
 
     // --- pipeline: transitive near-dup clusters (pairs → connected
     // components → canonical keeper id) — the step between pair generation
-    // and actually dropping rows; min-label propagation to a fixpoint
+    // and actually dropping rows; min-label propagation to a fixpoint.
+    // Pairs come from the EXACT inverted-index path so the oracle's
+    // all-pairs Jaccard sees the identical edge set (the LSH generator's
+    // ~1e-4 per-pair miss would relabel a whole component on regenerated
+    // data); cluster logic, not candidate generation, is what q65 checks.
     "q65_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(
-        Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
-          w = 3, bands = 32, rowsPerBand = 2, threshold = 0.5))
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          w = 3, threshold = 0.5))
         .withColumnRenamed("id", "doc_id")),
 
     // --- pipeline: brute-force cosine top-k similarity search

@@ -242,12 +242,16 @@ object Dedup {
    * (path halving: `label(v) := label(label(v))`), so convergence needs
    * O(log diameter) rounds, not O(diameter) — a 10⁶-document boilerplate
    * chain converges in ~20 rounds where plain propagation needs 10⁶. The
-   * loop stops the first round nothing changes (one count per round, the
-   * canonical driver-side fixpoint test) and THROWS if `maxIters` rounds
-   * were not enough — silently returning half-merged components would
-   * keep duplicate documents downstream. Each round is two shuffled
+   * loop stops the first round nothing changes and THROWS if `maxIters`
+   * rounds were not enough — silently returning half-merged components
+   * would keep duplicate documents downstream. Each round is two shuffled
    * joins + an aggregate on the edge list, with a lineage barrier so the
-   * plan does not nest `maxIters` deep.
+   * plan does not nest `maxIters` deep. The convergence check rides INSIDE
+   * the round's barrier: the compression join also carries the previous
+   * label, so `__changed` is materialized with the round and the fixpoint
+   * test is a short-circuiting scan of the already-cached blocks — not a
+   * separate shuffle join + action per round (r5 verdict #5; at 20 rounds
+   * that is 20 fewer shuffled-join job launches).
    */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = barrier(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -263,15 +267,19 @@ object Dedup {
         .select(col("src").as("id"), col("cluster_id"))
       val propagated = viaEdges.unionByName(labels)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-      // compression: follow the label's own label (label(v) := label(label(v)))
+      // compression: follow the label's own label (label(v) := label(label(v)));
+      // the same plan joins back the previous label so the change flag is
+      // part of the barriered materialization
       val next = barrier(propagated
         .join(propagated.select(col("id").as("cluster_id"),
           col("cluster_id").as("__parent")), Seq("cluster_id"), "left")
+        .join(labels.select(col("id"), col("cluster_id").as("__old")), Seq("id"))
         .select(col("id"),
-          coalesce(col("__parent"), col("cluster_id")).as("cluster_id")))
-      converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("__old")).isEmpty
-      labels = next
+          coalesce(col("__parent"), col("cluster_id")).as("cluster_id"),
+          (coalesce(col("__parent"), col("cluster_id")) =!= col("__old"))
+            .as("__changed")))
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -182,6 +182,29 @@ object Similarity {
   }
 
   /**
+   * Recall@k of an approximate ANN result against exact ground truth:
+   * per query, the fraction of the true top-k the approximate search
+   * returned. Both inputs are [[rankTopK]]-shaped (query_id, nbr_id, rank,
+   * sim). This is how the "recall < 1 by design" claims on [[lshTopK]] /
+   * [[ivfTopKWith]] become MEASURED numbers (BASELINE.md recall tables,
+   * r5 verdict #2) instead of design assertions.
+   *
+   * Scale shape: one equi-join on (query_id, nbr_id) + one aggregate over
+   * k·|queries| rows — evaluation-set sized, never corpus sized.
+   */
+  def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("nbr_id"))
+    val a = approx.select(col("query_id"), col("nbr_id"))
+      .withColumn("__hit", lit(1L))
+    t.join(a, Seq("query_id", "nbr_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_truth"), 6))
+  }
+
+  /**
    * Near-duplicate pairs at corpus scale: bucket every vector by its LSH
    * sign pattern, then self-join WITHIN buckets only — a shuffled equi-join
    * on the bucket key, never an all-pairs product. Pair space shrinks from

@@ -91,12 +91,15 @@ object Backup {
     val srcFiles = listFiles(sfs, srcPath)
     val dstFiles = listFiles(dfs, dstPath)
     // copy when the destination lacks the file, the size differs, or the
-    // source was rewritten after the destination copy landed (size alone
-    // misses same-length rewrites; "src newer than dst" keeps the second
-    // pass of an unchanged tree a no-op, since copies are younger)
+    // mtime differs IN EITHER DIRECTION (rsync quick-check). Size alone
+    // misses same-length rewrites; "src strictly newer" would miss a
+    // destination file rewritten in place with the same length and a newer
+    // mtime than the (source-mtime-preserving) backup copy — restore must
+    // deliver an exact mirror, not a newest-wins merge. Unchanged trees
+    // still no-op because preserved mtimes compare equal.
     val toCopy = srcFiles.collect {
       case (rel, (len, mtime)) if dstFiles.get(rel)
-        .forall { case (dlen, dmtime) => dlen != len || mtime > dmtime } => (rel, mtime)
+        .forall { case (dlen, dmtime) => dlen != len || mtime != dmtime } => (rel, mtime)
     }.toSeq.sortBy(_._1)
     val toDelete = (dstFiles.keySet -- srcFiles.keySet).toSeq.sorted
 

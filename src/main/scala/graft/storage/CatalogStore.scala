@@ -106,11 +106,22 @@ object CatalogStore {
    * asserts revision > 0 and the timestamp equality on first create; a
    * caller-supplied backdated createdAtMs stamps BOTH so the invariant
    * holds). Creating an already-registered resource is an error — the
-   * reference registry returns AlreadyExists.
+   * reference registry returns AlreadyExists via an atomic etcd txn; here
+   * the atomicity guard is a `FileSystem.createNewFile` marker (atomic on
+   * HDFS and local fs): two concurrent creates both pass the readback
+   * check, but only one wins the marker — the loser gets AlreadyExists
+   * instead of silently last-write-wins.
    */
   def create(spark: SparkSession, root: String, e: CatalogEntry,
       nowMs: Long = System.currentTimeMillis()): CatalogEntry = {
     if (get(spark, root, e.group, e.name).isDefined)
+      throw new IllegalArgumentException(
+        s"resource ${e.group}/${e.name} already exists")
+    val marker = new org.apache.hadoop.fs.Path(
+      entryPath(root, e.group, e.name) + ".created")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mfs.mkdirs(marker.getParent)
+    if (!mfs.createNewFile(marker))
       throw new IllegalArgumentException(
         s"resource ${e.group}/${e.name} already exists")
     val created = e.createdAtMs.getOrElse(nowMs)
@@ -127,6 +138,13 @@ object CatalogStore {
    * updated_at, every field — stays byte-identical (validation runs before
    * any write, so rejection is trivially atomic). An accepted update bumps
    * `mod_revision`, preserves `created_at`, and stamps `updated_at`.
+   *
+   * SINGLE-WRITER ASSUMPTION: unlike the reference's etcd compare-and-swap,
+   * the read-bump-write here is not atomic — two concurrent updates to the
+   * SAME resource can lose a revision bump. Schema mutation in this library
+   * is a driver-side admin operation (one writer per registry), matching
+   * how the bench and tests use it; a multi-writer deployment would need a
+   * CAS-capable store behind `save`.
    */
   def update(spark: SparkSession, root: String, e: CatalogEntry,
       nowMs: Long = System.currentTimeMillis()): CatalogEntry = {
@@ -149,6 +167,8 @@ object CatalogStore {
   def delete(spark: SparkSession, root: String, group: String, name: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(entryPath(root, group, name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drop the create-lock marker too, so delete → create is re-creatable
+    fs.delete(new org.apache.hadoop.fs.Path(p.toString + ".created"), false)
     fs.delete(p, true)
   }
 

@@ -223,14 +223,38 @@ object Stages {
         // horizon-scoped output dir: a LATER run (new horizon, new expired
         // segments) lands beside earlier archives instead of overwriting
         // them — the rows deleted from the source in run 1 must survive
-        // run 2. A crash-retry of the SAME horizon overwrites its own
-        // partial output only (the segments are still in the source until
-        // the delete below succeeds).
+        // run 2. The archive is written to a temp dir and PUBLISHED BY
+        // RENAME BEFORE any source delete, so a crash at any point leaves
+        // either (a) both archive and source intact, or (b) a published
+        // archive plus not-yet-deleted source segments. A rerun of the
+        // same horizon never overwrites the published dir: it archives
+        // only the expired segments the existing archive does not already
+        // cover (each archived row carries its seg value) and merges them
+        // in as a sub-run — no row loss, no row duplication.
         val out = s"$archiveDir/$group/$name/h$horizon"
-        spark.read.parquet(table.toString)
-          .filter(col(Layout.SegCol) < horizon)
-          .write.mode("overwrite").option("compression", "gzip").json(out)
-        val rows = spark.read.json(out).count()
+        val outPath = new Path(out)
+        val covered: Set[Int] =
+          if (f.exists(outPath))
+            spark.read.option("recursiveFileLookup", "true").json(out)
+              .select(Layout.SegCol).distinct().collect()
+              .map(_.get(0).toString.toDouble.toInt).toSet
+          else Set.empty
+        val toArchive = expired
+          .map(_.getName.stripPrefix(s"${Layout.SegCol}=").toInt)
+          .filterNot(covered.contains)
+        if (toArchive.nonEmpty) {
+          val attempt = new Path(s"$out.tmp")
+          f.delete(attempt, true)
+          spark.read.parquet(table.toString)
+            .filter(col(Layout.SegCol).isInCollection(toArchive))
+            .write.mode("overwrite").option("compression", "gzip")
+            .json(attempt.toString)
+          f.mkdirs(outPath.getParent)
+          if (!f.exists(outPath)) f.rename(attempt, outPath)
+          else f.rename(attempt, new Path(outPath, s"run-${System.nanoTime()}"))
+        }
+        val rows =
+          spark.read.option("recursiveFileLookup", "true").json(out).count()
         expired.foreach(p => f.delete(p, true))
         spark.catalog.refreshByPath(table.toString)
         name -> rows

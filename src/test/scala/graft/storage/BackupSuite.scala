@@ -76,4 +76,32 @@ class BackupSuite extends SparkSpec {
     val r5 = Backup.backup(spark, root, dest, td)
     assert(r5.copied.nonEmpty && r5.copied.size < r1.copied.size)
   }
+
+  test("restore replaces a same-length file rewritten in place with a newer mtime") {
+    // rsync quick-check: size OR mtime difference triggers the copy. A
+    // strictly-newer-source rule would silently keep this corruption —
+    // backup preserves source mtimes, so the backed-up copy is always
+    // OLDER than a post-backup in-place rewrite of the same length.
+    val root = tmp("data")
+    val dest = tmp("backups")
+    val f = new java.io.File(root, "group/table/data.bin")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, "AAAA".getBytes("UTF-8"))
+    val td = "2024-02-01"
+    val r1 = Backup.backup(spark, root, dest, td)
+    assert(r1.copied == Seq("group/table/data.bin"))
+
+    // rewrite in place: same length, strictly newer mtime than the backup
+    java.nio.file.Files.write(f.toPath, "BBBB".getBytes("UTF-8"))
+    assert(f.setLastModified(System.currentTimeMillis() + 60000))
+
+    val r2 = Backup.restore(spark, dest, td, root)
+    assert(r2.copied == Seq("group/table/data.bin"),
+      "diverged file must be restored, not kept as newest-wins")
+    assert(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == "AAAA")
+
+    // and an untouched round-trip stays a no-op (preserved mtimes equal)
+    val r3 = Backup.restore(spark, dest, td, root)
+    assert(r3.copied.isEmpty && r3.deleted.isEmpty)
+  }
 }

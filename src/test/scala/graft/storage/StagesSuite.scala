@@ -233,4 +233,57 @@ class StagesSuite extends SparkSpec {
     val mDir = new java.io.File(s"$archive/testdata")
     assert(mDir.listFiles().map(_.getName).count(_.startsWith("manifest_h")) == 2)
   }
+
+  test("archiveOrphans crash-retry never overwrites rows whose segments are gone") {
+    val root = tmp("src")
+    val archive = tmp("archive")
+    val orphanSpec = spec.copy(name = "orphan_deleted_measure")
+    Layout.append(events, root, orphanSpec, mode = "overwrite")
+    val expired = events.filter(Layout.segExprFor(spec) < Layout.segFor(spec, cut))
+    val expiredSegs = expired.select(Layout.segExprFor(spec).as("s"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    assert(expiredSegs.length >= 2, "need two expired segments for the scenario")
+
+    // run 1 completes: archive published, source expired segments deleted
+    val out1 = Stages.archiveOrphans(spark, root, "testdata", Set("events"),
+      archive, cut, spec.segmentDays)
+    assert(out1 == Seq("orphan_deleted_measure" -> expired.count()))
+
+    // simulate the crashed-mid-delete state the r5 ADVICE describes: the
+    // archive exists, one expired segment SURVIVED the delete loop (put its
+    // rows back), the other segments are gone
+    val survivor = expiredSegs.head
+    val survivorRows = events.filter(Layout.segExprFor(spec) === survivor)
+    Layout.append(survivorRows, root, orphanSpec)
+
+    // the rerun at the SAME horizon must (a) keep every already-archived
+    // row — its source segments no longer exist anywhere — and (b) not
+    // duplicate the survivor's rows, which the archive already covers
+    val out2 = Stages.archiveOrphans(spark, root, "testdata", Set("events"),
+      archive, cut, spec.segmentDays)
+    assert(out2 == Seq("orphan_deleted_measure" -> expired.count()))
+    val arch = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$archive/testdata/orphan_deleted_measure/h*")
+    assert(arch.count() == expired.count(), "archive lost or duplicated rows")
+    // survivor segment deleted from the source this time
+    val left = spark.read.parquet(s"$root/testdata/orphan_deleted_measure")
+    assert(left.count() == events.count() - expired.count())
+
+    // late-arriving expired data in a segment the archive does NOT cover
+    // merges in beside the published run instead of overwriting it
+    // seg values are floor DAYS: day head-2 falls in segment head-7,
+    // strictly before any segment run 1 archived
+    val lateTs = java.time.Instant.ofEpochSecond(
+      (expiredSegs.head - 2).toLong * 86400L)
+    val late = events.limit(30)
+      .withColumn("ts_ns", lit(ns(lateTs)))
+      .withColumn("event_id", col("event_id") + 7000000L)
+    Layout.append(late, root, orphanSpec)
+    val out3 = Stages.archiveOrphans(spark, root, "testdata", Set("events"),
+      archive, cut, spec.segmentDays)
+    assert(out3 == Seq("orphan_deleted_measure" -> (expired.count() + 30L)))
+    val merged = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$archive/testdata/orphan_deleted_measure/h*")
+    assert(merged.count() == expired.count() + 30L)
+  }
 }
