@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * ANN recall evidence (r5 verdict #2): measure recall@k of every
+ * approximate similarity path against the exact brute-force baseline on
+ * the same embeddings table, and print the BASELINE.md table rows.
+ *
+ * Sweeps:
+ *  - LSH: nPlanes 4 / 8 / 12 (recall falls as planes rise — buckets
+ *    halve per plane; the claim "raise nPlanes for precision, lower for
+ *    recall" becomes a measured curve)
+ *  - IVF, id-prefix quantizer (the oracle-checkable placeholder) and
+ *    TRAINED k-means quantizer: nprobe 1 / 2 / 4 / 8 at nlist 8 —
+ *    nprobe = nlist probes every cell, so recall is exactly 1.0 there
+ *    by construction (asserted in AnnRecallSuite).
+ *
+ * Usage: `sbt -batch "runMain graft.RecallTable /root/testdata/sf0.01"`.
+ */
+object RecallTable {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val k = 10
+    val dim = 64
+    val nlist = 8
+    val e = graft.sources.Catalog.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+    val truth = Similarity.bruteForceTopK(e, queries, k).localCheckpoint()
+
+    def mean(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, truth)
+        .agg(avg(col("recall"))).head().getDouble(0)
+
+    println(s"| path | param | recall@$k |")
+    println("|---|---|---|")
+    for (nPlanes <- Seq(4, 8, 12)) {
+      val r = mean(Similarity.lshTopK(e, queries, k, dim, nPlanes))
+      println(f"| LSH | nPlanes=$nPlanes | $r%.3f |")
+    }
+    val trained = Similarity.trainIvfCentroids(e, nlist, iters = 5)
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val rid = mean(Similarity.ivfTopK(e, queries, k, nlist, nprobe))
+      val rtr = mean(Similarity.ivfTopKWith(e, queries, k, trained, nprobe))
+      println(f"| IVF id-prefix | nprobe=$nprobe/$nlist | $rid%.3f |")
+      println(f"| IVF trained | nprobe=$nprobe/$nlist | $rtr%.3f |")
+    }
+    spark.stop()
+  }
+}

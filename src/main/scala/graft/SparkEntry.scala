@@ -481,6 +481,21 @@ object SparkEntry {
         nlist = 8, nprobe = 2)
     }),
 
+    // --- pipeline: MEASURED recall@k of trained-quantizer IVF ANN against
+    // the exact brute-force baseline — the production path (offline
+    // k-means centroids → ivfTopKWith) evidenced as a number per query,
+    // not a design claim. Deterministic (DECIMAL-summed training, fixed
+    // init) but not SQL-expressible (iterative k-means), so rows-only.
+    "q69_ann_recall_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = Similarity.trainIvfCentroids(e, nlist = 8, iters = 5)
+      Similarity.recallAtK(
+        Similarity.ivfTopKWith(e, q, k = 5, cents, nprobe = 2),
+        Similarity.bruteForceTopK(e, q, k = 5))
+        .withColumnRenamed("query_id", "vec_id")
+    }),
+
     // --- pipeline: embedding-cosine near-dup pairs (blocked left side)
     "q28_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(emb(s, d), threshold = 0.35, col("vec_id") < 100)),
