@@ -187,6 +187,24 @@ object SparkEntry {
         .exceptAll(cur2).write.mode("append").parquet(path)
     }
 
+  /** Replica B for the Merkle repair drill-down (q70): replica A's log
+    * plus one divergent upsert batch (ids 3,4) and one tombstone (id 7) —
+    * the two stores then differ in exactly the slots those ids hash to. */
+  private def ensurePropertyLogB(s: SparkSession, d: String): String = {
+    val aRoot = ensurePropertyLog(s, d)
+    materialized("proplogb", d, s"${fileSig(d, "orders")}|divergeB.v1") { dir =>
+      import graft.storage.PropertyStore
+      val path = s"$dir/log"
+      val logA = s.read.parquet(s"$aRoot/log")
+      val upd = logA.select("id").distinct()
+        .filter(col("id") >= 3 && col("id") <= 4)
+        .withColumn("price", col("id") * 2000.0)
+      val withUpd = PropertyStore.apply(logA, upd, "id", "rev", "deleted")
+      PropertyStore.delete(withUpd, Seq("7"), "id", "rev", "deleted")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** Untimed setup hook for the bench: performs the one-time
     * materializations so the timed q41/q44/q51 measure their read paths. */
   /** Ingest the raw source tables into the engine's own layout once
@@ -738,6 +756,19 @@ object SparkEntry {
       val root = ensurePropertyLog(s, d)
       graft.storage.PropertyStore.merkleTree(
         s.read.parquet(s"$root/log"), "id", "rev", "deleted",
+        payload = Seq(round(col("price") * 100).cast("long").cast("string")),
+        slotCount = 32)
+    }),
+
+    // --- property Merkle repair drill-down (property-repair.md "Repair"):
+    // two replicas' trees compared root → slot → leaf; output = entities
+    // whose live state differs (the documents a repair would ship). B is
+    // A plus an upsert of ids 3,4 and a tombstone of id 7 — exactly those
+    // three entities differ, by differing leaf digest within their slots
+    "q70_property_merkle_diff" -> ((s, d) => {
+      val a = s.read.parquet(s"${ensurePropertyLog(s, d)}/log")
+      val b = s.read.parquet(s"${ensurePropertyLogB(s, d)}/log")
+      graft.storage.PropertyStore.merkleDiff(a, b, "id", "rev", "deleted",
         payload = Seq(round(col("price") * 100).cast("long").cast("string")),
         slotCount = 32)
     }),
@@ -1558,6 +1589,49 @@ object SparkEntry {
         |SELECT -1 AS slot,
         |       (SELECT md5(string_agg(sha, '' ORDER BY slot)) FROM slots) AS sha,
         |       (SELECT COUNT(*) FROM slots) AS n""".stripMargin,
+
+    "q70_property_merkle_diff" ->
+      """WITH log0 AS (
+        |  SELECT o_custkey AS id, o_orderkey AS rev, o_totalprice AS price, false AS deleted
+        |  FROM orders),
+        |maxr AS (SELECT id, max(rev) AS m FROM log0 GROUP BY id),
+        |upd AS (SELECT id, m + 1 AS rev, id * 1000.0 AS price, false AS deleted
+        |        FROM maxr WHERE id <= 5),
+        |log1 AS (SELECT * FROM log0 UNION ALL SELECT * FROM upd),
+        |del AS (SELECT id, max(rev) + 1 AS rev, CAST(NULL AS DOUBLE) AS price, true AS deleted
+        |        FROM log1 WHERE id IN (1, 2) GROUP BY id),
+        |loga AS (SELECT * FROM log1 UNION ALL SELECT * FROM del),
+        |updb AS (SELECT id, max(rev) + 1 AS rev, id * 2000.0 AS price, false AS deleted
+        |         FROM loga WHERE id IN (3, 4) GROUP BY id),
+        |logb1 AS (SELECT * FROM loga UNION ALL SELECT * FROM updb),
+        |delb AS (SELECT id, max(rev) + 1 AS rev, CAST(NULL AS DOUBLE) AS price, true AS deleted
+        |         FROM logb1 WHERE id = 7 GROUP BY id),
+        |logb AS (SELECT * FROM logb1 UNION ALL SELECT * FROM delb),
+        |latest_a AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn
+        |    FROM loga) WHERE rn = 1),
+        |latest_b AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn
+        |    FROM logb) WHERE rn = 1),
+        |leaves_a AS (
+        |  SELECT id::VARCHAR AS entity,
+        |         md5(concat_ws('|', id::VARCHAR, rev::VARCHAR, deleted::VARCHAR,
+        |             coalesce(CAST(round(price * 100) AS BIGINT)::VARCHAR, ''))) AS sha_a,
+        |         ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 32 AS slot
+        |  FROM latest_a),
+        |leaves_b AS (
+        |  SELECT id::VARCHAR AS entity,
+        |         md5(concat_ws('|', id::VARCHAR, rev::VARCHAR, deleted::VARCHAR,
+        |             coalesce(CAST(round(price * 100) AS BIGINT)::VARCHAR, ''))) AS sha_b,
+        |         ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 32 AS slot
+        |  FROM latest_b)
+        |SELECT coalesce(a.entity, b.entity) AS entity,
+        |       coalesce(a.slot, b.slot) AS slot, sha_a, sha_b
+        |FROM leaves_a a FULL JOIN leaves_b b
+        |  ON a.entity = b.entity AND a.slot = b.slot
+        |WHERE sha_a IS NULL OR sha_b IS NULL OR sha_a <> sha_b""".stripMargin,
 
     "q51_stage_routing" ->
       """SELECT event_id, user_id, event_type, value FROM events

@@ -103,6 +103,23 @@ object PropertyStore {
    */
   def merkleTree(log: DataFrame, idCol: String, revCol: String,
       deletedCol: String, payload: Seq[Column], slotCount: Int = 32): DataFrame = {
+    val slots = slotDigests(
+      leaves(log, idCol, revCol, deletedCol, payload, slotCount))
+    // root fan-in is ≤ slotCount rows — the collect-sort aggregate is fine
+    val root = slots
+      .groupBy().agg(
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("slot"), col("sha")))),
+          x => x.getField("sha")), "")).as("sha"),
+        count(lit(1)).as("n"))
+      .select(lit(-1L).as("slot"), col("sha"), col("n"))
+    slots.unionByName(root)
+  }
+
+  /** (entity, leaf_sha, slot) of a property log's live view — the tree's
+    * leaf level, shared by [[merkleTree]] and [[merkleDiff]]. */
+  private def leaves(log: DataFrame, idCol: String, revCol: String,
+      deletedCol: String, payload: Seq[Column], slotCount: Int): DataFrame = {
     val latest = graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
     val entity = col(idCol).cast("string")
     val leafSha = md5(concat_ws("|",
@@ -111,17 +128,83 @@ object PropertyStore {
         payload.map(p => coalesce(p, lit("")))): _*))
     val slot = (conv(substring(md5(entity), 1, 15), 16, 10).cast("long")
       % slotCount).as("slot")
-    val leaves = latest.select(entity.as("entity"), leafSha.as("leaf_sha"), slot)
-    def rollup(df: DataFrame, keyCols: Seq[Column], ordCol: String, shaCol: String) =
-      df.groupBy(keyCols: _*).agg(
-        md5(array_join(transform(
-          sort_array(collect_list(struct(col(ordCol), col(shaCol)))),
-          x => x.getField(shaCol)), "")).as("sha"),
-        count(lit(1)).as("n"))
-    val slots = rollup(leaves, Seq(col("slot")), "entity", "leaf_sha")
-    val root = rollup(slots.withColumnRenamed("sha", "slot_sha"),
-      Nil, "slot", "slot_sha")
-      .select(lit(-1L).as("slot"), col("sha"), col("n"))
-    slots.unionByName(root)
+    latest.select(entity.as("entity"), leafSha.as("leaf_sha"), slot)
+  }
+
+  /** Slot digests with BOUNDED memory: md5 over each slot's leaf digests
+    * in entity order, computed by STREAMING the sorted leaves through an
+    * incremental MessageDigest instead of collecting O(docs/slot) digests
+    * into one aggregation buffer (r5 verdict #6 — a million-document group
+    * put ~n/32 structs in a single buffer). Shuffle on slot + in-partition
+    * sort (entity), then one pass; memory per slot is one 16-byte digest
+    * state however many documents the slot holds. Digest value is
+    * BIT-IDENTICAL to md5(concat of sorted leaf digests) — the SQL an
+    * external oracle runs — because md5 over a concatenation IS the
+    * incremental update over its pieces. */
+  private def slotDigests(leafDf: DataFrame): DataFrame = {
+    val sess = leafDf.sparkSession
+    import sess.implicits._
+    leafDf.select(col("slot").cast("long"), col("entity"), col("leaf_sha"))
+      .as[(Long, String, String)]
+      .repartition(col("slot"))
+      .sortWithinPartitions(col("slot"), col("entity"))
+      .mapPartitions { it =>
+        new Iterator[(Long, String, Long)] {
+          private var nextRow: Option[(Long, String, String)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = nextRow.isDefined
+          def next(): (Long, String, Long) = {
+            val slot = nextRow.get._1
+            val md = java.security.MessageDigest.getInstance("MD5")
+            var n = 0L
+            while (nextRow.exists(_._1 == slot)) {
+              md.update(nextRow.get._3.getBytes("UTF-8"))
+              n += 1
+              nextRow = if (it.hasNext) Some(it.next()) else None
+            }
+            (slot, md.digest().map("%02x".format(_)).mkString, n)
+          }
+        }
+      }
+      .toDF("slot", "sha", "n")
+  }
+
+  /**
+   * Anti-entropy repair drill-down (docs/concept/property-repair.md
+   * "Repair" flow): compare two property logs' digest trees root → slot →
+   * leaf and return the entities whose live state differs — present on
+   * one side only, or present on both with different (rev, deleted,
+   * payload). This is the read-side composition the reference's gossip
+   * repair runs between two replicas before shipping differing documents;
+   * the transport is cluster infra, the comparison is this.
+   *
+   * Scale shape: slot digests for both sides first (bounded, streaming);
+   * the ≤ slotCount differing slots broadcast back as a semi-join filter,
+   * so the entity-level full-outer compare shuffles ONLY leaves of slots
+   * that actually diverged — two replicas differing in one document
+   * compare one slot's leaves, not the store. Agreeing trees yield an
+   * empty differing-slot set and the leaf comparison prunes to nothing.
+   *
+   * @return (entity, slot, sha_a, sha_b) — null sha = absent on that side
+   */
+  def merkleDiff(logA: DataFrame, logB: DataFrame, idCol: String,
+      revCol: String, deletedCol: String, payload: Seq[Column],
+      slotCount: Int = 32): DataFrame = {
+    val la = leaves(logA, idCol, revCol, deletedCol, payload, slotCount)
+    val lb = leaves(logB, idCol, revCol, deletedCol, payload, slotCount)
+    val diffSlots = slotDigests(la).select(col("slot"), col("sha").as("__sa"))
+      .join(slotDigests(lb).select(col("slot"), col("sha").as("__sb")),
+        Seq("slot"), "full")
+      .filter(col("__sa").isNull || col("__sb").isNull ||
+        col("__sa") =!= col("__sb"))
+      .select("slot")
+    val a = la.join(broadcast(diffSlots), Seq("slot"))
+      .select(col("slot"), col("entity"), col("leaf_sha").as("sha_a"))
+    val b = lb.join(broadcast(diffSlots), Seq("slot"))
+      .select(col("slot"), col("entity"), col("leaf_sha").as("sha_b"))
+    a.join(b, Seq("slot", "entity"), "full")
+      .filter(col("sha_a").isNull || col("sha_b").isNull ||
+        col("sha_a") =!= col("sha_b"))
+      .select(col("entity"), col("slot"), col("sha_a"), col("sha_b"))
   }
 }

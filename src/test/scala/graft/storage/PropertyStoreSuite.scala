@@ -87,4 +87,57 @@ class PropertyStoreSuite extends SparkSpec {
     val deleted = PropertyStore.delete(base, Seq("7"), "id", "rev", "deleted")
     assert(tree(base)(-1L)._1 != tree(deleted)(-1L)._1)
   }
+
+  test("slot digests are partition-invariant and survive a forced tiny slotCount") {
+    // the streaming slot rollup (bounded memory, r5 verdict #6) must give
+    // the same digest whatever the input partitioning, and must equal a
+    // driver-side md5 over the concatenated sorted leaf digests — the
+    // definition an external SQL oracle recomputes. slotCount=2 over many
+    // docs forces thousands of leaves through each slot's single digest
+    // stream (the shape that used to collect one O(n/2) buffer).
+    val many = (1 to 5000).map(i => (i.toString, 1L, i * 3, false))
+      .toDF("id", "rev", "v", "deleted")
+    def tree(df: org.apache.spark.sql.DataFrame) =
+      PropertyStore.merkleTree(df, "id", "rev", "deleted",
+        payload = Seq(col("v").cast("string")), slotCount = 2)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val t1 = tree(many)
+    val t8 = tree(many.repartition(8, col("v")))
+    val t1p = tree(many.coalesce(1))
+    assert(t1 == t8 && t1 == t1p)
+    assert(t1(0L)._2 + t1(1L)._2 == 5000L)
+
+    // driver-side recomputation of slot 0's digest from raw leaves
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val leaves = (1 to 5000).map { i =>
+      val entity = i.toString
+      val slot = java.lang.Long.parseLong(md5hex(entity).take(15), 16) % 2
+      (slot, entity, md5hex(s"$entity|1|false|${i * 3}"))
+    }
+    val want0 = md5hex(leaves.filter(_._1 == 0L).sortBy(_._2)
+      .map(_._3).mkString(""))
+    assert(t1(0L)._1 == want0)
+  }
+
+  test("merkleDiff drills to exactly the diverged entities") {
+    val base = (1 to 40).map(i => (i.toString, 1L, i * 10, false))
+      .toDF("id", "rev", "v", "deleted")
+    // replica B: entity 7 re-upserted, entity 13 tombstoned, entity 41 new
+    val b = PropertyStore.delete(
+      PropertyStore.apply(base,
+        Seq(("7", 999), ("41", 410)).toDF("id", "v"), "id", "rev", "deleted"),
+      Seq("13"), "id", "rev", "deleted")
+    val diff = PropertyStore.merkleDiff(base, b, "id", "rev", "deleted",
+      payload = Seq(col("v").cast("string")), slotCount = 8)
+      .collect().map(r => r.getString(0) -> (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(diff.keySet == Set("7", "13", "41"), diff.keySet)
+    // 7 and 13 differ on both sides; 41 exists only on B
+    assert(diff("7")._1.isDefined && diff("7")._2.isDefined && diff("7")._1 != diff("7")._2)
+    assert(diff("13")._1.isDefined && diff("13")._2.isDefined)
+    assert(diff("41")._1.isEmpty && diff("41")._2.isDefined)
+    // identical replicas → empty diff (root agreement prunes everything)
+    assert(PropertyStore.merkleDiff(base, base, "id", "rev", "deleted",
+      payload = Seq(col("v").cast("string")), slotCount = 8).isEmpty)
+  }
 }
