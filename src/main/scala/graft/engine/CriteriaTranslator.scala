@@ -146,6 +146,32 @@ object CriteriaTranslator {
     case _ => ()
   }
 
+  /** IndexRuleBinding effective window (database/v1/schema.proto:203-214):
+    * the reference's metadata client skips bindings with begin_at after
+    * now or expire_at before now when resolving a subject's index rules
+    * (banyand/metadata/client.go:438-445) — a MATCH whose binding is not
+    * yet in effect or has expired therefore finds no analyzer rule, the
+    * same failure as an unindexed tag. Window inclusive on both ends,
+    * mirroring the client's skip conditions. */
+  def validateBindingWindows(c: Criteria,
+      windows: Map[String, (java.time.Instant, java.time.Instant)],
+      now: java.time.Instant): Unit = c match {
+    case And(l, r) =>
+      validateBindingWindows(l, windows, now)
+      validateBindingWindows(r, windows, now)
+    case Or(l, r) =>
+      validateBindingWindows(l, windows, now)
+      validateBindingWindows(r, windows, now)
+    case Cond(tag, _: Op.Match, _) =>
+      windows.get(tag).foreach { case (begin, expire) =>
+        if (now.isBefore(begin) || now.isAfter(expire))
+          throw new IllegalArgumentException(
+            s"index rule binding for tag '$tag' is not in effect " +
+              s"(valid [$begin, $expire], now $now): MATCH is not supported")
+      }
+    case _ => ()
+  }
+
   def validateEntityOps(c: Criteria, entityTags: Set[String]): Unit = c match {
     case And(l, r) => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)
     case Or(l, r)  => validateEntityOps(l, entityTags); validateEntityOps(r, entityTags)

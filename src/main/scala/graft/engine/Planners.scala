@@ -61,6 +61,9 @@ object Planners {
         CriteriaTranslator.validateEntityOps(cr, tdef.entity.toSet)
         CriteriaTranslator.validateArrayOps(cr, tdef.arrayTags)
         tdef.matchableTags.foreach(CriteriaTranslator.validateMatchable(cr, _))
+        if (tdef.matchableWindows.nonEmpty)
+          CriteriaTranslator.validateBindingWindows(cr, tdef.matchableWindows,
+            java.time.Instant.now())
         df.filter(CriteriaTranslator.toColumn(cr, df.columns.toSet))
       case None => df
     }

@@ -38,6 +38,15 @@ final case class TableDef(
       * behavior for tags whose index rule has no analyzer (stream golden
       * case gen_err_match_trace_id, WantErr). */
     matchableTags: Option[Set[String]] = None,
+    /** IndexRuleBinding effective window per analyzer-indexed tag
+      * (database/v1/schema.proto:203-214 begin_at/expire_at): the
+      * reference resolves index rules through bindings filtered by
+      * wall-clock now — a binding with begin_at > now or expire_at < now
+      * contributes no rules (banyand/metadata/client.go:438-445), so a
+      * MATCH outside the window rejects exactly like an unindexed tag.
+      * Window is inclusive on both ends, mirroring the client's
+      * After/Before skip conditions. No entry = always in effect. */
+    matchableWindows: Map[String, (java.time.Instant, java.time.Instant)] = Map.empty,
     /** resource creation time: a query's time-range begin is clamped
       * forward to this (banyand/liaison/grpc/schema_revision.go:32-49
       * clampTimeRangeBegin) so pre-creation timestamps are never served. */

@@ -472,6 +472,41 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
       mirrorSw(col("event_type") === "click", tsOrd, Seq("event_id", "event_type")))
   }
 
+  test("IndexRuleBinding effective window gates MATCH (schema.proto:203-214, WantErr)") {
+    // the reference's metadata client filters bindings by wall-clock now
+    // (banyand/metadata/client.go:438-445): an expired or not-yet-begun
+    // binding contributes no index rules, so MATCH fails like an
+    // unindexed tag; inside the window the same query plans normally
+    val now = java.time.Instant.now()
+    def res(begin: java.time.Instant, expire: java.time.Instant) =
+      Map("sw" -> BydbQL.Resource(swStream,
+        swDef.copy(matchableTags = Some(Set("event_type")),
+          matchableWindows = Map("event_type" -> (begin, expire))),
+        elementIdCol = Some("element_id")))
+    val q = """SELECT event_id, event_type FROM STREAM sw IN default
+              |TIME > '-30d' WHERE event_type MATCH ('click')""".stripMargin
+
+    // live binding: [now-1h, now+1h] — query passes
+    assert(runSw(q, res(now.minusSeconds(3600), now.plusSeconds(3600))) ==
+      mirrorSw(col("event_type") === "click", tsOrd, Seq("event_id", "event_type")))
+    // expired binding: expire_at < now
+    val e1 = intercept[IllegalArgumentException] {
+      runSw(q, res(now.minusSeconds(7200), now.minusSeconds(3600)))
+    }
+    assert(e1.getMessage.contains("not in effect"))
+    // future binding: begin_at > now
+    val e2 = intercept[IllegalArgumentException] {
+      runSw(q, res(now.plusSeconds(3600), now.plusSeconds(7200)))
+    }
+    assert(e2.getMessage.contains("not in effect"))
+    // the window gates only MATCH — a plain EQ on the same tag still runs
+    assert(runSw(
+      """SELECT event_id, event_type FROM STREAM sw IN default
+        |TIME > '-30d' WHERE event_type = 'click'""".stripMargin,
+      res(now.minusSeconds(7200), now.minusSeconds(3600))) ==
+      mirrorSw(col("event_type") === "click", tsOrd, Seq("event_id", "event_type")))
+  }
+
   test("gen_leaf_match_db.instance.ql: MATCH on a DOTTED tag name") {
     val dotted = swStream.withColumn("db.instance",
       when(col("event_type") === "click", lit("mysql-primary"))
