@@ -443,6 +443,24 @@ class GoldenCasesSpec extends SparkSpec {
     assert(!out.select("event_type").collect().map(_.getString(0)).contains("view"))
   }
 
+  test("err_invalid_le.yaml: operand-less logical expression rejected (WantErr)") {
+    // the reference case is a criteria root that is a logical node with
+    // op AND and NO operands (measure.go:76, WantErr "invalid logical
+    // expression"). The typed Criteria ADT makes that shape
+    // unrepresentable (And requires both children), and the QL surface
+    // rejects the textual equivalent — a dangling AND — at parse time.
+    val e = intercept[Exception] {
+      Parser.parse(
+        "SELECT event_id FROM MEASURE events IN testdata TIME > '-15m' WHERE event_type = 'click' AND")
+    }
+    assert(e.getMessage != null)
+    // AND with only whitespace after it inside parens fails the same way
+    intercept[Exception] {
+      Parser.parse(
+        "SELECT event_id FROM MEASURE events IN testdata TIME > '-15m' WHERE (AND)")
+    }
+  }
+
   test("stream gen_err_ge_state.ql: range op on a stream ENTITY tag is an error") {
     // `state` is part of the sw stream's entity (streams/duplicated.json:44-47);
     // stream.go:113-117 registers ge/gt/le/lt/ne on it as WantErr — the F6

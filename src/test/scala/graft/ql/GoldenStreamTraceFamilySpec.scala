@@ -575,6 +575,45 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
       src = swStream.unionByName(updated)))
   }
 
+  test("binary-tag cases: BinaryType data_binary projects, orders, and widens in union") {
+    // the sw stream's data_binary is a BINARY tag (streams/sw.json); the
+    // gen matrices project it in every proj_all case. Here it is an actual
+    // BinaryType column, not a string stand-in: bytes must round-trip
+    // through scan → time window → order → limit → projection untouched
+    val binA = swStream.withColumn("data_binary", encode(col("event_type"), "UTF-8"))
+    val rA = Map("sw" -> BydbQL.Resource(binA, swDef, elementIdCol = Some("element_id")))
+    val got = BydbQL.run(
+      """SELECT event_id, data_binary FROM STREAM sw IN default
+        |TIME > '-30d' LIMIT 5""".stripMargin, rA, Nil, now).collect()
+    val want = binA.filter(inWin).orderBy(tsOrd: _*).limit(5)
+      .select("event_id", "data_binary").collect()
+    def render(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1), "UTF-8"))).toSeq
+    assert(render(got) == render(want) && got.length == 5)
+
+    // multi-group union where the OTHER group declares data_binary as a
+    // string: conflicting tag types widen to string (T6, multi_group_tag_type
+    // rule) — the binary side decodes rather than failing the merge
+    val binB = swStream
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("element_id", col("event_id").cast("string"))
+      .withColumn("data_binary", col("event_type"))
+    val r2 = Map(
+      "default/sw" -> BydbQL.Resource(binA, swDef, elementIdCol = Some("element_id")),
+      "updated/sw" -> BydbQL.Resource(binB, swDef, elementIdCol = Some("element_id")))
+    val u = BydbQL.run(
+      """SELECT event_id, data_binary FROM STREAM sw IN default, updated
+        |TIME > '-30d' LIMIT 4294967295""".stripMargin, r2, Nil, now)
+    assert(u.schema("data_binary").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val inWindow = binA.filter(inWin).count()
+    assert(u.count() == 2 * inWindow)
+    // widened values are the decoded text on both sides
+    assert(u.select("data_binary").distinct().collect().map(_.getString(0)).toSet
+      == swStream.filter(inWin).select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet)
+  }
+
   test("stream project_non_existent_tag.ql: unknown projected tag errors (WantErr)") {
     val e = intercept[IllegalArgumentException] {
       runSw(
