@@ -66,7 +66,14 @@ object Bench {
     // Untimed setup: one-time materializations (the storage layout, the
     // streaming topN snapshot) whose READ paths q41/q44 then measure.
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for isolating one query's
+    // time without the rest of the surface (diagnostics only; the driver
+    // never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f.contains(k) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Evaluate the query's OWN output columns (toRdd executes the plan
       // as declared). A count() here would let Catalyst prune every

@@ -252,10 +252,32 @@ object Dedup {
    * test is a short-circuiting scan of the already-cached blocks — not a
    * separate shuffle join + action per round (r5 verdict #5; at 20 rounds
    * that is 20 fewer shuffled-join job launches).
+   *
+   * SMALL-GRAPH FAST PATH: a near-dup pair list is usually dimension-table
+   * sized even when the corpus is not (pairs ∝ actual duplication, not
+   * corpus rows) — and the iterative path's cost there is pure per-round
+   * fixed overhead (a barrier job + two shuffles per round over a few
+   * thousand edges; measured 8-59 s at sf0.1 where the data itself is
+   * milliseconds of work, with the 20+ rapid driver round-trips degrading
+   * NEIGHBORING queries in the same session via cleaner/GC churn). Edge
+   * lists at or below `spark.graft.dedup.clusters.driverMaxEdges`
+   * (default 2^20) collect to the driver — the same dimension-table-sized
+   * plan-time collect the IVF centroid resolution performs — and run
+   * union-find with path compression directly; larger graphs take the
+   * distributed rounds. Both paths produce identical labels (tested).
    */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = barrier(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val spark = pairs.sparkSession
+    val driverMax = spark.conf
+      .get("spark.graft.dedup.clusters.driverMaxEdges", (1 << 20).toString).toLong
+    // materialize the pair list ONCE — the size probe, the driver collect,
+    // and every distributed round read these blocks instead of re-running
+    // the (expensive) pair-generation plan
+    val mat = barrier(pairs.select(col("id_a"), col("id_b")))
+    if (driverMax > 0 && mat.limit((driverMax + 1).toInt).count() <= driverMax)
+      return dedupClustersDriver(mat)
+    val edges = mat.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(mat.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var iter = 0
@@ -286,5 +308,66 @@ object Dedup {
       s"dedupClusters did not converge in $maxIters rounds — component " +
         "diameter exceeds 2^rounds; raise maxIters")
     labels
+  }
+
+  /** Driver-side union-find for dimension-table-sized pair lists: one
+    * collect, path-compressed find, min-member labels, one parallelize
+    * back out. Exact same (id, cluster_id) contract as the distributed
+    * rounds; preserves the id column's type. */
+  private def dedupClustersDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val es = pairs.select(col("id_a"), col("id_b")).collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    // min member id per component — string order is unsigned UTF-8 byte
+    // order, matching Catalyst's binary min() on the distributed path
+    val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => Integer.compare(x, y)
+        case (x: Short, y: Short) => java.lang.Short.compare(x, y)
+        case (x: Byte, y: Byte) => java.lang.Byte.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+        case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+        case (x: String, y: String) =>
+          val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+          var i = 0
+          while (i < xb.length && i < yb.length) {
+            val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          xb.length - yb.length
+        case _ => throw new IllegalArgumentException(
+          s"dedupClusters: unsupported id type $idType for the driver path")
+      }
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { id =>
+      val r = find(id)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || ord.lt(id, cur.get)) minOf(r) = id
+    }
+    val rows = parent.keys.toSeq.map(id =>
+      org.apache.spark.sql.Row(id, minOf(find(id))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 }

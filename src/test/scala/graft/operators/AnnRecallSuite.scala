@@ -62,7 +62,7 @@ class AnnRecallSuite extends SparkSpec {
 
   test("q69 shape: trained-IVF recall report per query, floor holds") {
     val q10 = emb.filter(col("vec_id") < 10)
-    val cents = Similarity.trainIvfCentroids(emb, nlist, iters = 5)
+    val cents = Similarity.trainIvfCentroids(emb, nlist, iters = 3)
     val report = Similarity.recallAtK(
       Similarity.ivfTopKWith(emb, q10, k = 5, cents, nprobe = 2),
       Similarity.bruteForceTopK(emb, q10, k = 5))

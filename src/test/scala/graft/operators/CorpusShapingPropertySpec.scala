@@ -115,4 +115,30 @@ class CorpusShapingPropertySpec extends SparkSpec {
       got == model
     }, n = 15)
   }
+
+  test("dedupClusters: distributed rounds match brute-force union-find too") {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    spark.conf.set("spark.graft.dedup.clusters.driverMaxEdges", "0")
+    try check(Prop.forAll(Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, edgeGen))) { edges =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val members = nodes.groupBy(find)
+      val model = members.values.flatMap(ms => ms.map(_ -> ms.min)).toMap
+      val got = Dedup.dedupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == model
+    }, n = 6)
+    finally spark.conf.unset("spark.graft.dedup.clusters.driverMaxEdges")
+  }
 }
