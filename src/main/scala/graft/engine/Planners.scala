@@ -47,7 +47,16 @@ object Planners {
         // scan as a pushed int64 filter.
         df.schema(name).dataType match {
           case org.apache.spark.sql.types.LongType =>
-            def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L + i.getNano
+            // SATURATING ns conversion: the stored timestamp is int64 nanos
+            // (the reference's representable span, ~1677..2262); an Instant
+            // outside it must clamp to ±Long.MaxValue, not overflow and
+            // flip sign — the stream golden "invalid time range" case spans
+            // [minInt64 ns, maxInt64 ns] and must return everything.
+            def ns(i: java.time.Instant): Long =
+              try Math.addExact(
+                Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
+              catch { case _: ArithmeticException =>
+                if (i.getEpochSecond < 0) Long.MinValue else Long.MaxValue }
             df.filter(ts >= lit(ns(b)) && ts < lit(ns(e)))
           case _ =>
             df.filter(ts >= lit(java.sql.Timestamp.from(b)) && ts < lit(java.sql.Timestamp.from(e)))

@@ -95,7 +95,12 @@ object Layout {
   /** Epoch-day segment bucket for a concrete instant. */
   def segFor(spec: LayoutSpec, t: java.time.Instant): Int = {
     val days = Math.floorDiv(t.getEpochSecond, 86400L)
-    (days - Math.floorMod(days, spec.segmentDays.toLong)).toInt
+    val aligned = days - Math.floorMod(days, spec.segmentDays.toLong)
+    // saturate: an extreme query bound (Instant.MAX/MIN) must clamp to the
+    // widest segment filter, not wrap Int and silently exclude segments
+    if (aligned > Int.MaxValue) Int.MaxValue
+    else if (aligned < Int.MinValue) Int.MinValue
+    else aligned.toInt
   }
 
   /** Batch append (S7 write path): route every row to its (seg, shard)
@@ -208,7 +213,13 @@ object Layout {
       df = df.filter(col(SegCol) >= lit(segFor(spec, b)) &&
         col(SegCol) <= lit(segFor(spec, e)))
       df = if (spec.tsIsNanos) {
-        def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L + i.getNano
+        // saturating, like Planners: instants outside the int64-ns span
+        // clamp instead of overflowing into a sign flip
+        def ns(i: java.time.Instant): Long =
+          try Math.addExact(
+            Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
+          catch { case _: ArithmeticException =>
+            if (i.getEpochSecond < 0) Long.MinValue else Long.MaxValue }
         df.filter(col(spec.tsCol) >= lit(ns(b)) && col(spec.tsCol) < lit(ns(e)))
       } else df.filter(col(spec.tsCol) >= lit(java.sql.Timestamp.from(b)) &&
         col(spec.tsCol) < lit(java.sql.Timestamp.from(e)))

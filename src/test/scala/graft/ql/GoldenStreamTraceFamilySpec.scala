@@ -63,6 +63,42 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
     Seq(if (desc) col("value").desc else col("value").asc,
       col("ts_ns").asc, col("user_id").asc)
 
+  test("stream 'nothing' / 'excludes data expired beyond TTL' (WantEmpty window variants)") {
+    // stream.go registers `all` under extra windows: [epoch, epoch+1ms)
+    // ("nothing") and a window entirely before the data's TTL horizon
+    // ("excludes data expired beyond TTL", Offset -156h) — both WantEmpty
+    import graft.engine.Planners
+    import graft.model.{StreamQuery, TimeRange}
+    val df = swStream
+    def run(tr: TimeRange) = Planners.stream(df, swDef,
+      StreamQuery(groups = Seq("default"), name = "sw",
+        timeRange = Some(tr), projection = Seq("event_id")), "element_id")
+    assert(run(TimeRange(Instant.EPOCH, Instant.ofEpochMilli(1L))).isEmpty)
+    // a 24h window wholly before the dataset's oldest row (the reference
+    // offsets -156h against hour-old data; our events start 2024-01-01)
+    assert(run(TimeRange(Instant.parse("2023-12-01T00:00:00Z"),
+      Instant.parse("2023-12-02T00:00:00Z"))).isEmpty)
+  }
+
+  test("stream 'invalid time range': int64-ns-span bounds return everything (no overflow)") {
+    // stream.go's "invalid time range" runs `all` with Begin/End at the
+    // extremes of the int64-nanosecond span and still WANTS the full
+    // result — the conversion must saturate, not wrap. Instants BEYOND
+    // the representable span (Instant.MIN/MAX) must also clamp.
+    import graft.engine.Planners
+    import graft.model.{StreamQuery, TimeRange}
+    def run(tr: TimeRange) = Planners.stream(swStream, swDef,
+      StreamQuery(groups = Seq("default"), name = "sw",
+        timeRange = Some(tr), projection = Seq("event_id"),
+        limit = Int.MaxValue), "element_id")
+    val all = swStream.count()
+    val int64Span = TimeRange(
+      Instant.ofEpochSecond(-9223372036L), Instant.ofEpochSecond(9223372036L))
+    assert(run(int64Span).count() == all)
+    assert(run(TimeRange(Instant.MIN, Instant.MAX)).count() == all,
+      "Instant.MIN/MAX must saturate to the widest int64-ns window")
+  }
+
   test("filter_tag.ql: tag EQ AND entity EQ") {
     assert(runSw(
       """SELECT event_id, value FROM STREAM sw IN default TIME > '-30d'
