@@ -45,6 +45,16 @@ final case class CatalogEntry(
       * (database/v1/schema.proto:180-189): it must survive save/open, or a
       * reopened resource would stop materializing its MATCH token columns. */
     analyzerColumns: Map[String, String] = Map.empty,
+    /** tags carrying an analyzer index rule (schema.proto:180-189); a
+      * MATCH on any other tag rejects. None/absent = undeclared
+      * (permissive) — matching TableDef.matchableTags, and like it this
+      * must survive save/open or a reopened resource would silently stop
+      * validating MATCH targets. */
+    matchableTags: Option[Seq[String]] = None,
+    /** IndexRuleBinding effective windows (schema.proto:203-214): tag →
+      * [begin_at_ms, expire_at_ms], enforced at plan time like
+      * TableDef.matchableWindows. Epoch millis for JSON portability. */
+    matchableWindowsMs: Map[String, Seq[Long]] = Map.empty,
     /** resource creation time (epoch millis); query begin times clamp
       * forward to it (schema_revision.go:32-49 clampTimeRangeBegin). */
     createdAtMs: Option[Long] = None,
@@ -69,6 +79,14 @@ final case class CatalogEntry(
   def tdef: graft.sources.TableDef = graft.sources.TableDef(name,
     entity = entity, tsCol = Some(tsCol), versionCol = versionCol,
     arrayTags = arrayTags.toSet,
+    // Option(...) guards: a catalog persisted BEFORE these fields existed
+    // deserializes them as null (the JSON column is absent), and must read
+    // as "undeclared", not NPE
+    matchableTags = Option(matchableTags).flatten.map(_.toSet),
+    matchableWindows = Option(matchableWindowsMs).getOrElse(Map.empty).collect {
+      case (tag, Seq(b, e)) => tag -> (java.time.Instant.ofEpochMilli(b),
+        java.time.Instant.ofEpochMilli(e))
+    },
     createdAt = createdAtMs.map(java.time.Instant.ofEpochMilli))
 }
 

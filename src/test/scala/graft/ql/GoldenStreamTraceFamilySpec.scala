@@ -765,6 +765,16 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
       mirrorTraceProj(lit(true), "ts_ns", desc = true, Seq("trace_id")))
   }
 
+  test("trace 'excludes data expired beyond TTL': pre-data window is empty (WantEmpty)") {
+    // trace.go registers `all` under a window wholly before the data's
+    // TTL horizon (Offset -156h, Duration 24h) — the span-grouping read
+    // must return zero traces, not zero-span groups
+    assert(runTrace(
+      """SELECT () FROM TRACE sw IN test-trace-group
+        |TIME BETWEEN '2023-12-01T00:00:00Z' AND '2023-12-02T00:00:00Z'""".stripMargin)
+      .isEmpty)
+  }
+
   test("in_empty_span_ids.ql: IN () matches nothing (WantEmpty)") {
     assert(runTrace(
       """SELECT trace_id FROM TRACE sw IN test-trace-group TIME > '-30d'

@@ -96,6 +96,8 @@ class CatalogStoreSuite extends SparkSpec {
       propertyDeletedCol = Some("deleted"),
       stageRoots = Map("hot" -> "/tiers/hot", "cold" -> "/tiers/cold"),
       analyzerColumns = Map("event_type" -> "standard", "props" -> "url"),
+      matchableTags = Some(Seq("event_type")),
+      matchableWindowsMs = Map("event_type" -> Seq(1704067200000L, 4102444800000L)),
       createdAtMs = Some(1704067200000L))
     CatalogStore.save(spark, root, full)
     val back = CatalogStore.entries(spark, root)
@@ -106,6 +108,12 @@ class CatalogStoreSuite extends SparkSpec {
     assert(back.head.spec.analyzerColumns == full.analyzerColumns)
     assert(back.head.tdef.createdAt.contains(
       java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    // MATCH validation schema survives save/open: a reopened resource
+    // still knows its analyzer-indexed tags and binding windows
+    assert(back.head.tdef.matchableTags.contains(Set("event_type")))
+    assert(back.head.tdef.matchableWindows == Map("event_type" ->
+      (java.time.Instant.parse("2024-01-01T00:00:00Z"),
+        java.time.Instant.parse("2100-01-01T00:00:00Z"))))
   }
 
   test("multi-root open merges namespaces; entries is ONE job per root") {
@@ -189,6 +197,12 @@ class CatalogStoreSuite extends SparkSpec {
       json.getBytes("UTF-8"))
     val back = CatalogStore.get(spark, root, "testdata", "events")
     assert(back.isDefined && back.get.revision == 1L)
+    // fields added after this catalog was written (matchableTags,
+    // matchableWindowsMs) deserialize as absent/undeclared, and the
+    // TableDef/LayoutSpec projections must not NPE on them
+    assert(back.get.tdef.matchableTags.isEmpty)
+    assert(back.get.tdef.matchableWindows.isEmpty)
+    assert(back.get.spec.group == "testdata")
     assert(CatalogStore.entries(spark, root).map(_.name) == Seq("events"))
     // and an update on it starts the revision lineage at 2
     assert(CatalogStore.update(spark, root,
