@@ -141,7 +141,8 @@ object Stages {
    */
   def migrate(spark: SparkSession, spec: LayoutSpec, sr: StageRoots,
       from: String, to: String, olderThan: java.time.Instant,
-      onPhase: String => Unit = _ => ()): Seq[Int] = {
+      onPhase: String => Unit = _ => (),
+      reportDir: Option[String] = None): Seq[Int] = {
     val horizon = Layout.segFor(spec, olderThan)
     val srcTable = new Path(Layout.path(sr.root(from), spec))
     val f = fs(spark, srcTable)
@@ -156,6 +157,7 @@ object Stages {
       readMarker(spark, sr.root(to), spec) match {
         case Some(m) if m.state == "committed" && m.from == from =>
           clearMarker(spark, sr.root(to), spec)
+          writeMigrationReport(spark, spec, sr, from, to, horizon, m.segs, reportDir)
           return m.segs
         case _ => return Nil
       }
@@ -177,7 +179,42 @@ object Stages {
     onPhase("committed")
     Layout.enforceTtl(spark, sr.root(from), spec, olderThan)
     clearMarker(spark, sr.root(to), spec)
+    writeMigrationReport(spark, spec, sr, from, to, horizon, segs, reportDir)
     segs
+  }
+
+  /** Migration run report (test/cases/lifecycle/lifecycle.go:445-626
+    * verifyMigrationReport/verifyAllRatesAt100): a completed migration
+    * documents itself as JSON — per-resource summary with
+    * total/completed/errors/completion_rate (0 when total=0, else 100 on
+    * the all-or-nothing Spark job), an errors list (always empty here: a
+    * failed write throws and the fencing marker keeps the target
+    * invisible — there is no partially-completed success to report), and
+    * snapshot_info. `rows_moved` is counted from the TARGET after commit,
+    * so the report can never disagree with what readers see. */
+  private def writeMigrationReport(spark: SparkSession, spec: LayoutSpec,
+      sr: StageRoots, from: String, to: String, horizon: Int,
+      segs: Seq[Int], reportDir: Option[String]): Unit = reportDir.foreach { rd =>
+    val rows =
+      if (segs.isEmpty) 0L
+      else Layout.read(spark, sr.root(to), spec)
+        .filter(col(Layout.SegCol).isin(segs: _*)).count()
+    val rate = if (segs.isEmpty) 0.0 else 100.0
+    val body =
+      s"""{"report_version":"1.0",
+         |"summary":{"${spec.group}":{"${spec.name}":{
+         |  "total":${segs.length},"completed":${segs.length},"errors":0,
+         |  "completion_rate":$rate,"rows_moved":$rows}}},
+         |"errors":[],
+         |"snapshot_info":{"from_stage":"$from","to_stage":"$to",
+         |  "horizon_seg":$horizon,"marker":"cleared",
+         |  "completed_at_ms":${System.currentTimeMillis()}}}""".stripMargin
+    val p = new Path(
+      s"$rd/migration-${spec.group}__${spec.name}-h$horizon.json")
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   /**

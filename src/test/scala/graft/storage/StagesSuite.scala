@@ -154,10 +154,29 @@ class StagesSuite extends SparkSpec {
     // seed warm with an empty layout dir so Stages.read can union schemas
     Stages.appendTo(events.limit(0), "warm", sr, spec, mode = "overwrite")
     val total = events.count()
+    val reportDir = tmp("report")
 
-    val moved = Stages.migrate(spark, spec, sr, "hot", "warm", cut)
+    val moved = Stages.migrate(spark, spec, sr, "hot", "warm", cut,
+      reportDir = Some(reportDir))
     assert(moved.nonEmpty)
     assert(moved.forall(_ < Layout.segFor(spec, cut)))
+
+    // the run documents itself (lifecycle.go verifyMigrationReport shape):
+    // report_version + summary rates at 100 + empty errors + snapshot_info,
+    // rows_moved counted from the committed TARGET
+    val rf = new java.io.File(reportDir).listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(rf.length == 1, rf.mkString(","))
+    val report = new String(java.nio.file.Files.readAllBytes(rf.head.toPath), "UTF-8")
+    assert(report.contains("\"report_version\":\"1.0\""))
+    assert(report.contains(s""""total":${moved.length},"completed":${moved.length},"errors":0"""))
+    assert(report.contains("\"completion_rate\":100.0"))
+    val expectRows = events
+      .filter(Layout.segExprFor(spec) < Layout.segFor(spec, cut)).count()
+    assert(report.contains(s""""rows_moved":$expectRows"""))
+    assert(report.contains("\"errors\":[]") &&
+      report.contains("\"from_stage\":\"hot\"") &&
+      report.contains("\"marker\":\"cleared\""))
 
     val hotLeft = Stages.read(spark, spec, sr, Seq("hot"))
     val warmNow = Stages.read(spark, spec, sr, Seq("warm"))
