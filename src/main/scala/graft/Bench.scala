@@ -81,7 +81,16 @@ object Bench {
       // the DuckDB oracle fetchall()s fully materialized rows.
       try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // UNTIMED inter-query isolation: drop storage blocks the finished
+      // query left behind (dedup barriers localCheckpoint intermediates;
+      // the ContextCleaner frees them only on a GC, and measured r6 the
+      // accreted blocks degraded the NEXT several queries 2-7×). Each
+      // query starts from the clean-session state it would have alone.
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
