@@ -68,7 +68,19 @@ final case class CatalogEntry(
     /** last accepted schema change (epoch millis). Equals [[createdAtMs]]
       * right after create — test/cases/schema/apply_rollback.go:121-122
       * asserts exactly that. */
-    updatedAtMs: Option[Long] = None) {
+    updatedAtMs: Option[Long] = None,
+    /** presentation layout: tag family name → tags in declaration order
+      * (database/v1/schema.proto TagFamilySpec). PURELY presentational in
+      * this engine — storage is flat columns — which is exactly why a
+      * tag may MOVE between families in an accepted update
+      * (test/cases/schema/tag_family_move.go: data written before the
+      * move stays queryable by the moved tag afterwards). Empty map =
+      * undeclared (single implicit family). */
+    tagFamilies: Map[String, Seq[String]] = Map.empty) {
+
+  /** Null-guarded family layout (catalogs persisted before the field
+    * existed deserialize it as null). */
+  def families: Map[String, Seq[String]] = Option(tagFamilies).getOrElse(Map.empty)
 
   /** Effective mod revision (pre-revision catalogs read as 1). */
   def revision: Long = modRevision.getOrElse(1L)
@@ -135,6 +147,21 @@ object CatalogStore {
     if (get(spark, root, e.group, e.name).isDefined)
       throw new IllegalArgumentException(
         s"resource ${e.group}/${e.name} already exists")
+    val created = e.createdAtMs.getOrElse(nowMs)
+    // Tombstone invariant (test/cases/schema/tombstone_gc.go Step 1.3):
+    // while a delete tombstone is retained, a recreate must stamp
+    // created_at AFTER the recorded delete_time. A normal recreate
+    // (created = now) always satisfies this — the server stamps now() >
+    // T_del — so only a BACKDATED createdAtMs at or before the tombstone
+    // rejects. Old data written before the delete then stays hidden by
+    // the Rule-7 CreatedAt clamp (shape_break.go:262-266).
+    val tomb = tombstoneInfo(spark, root, e.group, e.name)
+    tomb.foreach { case (tDel, _) =>
+      if (created <= tDel)
+        throw new IllegalArgumentException(
+          s"tombstone invariant: created_at ($created ms) must be after " +
+            s"delete_time ($tDel ms) of ${e.group}/${e.name}")
+    }
     val marker = new org.apache.hadoop.fs.Path(
       entryPath(root, e.group, e.name) + ".created")
     val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -142,8 +169,15 @@ object CatalogStore {
     if (!mfs.createNewFile(marker))
       throw new IllegalArgumentException(
         s"resource ${e.group}/${e.name} already exists")
-    val created = e.createdAtMs.getOrElse(nowMs)
-    val stamped = e.copy(modRevision = Some(1L),
+    // mod_revision stays MONOTONE across a delete+recreate while the
+    // tombstone is retained (the reference's revisions are etcd-global and
+    // never restart — shape_break.go's stale-write rejection after a
+    // recreate depends on R2 > R1): the tombstone records the deleted
+    // lineage's last revision and the recreate continues past it. After
+    // tombstone GC the lineage info is gone and the revision restarts at 1
+    // — by then no client can hold a pre-delete schema within retention.
+    val baseRev = tomb.fold(0L)(_._2)
+    val stamped = e.copy(modRevision = Some(baseRev + 1),
       createdAtMs = Some(created), updatedAtMs = Some(created))
     save(spark, root, stamped)
     stamped
@@ -181,13 +215,78 @@ object CatalogStore {
   /** Registry delete: drops the entry; returns whether anything existed
     * (DeleteMeasure returns deleted=true, apply_rollback.go:376-380). The
     * DATA under the layout root stays — schema deletion and segment TTL
-    * are separate lifecycles in the reference too. */
-  def delete(spark: SparkSession, root: String, group: String, name: String): Boolean = {
+    * are separate lifecycles in the reference too; a recreate hides the
+    * old rows through the Rule-7 CreatedAt clamp rather than a rewrite.
+    *
+    * A successful delete also stamps a TOMBSTONE recording delete_time
+    * (tombstone_gc.go; the schema server's
+    * `--schema-server-tombstone-retention` window): [[deleteTime]] reads
+    * it back, [[create]] enforces created_at > delete_time against it,
+    * and [[gcTombstones]] purges it after retention. */
+  def delete(spark: SparkSession, root: String, group: String, name: String,
+      nowMs: Long = System.currentTimeMillis()): Boolean = {
+    val lastRev = get(spark, root, group, name).map(_.revision)
     val p = new org.apache.hadoop.fs.Path(entryPath(root, group, name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // drop the create-lock marker too, so delete → create is re-creatable
     fs.delete(new org.apache.hadoop.fs.Path(p.toString + ".created"), false)
-    fs.delete(p, true)
+    val existed = fs.delete(p, true)
+    if (existed) {
+      val t = new org.apache.hadoop.fs.Path(tombstonePath(root, group, name))
+      fs.mkdirs(t.getParent)
+      val out = fs.create(t, true)
+      try out.write(s"$nowMs ${lastRev.getOrElse(0L)}".getBytes("UTF-8"))
+      finally out.close()
+    }
+    existed
+  }
+
+  private def tombstonePath(root: String, group: String, name: String): String =
+    s"$root/$CatalogDir/_tombstones/${group}__$name"
+
+  /** delete_time (epoch millis) of a retained tombstone, if one exists
+    * (DeleteResponse.delete_time; tombstone_gc.go asserts it > 0). */
+  def deleteTime(spark: SparkSession, root: String, group: String, name: String): Option[Long] =
+    tombstoneInfo(spark, root, group, name).map(_._1)
+
+  /** (delete_time_ms, last mod_revision of the deleted lineage). */
+  private def tombstoneInfo(spark: SparkSession, root: String, group: String,
+      name: String): Option[(Long, Long)] = {
+    val t = new org.apache.hadoop.fs.Path(tombstonePath(root, group, name))
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) None
+    else {
+      val in = fs.open(t)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        val parts = new String(buf, 0, math.max(n, 0), "UTF-8").trim.split(" ")
+        Some((parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L))
+      } finally in.close()
+    }
+  }
+
+  /** Tombstone GC (tombstone_gc.go:132 "physically removes tombstone
+    * after retention"): purge tombstones whose delete_time is older than
+    * `retentionMs`; a later recreate then runs with no tombstone
+    * constraint at all. Returns the (group, name) pairs purged. Driver
+    * FileSystem metadata only — the tombstone set is bounded by deleted
+    * resources, not data. */
+  def gcTombstones(spark: SparkSession, root: String, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[(String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$CatalogDir/_tombstones")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val parts = st.getPath.getName.split("__", 2)
+      if (parts.length != 2) None
+      else deleteTime(spark, root, parts(0), parts(1)) match {
+        case Some(tDel) if nowMs - tDel > retentionMs =>
+          fs.delete(st.getPath, false)
+          Some((parts(0), parts(1)))
+        case _ => None
+      }
+    }.sortBy(identity)
   }
 
   /** Ingest through the layout AND record the schema — the write path a
@@ -209,7 +308,11 @@ object CatalogStore {
     val dir = new Path(s"$root/$CatalogDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Nil
-    val dirs = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.toString)
+    // underscore-prefixed dirs are catalog INTERNALS (_tombstones), not
+    // resource entries
+    val dirs = fs.listStatus(dir)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
     if (dirs.isEmpty) return Nil
     spark.read
       .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)

@@ -219,10 +219,14 @@ class CatalogStoreSuite extends SparkSpec {
   test("delete removes the resource; recreate starts a fresh lineage (apply_rollback.go:358-380)") {
     val root = tmp("catalog")
     CatalogStore.create(spark, root, entry, nowMs = 1L)
-    assert(CatalogStore.delete(spark, root, "testdata", "events"))
+    assert(CatalogStore.delete(spark, root, "testdata", "events", nowMs = 1L))
     assert(CatalogStore.get(spark, root, "testdata", "events").isEmpty)
-    assert(!CatalogStore.delete(spark, root, "testdata", "events")) // already gone
+    assert(!CatalogStore.delete(spark, root, "testdata", "events", nowMs = 1L)) // already gone
     val again = CatalogStore.create(spark, root, entry, nowMs = 2L)
-    assert(again.revision == 1L)
+    // fresh lineage = fresh created_at; mod_revision CONTINUES past the
+    // tombstoned lineage (revisions are globally monotone in the
+    // reference — etcd — so a recreate never reuses an old revision)
+    assert(again.revision == 2L)
+    assert(again.createdAtMs.contains(2L))
   }
 }
