@@ -205,6 +205,22 @@ object SparkEntry {
     }
   }
 
+  /** Replica A2 for the repair plan (q71): replica A plus one A-side-only
+    * upsert (id 9), so the two-node sync has winners in BOTH directions —
+    * B's divergences (ids 3,4,7) are newer on B, id 9 is newer on A. */
+  private def ensurePropertyLogA2(s: SparkSession, d: String): String = {
+    val aRoot = ensurePropertyLog(s, d)
+    materialized("proploga2", d, s"${fileSig(d, "orders")}|divergeA2.v1") { dir =>
+      import graft.storage.PropertyStore
+      val path = s"$dir/log"
+      val logA = s.read.parquet(s"$aRoot/log")
+      val upd = logA.select("id").distinct().filter(col("id") === 9)
+        .withColumn("price", col("id") * 3000.0)
+      PropertyStore.apply(logA, upd, "id", "rev", "deleted")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** Offline IVF quantizer training, materialized once per embeddings
     * fingerprint — k-means is an OFFLINE job in any real deployment (the
     * index build), so q69 times the recall measurement over the trained
@@ -795,6 +811,19 @@ object SparkEntry {
       val a = s.read.parquet(s"${ensurePropertyLog(s, d)}/log")
       val b = s.read.parquet(s"${ensurePropertyLogB(s, d)}/log")
       graft.storage.PropertyStore.merkleDiff(a, b, "id", "rev", "deleted",
+        payload = Seq(round(col("price") * 100).cast("long").cast("string")),
+        slotCount = 32)
+    }),
+
+    // --- property repair ship plan (property-repair.md "Property
+    // Synchronize between Two Nodes" steps 7-8): which side's live
+    // document ships per diverged entity — last-write-wins by revision,
+    // ties to A. A2 adds an A-side-newer divergence (id 9) on top of B's
+    // (ids 3,4,7), so both directions appear
+    "q71_property_repair_plan" -> ((s, d) => {
+      val a2 = s.read.parquet(s"${ensurePropertyLogA2(s, d)}/log")
+      val b = s.read.parquet(s"${ensurePropertyLogB(s, d)}/log")
+      graft.storage.PropertyStore.repairPlan(a2, b, "id", "rev", "deleted",
         payload = Seq(round(col("price") * 100).cast("long").cast("string")),
         slotCount = 32)
     }),
@@ -1658,6 +1687,47 @@ object SparkEntry {
         |FROM leaves_a a FULL JOIN leaves_b b
         |  ON a.entity = b.entity AND a.slot = b.slot
         |WHERE sha_a IS NULL OR sha_b IS NULL OR sha_a <> sha_b""".stripMargin,
+
+    "q71_property_repair_plan" ->
+      """WITH log0 AS (
+        |  SELECT o_custkey AS id, o_orderkey AS rev, o_totalprice AS price, false AS deleted
+        |  FROM orders),
+        |maxr AS (SELECT id, max(rev) AS m FROM log0 GROUP BY id),
+        |upd AS (SELECT id, m + 1 AS rev, id * 1000.0 AS price, false AS deleted
+        |        FROM maxr WHERE id <= 5),
+        |log1 AS (SELECT * FROM log0 UNION ALL SELECT * FROM upd),
+        |del AS (SELECT id, max(rev) + 1 AS rev, CAST(NULL AS DOUBLE) AS price, true AS deleted
+        |        FROM log1 WHERE id IN (1, 2) GROUP BY id),
+        |loga AS (SELECT * FROM log1 UNION ALL SELECT * FROM del),
+        |upda2 AS (SELECT id, max(rev) + 1 AS rev, id * 3000.0 AS price, false AS deleted
+        |          FROM loga WHERE id = 9 GROUP BY id),
+        |loga2 AS (SELECT * FROM loga UNION ALL SELECT * FROM upda2),
+        |updb AS (SELECT id, max(rev) + 1 AS rev, id * 2000.0 AS price, false AS deleted
+        |         FROM loga WHERE id IN (3, 4) GROUP BY id),
+        |logb1 AS (SELECT * FROM loga UNION ALL SELECT * FROM updb),
+        |delb AS (SELECT id, max(rev) + 1 AS rev, CAST(NULL AS DOUBLE) AS price, true AS deleted
+        |         FROM logb1 WHERE id = 7 GROUP BY id),
+        |logb AS (SELECT * FROM logb1 UNION ALL SELECT * FROM delb),
+        |latest_a AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn
+        |    FROM loga2) WHERE rn = 1),
+        |latest_b AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn
+        |    FROM logb) WHERE rn = 1)
+        |SELECT coalesce(a.id, b.id)::VARCHAR AS entity,
+        |       CASE WHEN b.id IS NULL THEN 'a'
+        |            WHEN a.id IS NULL THEN 'b'
+        |            WHEN a.rev > b.rev THEN 'a'
+        |            WHEN b.rev > a.rev THEN 'b'
+        |            ELSE 'a' END AS winner,
+        |       a.rev::BIGINT AS rev_a, b.rev::BIGINT AS rev_b
+        |FROM latest_a a FULL JOIN latest_b b ON a.id = b.id
+        |WHERE a.id IS NULL OR b.id IS NULL
+        |   OR a.rev <> b.rev OR a.deleted <> b.deleted
+        |   OR coalesce(CAST(round(a.price * 100) AS BIGINT)::VARCHAR, '')
+        |      <> coalesce(CAST(round(b.price * 100) AS BIGINT)::VARCHAR, '')""".stripMargin,
 
     "q51_stage_routing" ->
       """SELECT event_id, user_id, event_type, value FROM events

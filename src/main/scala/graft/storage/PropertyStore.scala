@@ -207,4 +207,73 @@ object PropertyStore {
         col("sha_a") =!= col("sha_b"))
       .select(col("entity"), col("slot"), col("sha_a"), col("sha_b"))
   }
+
+  /**
+   * Two-replica repair plan (docs/concept/property-repair.md "Property
+   * Synchronize between Two Nodes", steps 7-8): for every entity
+   * [[merkleDiff]] finds diverged, decide which side's live document
+   * ships to the other —
+   *
+   *   - present on A only → A wins (A sends the full document to B)
+   *   - present on B only → B wins (A requests the document from B)
+   *   - both present, digests differ → "last-write-win" by version:
+   *     the higher revision wins; EQUAL versions resolve to A (the
+   *     smaller index in the node list, per the doc)
+   *
+   * @return (entity, winner 'a'|'b', rev_a, rev_b) — the ship list the
+   *         gossip transport would exchange
+   */
+  def repairPlan(logA: DataFrame, logB: DataFrame, idCol: String,
+      revCol: String, deletedCol: String, payload: Seq[Column],
+      slotCount: Int = 32): DataFrame = {
+    val diff = merkleDiff(logA, logB, idCol, revCol, deletedCol, payload,
+      slotCount)
+    def latestRevs(log: DataFrame, out: String): DataFrame =
+      graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
+        .select(col(idCol).cast("string").as("entity"),
+          col(revCol).cast("long").as(out))
+    // the diff set is bounded by actual divergence — broadcast it into
+    // both rev lookups so only diverged entities' revisions are fetched
+    diff.select("entity", "sha_a", "sha_b")
+      .join(latestRevs(logA, "rev_a"), Seq("entity"), "left")
+      .join(latestRevs(logB, "rev_b"), Seq("entity"), "left")
+      .withColumn("winner",
+        when(col("sha_b").isNull, lit("a"))
+          .when(col("sha_a").isNull, lit("b"))
+          .when(col("rev_a") > col("rev_b"), lit("a"))
+          .when(col("rev_b") > col("rev_a"), lit("b"))
+          .otherwise(lit("a")))
+      .select(col("entity"), col("winner"), col("rev_a"), col("rev_b"))
+  }
+
+  /**
+   * Apply a [[repairPlan]] to BOTH replicas: each losing entity's history
+   * is replaced by the winning side's live row, so afterwards the two
+   * logs' live views — and therefore their [[merkleTree]] digests — agree
+   * (property-repair.md step 9 "Update Local Data", both directions of
+   * one A↔B cycle).
+   *
+   * Scale shape: the plan is divergence-bounded and broadcasts into an
+   * anti-join (drop the loser's rows) plus a semi-join (lift the winner's
+   * rows); neither full log shuffles.
+   *
+   * @return (repaired A, repaired B)
+   */
+  def applyRepair(logA: DataFrame, logB: DataFrame, plan: DataFrame,
+      idCol: String, revCol: String): (DataFrame, DataFrame) = {
+    def latest(log: DataFrame): DataFrame =
+      graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
+    def shipInto(dst: DataFrame, src: DataFrame, wins: DataFrame): DataFrame = {
+      val keys = broadcast(wins.select(col("entity")))
+      val dropped = dst.join(keys,
+        dst(idCol).cast("string") === keys("entity"), "left_anti")
+      val srcLatest = latest(src)
+      val lifted = srcLatest.join(keys,
+        srcLatest(idCol).cast("string") === keys("entity"), "left_semi")
+      dropped.unionByName(lifted, allowMissingColumns = true)
+    }
+    val aWins = plan.filter(col("winner") === "a")
+    val bWins = plan.filter(col("winner") === "b")
+    (shipInto(logA, logB, bWins), shipInto(logB, logA, aWins))
+  }
 }

@@ -140,4 +140,43 @@ class PropertyStoreSuite extends SparkSpec {
     assert(PropertyStore.merkleDiff(base, base, "id", "rev", "deleted",
       payload = Seq(col("v").cast("string")), slotCount = 8).isEmpty)
   }
+
+  test("repairPlan decides winners per the two-node sync rules; applyRepair converges both replicas") {
+    val pay = Seq(col("v").cast("string"))
+    val base = (1 to 40).map(i => (i.toString, 1L, i * 10, false))
+      .toDF("id", "rev", "v", "deleted")
+    // A: entity 5 re-upserted (A newer), entity 50 exists only on A,
+    //    entity 9 rewritten at the SAME revision with a different value
+    val a = PropertyStore.apply(base,
+      Seq(("5", 555), ("50", 500)).toDF("id", "v"), "id", "rev", "deleted")
+      .withColumn("v", when(col("id") === "9", 999).otherwise(col("v")))
+    // B: entity 7 re-upserted (B newer), entity 13 tombstoned (B newer)
+    val b = PropertyStore.delete(
+      PropertyStore.apply(base, Seq(("7", 777)).toDF("id", "v"),
+        "id", "rev", "deleted"),
+      Seq("13"), "id", "rev", "deleted")
+
+    val plan = PropertyStore.repairPlan(a, b, "id", "rev", "deleted", pay,
+      slotCount = 8)
+    val winners = plan.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // missing on B → A sends (step 7); newer revision wins (step 8);
+    // EQUAL revisions resolve to A, the smaller node index
+    assert(winners == Map("5" -> "a", "50" -> "a", "9" -> "a",
+      "7" -> "b", "13" -> "b"), winners)
+
+    // one A↔B cycle converges the replicas: empty diff, equal roots
+    val (a2, b2) = PropertyStore.applyRepair(a, b, plan, "id", "rev")
+    assert(PropertyStore.merkleDiff(a2, b2, "id", "rev", "deleted", pay,
+      slotCount = 8).isEmpty, "repaired replicas must agree")
+    def root(log: org.apache.spark.sql.DataFrame) =
+      PropertyStore.merkleTree(log, "id", "rev", "deleted", pay, slotCount = 8)
+        .filter(col("slot") === -1).select("sha").as[String].collect().head
+    assert(root(a2) == root(b2))
+    // the converged live view carries the winners' values
+    val liveB = Planners.propertyLatest(b2, Seq("id"), "rev")
+    assert(liveB.filter(col("id") === "9").select("v").as[Int].collect()
+      .toSeq == Seq(999), "equal-rev mismatch must take A's document")
+    assert(liveB.filter(col("id") === "50").count() == 1)
+  }
 }
