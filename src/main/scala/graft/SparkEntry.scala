@@ -519,6 +519,60 @@ object SparkEntry {
           w = 5, threshold = 0.15))
         .withColumnRenamed("id", "doc_id")),
 
+    // --- pipeline: near-dup REMOVAL — q65's clusters collapsed to one
+    // survivor each (longest doc, ties to lowest id), unclustered docs
+    // pass through; the step that turns pairs into the deduped corpus
+    "q72_dedup_survivors" -> ((s, d) =>
+      Dedup.clusterSurvivors(
+        docs(s, d).select("doc_id", "source", "n_chars"),
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          w = 5, threshold = 0.15),
+        "doc_id", "n_chars")
+        .withColumnRenamed("cluster_id", "cluster")),
+
+    // --- pipeline: incremental exact dedup — the new crawl (doc_id % 10
+    // = 0) against the standing corpus (the rest); hashes shuffle, text
+    // never does
+    "q73_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalNew(
+        all.filter(col("doc_id") % 10 === 0), "text",
+        all.filter(col("doc_id") % 10 =!= 0), "text")
+        .select("doc_id", "source")
+    }),
+
+    // --- pipeline: incremental NEAR-dup matching — new-crawl docs with an
+    // exact n-gram-Jaccard match in the standing corpus (neither side
+    // broadcastable at scale; postings join on shingles, df cap on the
+    // corpus side)
+    "q74_cross_near_dup" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.crossNearDupMatches(
+        all.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        all.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        w = 5, threshold = 0.15, maxCorpusDocFreq = 1000)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- pipeline: token-budgeted mixture sampling — shape the corpus to
+    // target source proportions under a total token budget; integer-ppm
+    // acceptance by deterministic id hash (engine-portable)
+    "q75_mixture_sample" -> ((s, d) =>
+      TextAnalysis.mixtureSample(docs(s, d), "doc_id", "text", "source",
+        weightsPpm = Map(
+          "src0" -> 300000L, "src1" -> 250000L, "src2" -> 200000L,
+          "src3" -> 100000L, "src4" -> 100000L, "src5" -> 50000L),
+        tokenBudget = 3000L)
+        .select("doc_id", "source", "n_tokens", "rate_ppm")),
+
+    // --- pipeline: global window-level exact dedup — non-overlapping
+    // 16-token windows, first corpus-wide occurrence survives, documents
+    // reassemble from their surviving windows
+    "q76_window_dedup" -> ((s, d) =>
+      TextAnalysis.windowDedup(docs(s, d), "doc_id", "text",
+        windowTokens = 16)
+        .withColumnRenamed("id", "doc_id")),
+
     // --- pipeline: brute-force cosine top-k similarity search
     "q26_sim_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
@@ -1253,6 +1307,100 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
+
+    "q72_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-4),
+        |                 i -> array_to_string(t[i:i+4], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, len(s) AS set_size FROM sh),
+        |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM ex a JOIN keep USING (shingle) JOIN ex b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |good AS (
+        |  SELECT id_a, id_b FROM pr
+        |  JOIN szs sa ON sa.doc_id = id_a
+        |  JOIN szs sb ON sb.doc_id = id_b
+        |  WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.15),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+        |          UNION ALL SELECT id_b, id_a FROM good),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clu AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id, d.source, d.n_chars, c.cluster
+        |        FROM documents d LEFT JOIN clu c USING (doc_id)),
+        |best AS (SELECT cluster, doc_id FROM (
+        |    SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM lab WHERE cluster IS NOT NULL)
+        |  WHERE rn = 1)
+        |SELECT l.doc_id, l.source, l.n_chars, l.cluster FROM lab l
+        |WHERE l.cluster IS NULL
+        |   OR EXISTS (SELECT 1 FROM best b WHERE b.cluster = l.cluster AND b.doc_id = l.doc_id)""".stripMargin,
+
+    "q73_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+        |  FROM documents)
+        |SELECT b.doc_id, b.source FROM fp b
+        |WHERE b.doc_id % 10 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 0 AND c.f = b.f)""".stripMargin,
+
+    "q74_cross_near_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-4),
+        |                 i -> array_to_string(t[i:i+4], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |bex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 10 = 0),
+        |cex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 10 <> 0),
+        |bsz AS (SELECT doc_id, len(s) AS bsize FROM sh WHERE doc_id % 10 = 0),
+        |csz AS (SELECT doc_id, len(s) AS csize FROM sh WHERE doc_id % 10 <> 0),
+        |keep AS (SELECT shingle FROM cex GROUP BY shingle HAVING COUNT(*) <= 1000),
+        |pr AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS inter
+        |       FROM bex b JOIN keep USING (shingle) JOIN cex c USING (shingle)
+        |       GROUP BY 1, 2),
+        |good AS (SELECT bid, inter * 1.0 / (bsize + csize - inter) AS j
+        |         FROM pr JOIN bsz ON bsz.doc_id = bid JOIN csz ON csz.doc_id = cid
+        |         WHERE inter * 1.0 / (bsize + csize - inter) >= 0.15)
+        |SELECT bid AS doc_id, COUNT(*) AS n_matches, round(max(j), 6) AS best_jaccard
+        |FROM good GROUP BY bid""".stripMargin,
+
+    "q75_mixture_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |tot AS (SELECT source, SUM(n_tokens) AS total FROM t GROUP BY source),
+        |w(source, w_ppm) AS (VALUES ('src0', 300000), ('src1', 250000), ('src2', 200000),
+        |                            ('src3', 100000), ('src4', 100000), ('src5', 50000)),
+        |r AS (SELECT t.doc_id, t.source, t.n_tokens,
+        |        CAST(LEAST(1000000, (((3000 * COALESCE(w_ppm, 0)) // 1000000) * 1000000) // total) AS BIGINT) AS rate_ppm
+        |      FROM t JOIN tot USING (source) LEFT JOIN w USING (source))
+        |SELECT doc_id, source, n_tokens, rate_ppm FROM r
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < rate_ppm""".stripMargin,
+
+    "q76_window_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(t) / 16.0) AS INT) - 1)) AS widx, t
+        |      FROM toks WHERE len(t) > 0),
+        |wt AS (SELECT doc_id, widx, array_to_string(t[widx*16+1 : widx*16+16], ' ') AS wtext FROM w),
+        |fst AS (SELECT doc_id, widx, wtext FROM (
+        |    SELECT doc_id, widx, wtext, row_number() OVER (PARTITION BY wtext ORDER BY doc_id, widx) AS rn FROM wt)
+        |  WHERE rn = 1)
+        |SELECT doc_id, COUNT(*) AS n_kept, string_agg(wtext, ' ' ORDER BY widx) AS text_dedup
+        |FROM fst GROUP BY doc_id""".stripMargin,
 
     "q25_simhash" ->
       """WITH toks AS (

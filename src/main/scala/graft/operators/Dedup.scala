@@ -370,4 +370,103 @@ object Dedup {
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
+
+  /**
+   * Near-dup REMOVAL policy: collapse each transitive cluster
+   * ([[dedupClusters]]) to ONE surviving document — the one with the
+   * greatest `prefCol` (ties break to the LOWEST id), the usual
+   * "keep the longest / highest-quality representative" rule — and pass
+   * unclustered documents through unchanged. This is the step that turns
+   * a pair list into the actual deduplicated corpus.
+   *
+   * Scale shape: the cluster-label frame is pair-bounded (∝ duplication,
+   * not corpus size), so the label join broadcasts under AQE; survivor
+   * selection is ONE partial-aggregated `max_by` groupBy on cluster_id —
+   * no window over the corpus, no second scan. Requires a numeric id (the
+   * tiebreak negates it inside the `max_by` ordering struct).
+   *
+   * @return `docs`' columns plus `cluster_id` (null for unclustered rows)
+   */
+  def clusterSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String,
+      prefCol: String): DataFrame = {
+    val clusters = dedupClusters(pairs).withColumnRenamed("id", idCol)
+    val docCols = docs.columns.toSeq
+    val joined = docs.join(clusters, Seq(idCol), "left")
+    val kept = joined.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(max_by(struct(docCols.map(col): _*),
+        struct(col(prefCol), col(idCol) * -1)).as("__doc"))
+      .select(col("__doc.*"), col("cluster_id"))
+    joined.filter(col("cluster_id").isNull)
+      .unionByName(kept.select(joined.columns.map(col): _*))
+  }
+
+  /**
+   * Incremental exact dedup — the "new crawl against existing corpus"
+   * step: keep only `batch` rows whose canonical fingerprint
+   * ([[TextAnalysis.fingerprint]]: lowercase, collapse punctuation, md5)
+   * does NOT already occur in `corpus`. Compose with [[exact]] /
+   * [[clusterSurvivors]] for batch-internal dedup.
+   *
+   * Scale shape: both sides project to (fingerprint) before the anti-join,
+   * so the shuffle carries 16-byte hashes — never text — and the corpus
+   * side pre-aggregates to distinct fingerprints map-side. At the
+   * 1000-executor scale Spark's runtime bloom-filter join injection
+   * (`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) prefilters
+   * the batch scan; in a standing pipeline the corpus fingerprint set is
+   * the thing you'd persist between ingests.
+   */
+  def incrementalNew(batch: DataFrame, batchTextCol: String,
+      corpus: DataFrame, corpusTextCol: String): DataFrame = {
+    val corpusFp = corpus
+      .select(TextAnalysis.fingerprint(col(corpusTextCol)).as("__fp")).distinct()
+    batch.withColumn("__bfp", TextAnalysis.fingerprint(col(batchTextCol)))
+      .join(corpusFp, col("__bfp") === col("__fp"), "left_anti")
+      .drop("__bfp")
+  }
+
+  /**
+   * Incremental NEAR-dup matching: for each `batch` document, find the
+   * `corpus` documents within exact n-gram Jaccard ≥ `threshold` — the
+   * near-dup counterpart of [[incrementalNew]], where BOTH sides are too
+   * big to broadcast (unlike [[contaminationFlags]], whose benchmark side
+   * is small). Same inverted-index shape as [[ngramJaccardPairs]], with
+   * the document-frequency cap computed over the CORPUS side: a shingle
+   * appearing in more than `maxCorpusDocFreq` corpus docs is boilerplate
+   * and generates no candidates (documented approximation, mirrored by
+   * the oracle).
+   *
+   * Scale shape: one postings join on shingle hash (ids only — text never
+   * joins), one partial-aggregated intersection count per candidate pair,
+   * size lookups by id, then ONE groupBy on the batch id. No all-pairs
+   * term anywhere; skewed shingles are removed by the df cap before the
+   * join.
+   *
+   * @return (id, n_matches, best_jaccard) — one row per batch doc with
+   *         ≥ 1 match; best_jaccard rounded to 6 places for portability
+   */
+  def crossNearDupMatches(batch: DataFrame, batchIdCol: String,
+      batchTextCol: String, corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, w: Int = 5, threshold: Double = 0.15,
+      maxCorpusDocFreq: Int = 1000): DataFrame = {
+    val bSh = barrier(batch.select(col(batchIdCol).as("bid"),
+      explode(shingles(col(batchTextCol), w)).as("shingle")))
+    val cSh = barrier(corpus.select(col(corpusIdCol).as("cid"),
+      explode(shingles(col(corpusTextCol), w)).as("shingle")))
+    val bSizes = bSh.groupBy("bid").agg(count(lit(1)).as("bsize"))
+    val cSizes = cSh.groupBy("cid").agg(count(lit(1)).as("csize"))
+    val keptC = cSh.join(
+      cSh.groupBy("shingle").agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= maxCorpusDocFreq).select("shingle"),
+      Seq("shingle"))
+    bSh.join(keptC, Seq("shingle"))
+      .groupBy("bid", "cid").agg(count(lit(1)).as("inter"))
+      .join(bSizes, Seq("bid")).join(cSizes, Seq("cid"))
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("bsize") + col("csize") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .groupBy(col("bid").as("id"))
+      .agg(count(lit(1)).as("n_matches"),
+        round(max(col("jaccard_raw")), 6).as("best_jaccard"))
+  }
 }

@@ -214,4 +214,90 @@ object TextAnalysis {
     }
     n
   }
+
+  /**
+   * Token-budgeted mixture sampling — the data-mixing step that shapes a
+   * pre-training corpus to target SOURCE proportions: given per-source
+   * weights (parts-per-million) and a total token budget, each source s
+   * gets `target_s = budget * w_s div 1e6` tokens, and its documents are
+   * accepted at rate `min(1, target_s / total_tokens_s)` by the same
+   * deterministic id-hash as [[sampleByHash]] — membership is a pure
+   * function of (id, salt, per-source totals), stable across runs,
+   * engines, and partitionings. Sources absent from `weightsPpm` get
+   * weight 0 and are dropped. All arithmetic is INTEGER (ppm rates,
+   * `div`), so any engine reproduces acceptance bit-for-bit.
+   *
+   * Scale shape: per-source totals are ONE partial-aggregated groupBy on
+   * the (dimension-sized) source key, broadcast back; acceptance is then
+   * map-only over the scan. Two passes over the corpus total — the
+   * minimum for any budget-normalizing sampler, since rates depend on a
+   * global aggregate.
+   *
+   * @return input columns plus `n_tokens` and the applied `rate_ppm`
+   */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weightsPpm: Map[String, Long], tokenBudget: Long,
+      salt: String = ""): DataFrame = {
+    require(weightsPpm.values.forall(w => w >= 0L && w <= 1000000L),
+      "weights are parts-per-million: 0..1000000")
+    require(tokenBudget >= 0L, "tokenBudget must be >= 0")
+    val withTok = df.withColumn("n_tokens", tokenCountWs(col(textCol)).cast("long"))
+    val totals = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__total"))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    withTok.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("__w",
+        coalesce(element_at(typedLit(weightsPpm), col(sourceCol)), lit(0L)))
+      // integer div keeps the arithmetic exact at any budget (double
+      // rounding would diverge from the oracle past 2^53)
+      .withColumn("__target", expr(s"($tokenBudget * __w) div 1000000"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(__target * 1000000) div __total")))
+      .filter(h % 1000000L < col("rate_ppm"))
+      .select(df.columns.map(col) :+ col("n_tokens") :+ col("rate_ppm"): _*)
+  }
+
+  /**
+   * Global window-level exact dedup (the practical stand-in for
+   * substring-level dedup à la "Deduplicating Training Data Makes
+   * Language Models Better" — suffix arrays don't distribute, but exact
+   * dedup of fixed-size token windows catches the same cross-document
+   * boilerplate): split each document into NON-overlapping
+   * `windowTokens`-token windows, keep only each distinct window's FIRST
+   * occurrence corpus-wide (ordered by (id, window index)), and
+   * reassemble the surviving windows into the deduplicated text.
+   * Documents whose every window is a repeat disappear from the output.
+   *
+   * Scale shape: two shuffles — one groupBy on the window text (its hash
+   * key; partial-aggregated `min(struct(id, idx))` picks first occurrence
+   * without a corpus-wide window function) and one groupBy on id to
+   * reassemble (per-doc window counts are small, so the `collect_list`
+   * buffer is bounded by document length, not corpus size). The minimum
+   * shuffle count for any global-unit dedup.
+   *
+   * @return (id, n_kept, text_dedup)
+   */
+  def windowDedup(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be > 0")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val windows = df.select(col(idCol).as("id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col("id"), col("__toks"), explode(sequence(lit(0),
+        ceil(col("__n").cast("double") / windowTokens).cast("int") - 1)).as("widx"))
+      .select(col("id"), col("widx"),
+        array_join(slice(col("__toks"), col("widx") * windowTokens + 1,
+          lit(windowTokens)), " ").as("wtext"))
+    val firstSeen = windows.groupBy("wtext")
+      .agg(min(struct(col("id"), col("widx"))).as("__keep"))
+      .select(col("__keep.id").as("id"), col("__keep.widx").as("widx"),
+        col("wtext"))
+    firstSeen.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("widx"), col("wtext")))),
+          s => s("wtext")), " ").as("text_dedup"))
+  }
 }

@@ -116,6 +116,29 @@ object CatalogStore {
       .json(entryPath(root, e.group, e.name))
   }
 
+  /** Retry a catalog read that raced a concurrent `save` overwrite: the
+    * read plans against a file listing, overwrite deletes those parts, and
+    * the deferred scan throws FILE_NOT_EXIST / FileNotFoundException. The
+    * reference reads the etcd registry as an atomic snapshot; the
+    * file-backed store approximates that by re-reading — every retry
+    * observes either the old or the new entry, both valid linearization
+    * points. Non-listing failures rethrow immediately. */
+  private def retryingStaleRead[A](attempts: Int = 5)(read: => A): A = {
+    def isStaleListing(t: Throwable): Boolean = t != null && (
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(_.contains("FAILED_READ_FILE")) ||
+        isStaleListing(t.getCause))
+    var left = attempts
+    while (true) {
+      try return read catch {
+        case t: Throwable if isStaleListing(t) && left > 1 =>
+          left -= 1
+          Thread.sleep(20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One entry by (group, name), if registered — a direct read of that
     * entry's own directory (the path is addressable), NOT a scan of the
     * whole catalog: registry mutations stay O(1) in the resource count. */
@@ -125,9 +148,11 @@ object CatalogStore {
     val dir = new Path(entryPath(root, group, name))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
-    else spark.read
-      .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
-      .json(dir.toString).as[CatalogEntry].collect().headOption
+    else retryingStaleRead() {
+      spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
+        .json(dir.toString).as[CatalogEntry].collect().headOption
+    }
   }
 
   /**
@@ -314,10 +339,12 @@ object CatalogStore {
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
       .map(_.getPath.toString)
     if (dirs.isEmpty) return Nil
-    spark.read
-      .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
-      .json(dirs: _*).as[CatalogEntry].collect().toSeq
-      .sortBy(e => (e.group, e.name))
+    retryingStaleRead() {
+      spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
+        .json(dirs: _*).as[CatalogEntry].collect().toSeq
+        .sortBy(e => (e.group, e.name))
+    }
   }
 
   /** Open a layout root as ready-to-query resources — no manual

@@ -169,4 +169,106 @@ class CorpusShapingSuite extends SparkSpec {
     assert(out.getString(0) == "reach me at <EMAIL>")
     assert(out.getInt(1) == 1)
   }
+
+  test("clusterSurvivors: longest doc wins per cluster, ties to lowest id, rest pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", 10L), (2L, "s", 30L), (3L, "s", 20L),  // cluster {1,2,3}: 2 wins
+      (4L, "s", 99L),                                  // unclustered
+      (5L, "s", 7L), (6L, "s", 7L))                    // tie on length: 5 wins
+      .toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterSurvivors(docs, pairs, "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set((2L, 1L), (4L, -1L), (5L, 5L)))
+  }
+
+  test("incrementalNew: batch rows with a canonical-fingerprint match in the corpus drop") {
+    import spark.implicits._
+    val corpus = Seq((1L, "Hello, World!"), (2L, "other doc here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "hello   world"),   // fingerprint-equal to corpus doc 1 → drops
+      (11L, "genuinely new text"),
+      (12L, "OTHER doc; here")) // fingerprint-equal to corpus doc 2 → drops
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, "text", corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L))
+  }
+
+  test("crossNearDupMatches: exact Jaccard vs hand model; corpus df cap prunes boilerplate") {
+    import spark.implicits._
+    // w=2 shingles. batch 10: {a b, b c, c d}; corpus 1: {a b, b c, c x}
+    // inter=2, union=4 → J=0.5. corpus 2 shares nothing with batch 10.
+    val corpus = Seq((1L, "a b c x"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d"), (11L, "z z2 z3")).toDF("doc_id", "text")
+    val got = Dedup.crossNearDupMatches(batch, "doc_id", "text",
+      corpus, "doc_id", "text", w = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 1L, 0.5)))
+
+    // df cap over the CORPUS side: 'a b' occurs in BOTH corpus docs; with
+    // maxCorpusDocFreq = 1 it generates no candidates and the match dies
+    val corpus2 = Seq((1L, "a b c x"), (2L, "a b y z")).toDF("doc_id", "text")
+    val capped = Dedup.crossNearDupMatches(
+      Seq((10L, "a b q")).toDF("doc_id", "text"), "doc_id", "text",
+      corpus2, "doc_id", "text", w = 2, threshold = 0.1, maxCorpusDocFreq = 1)
+    assert(capped.isEmpty)
+  }
+
+  test("mixtureSample: integer-ppm rates from per-source totals; membership is the id hash") {
+    import spark.implicits._
+    // srcA: 3 docs × 10 tokens = 30 total; weight 500000 ppm of budget 40
+    //   → target 20 → rate 666666 ppm
+    // srcB: 2 docs × 5 tokens = 10 total; weight 500000 → target 20 ≥ 10
+    //   → rate clamps to 1000000: EVERY srcB doc survives
+    // srcC: weight absent → rate 0: no srcC doc survives
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val five = (1 to 5).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", ten), (2L, "srcA", ten), (3L, "srcA", ten),
+      (4L, "srcB", five), (5L, "srcB", five),
+      (6L, "srcC", ten)).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.mixtureSample(docs, "doc_id", "text", "source",
+      weightsPpm = Map("srcA" -> 500000L, "srcB" -> 500000L), tokenBudget = 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("srcB").map(_._1).toSet == Set(4L, 5L))
+    assert(bySrc("srcB").forall(_._4 == 1000000L))
+    assert(!bySrc.contains("srcC"))
+    assert(bySrc.getOrElse("srcA", Array.empty).forall(_._4 == 666666L))
+    // srcA membership: md5(id) first-15-hex mod 1e6 < 666666, recomputed here
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def accepted(id: Long): Boolean = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L < 666666L
+    }
+    val expectA = Seq(1L, 2L, 3L).filter(accepted).toSet
+    assert(bySrc.getOrElse("srcA", Array.empty).map(_._1).toSet == expectA)
+    // rerun is bit-identical (pure function of id + totals)
+    val again = TextAnalysis.mixtureSample(docs, "doc_id", "text", "source",
+      weightsPpm = Map("srcA" -> 500000L, "srcB" -> 500000L), tokenBudget = 40L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == got.map(_._1).toSet)
+  }
+
+  test("windowDedup: first corpus-wide occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // windows(2): [a b][c d][e f]
+      (2L, "c d x y a b"),   // [c d] and [a b] repeat doc 1 → keeps [x y]
+      (3L, "a b c d"),       // entirely duplicate → disappears
+      (4L, "e f e f g"))     // [e f] repeats doc 1; within-doc repeat too → keeps [g]
+      .toDF("doc_id", "text")
+    val byId = TextAnalysis.windowDedup(docs, "doc_id", "text", windowTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(byId == Map(
+      1L -> ((3L, "a b c d e f")),
+      2L -> ((1L, "x y")),
+      4L -> ((1L, "g"))))
+  }
 }
