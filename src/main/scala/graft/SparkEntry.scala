@@ -573,6 +573,24 @@ object SparkEntry {
         windowTokens = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // --- pipeline: winnowing rolling-hash fingerprints (MOSS) — per-doc
+    // fingerprint-set summary (count + order-independent xor digest keeps
+    // the verified row count at corpus size, not fingerprint size; the
+    // exploded set itself feeds q78 and the unit tests)
+    "q77_winnow_fingerprint" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(docs(s, d), "doc_id", "text",
+        k = 16, w = 8)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          expr("bit_xor(fingerprint)").as("fp_xor"))),
+
+    // --- pipeline: winnowing near-dup pairs — shared-fingerprint inverted
+    // index; (w+1)/2 ≈ 4.5× sparser postings than full-shingle Jaccard at
+    // the same shared-substring guarantee
+    "q78_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowingPairs(docs(s, d), "doc_id", "text",
+        k = 16, w = 8, minShared = 3)),
+
     // --- pipeline: brute-force cosine top-k similarity search
     "q26_sim_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
@@ -1401,6 +1419,45 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT doc_id, COUNT(*) AS n_kept, string_agg(wtext, ' ' ORDER BY widx) AS text_dedup
         |FROM fst GROUP BY doc_id""".stripMargin,
+
+    "q77_winnow_fingerprint" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS c
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(c) - 15),
+        |          i -> ('0x' || substr(md5(substr(c, i, 16)), 1, 15))::BIGINT) AS h
+        |  FROM canon WHERE len(c) >= 16),
+        |wnd AS (
+        |  SELECT doc_id, CASE WHEN len(h) >= 8 THEN
+        |      list_distinct(list_transform(generate_series(1, len(h) - 7),
+        |        i -> list_aggregate(h[i:i+7], 'min')))
+        |    ELSE [list_aggregate(h, 'min')] END AS fps
+        |  FROM g),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wnd)
+        |SELECT doc_id, COUNT(*) AS n_fps, bit_xor(fp) AS fp_xor
+        |FROM ex GROUP BY doc_id""".stripMargin,
+
+    "q78_winnow_pairs" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS c
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(c) - 15),
+        |          i -> ('0x' || substr(md5(substr(c, i, 16)), 1, 15))::BIGINT) AS h
+        |  FROM canon WHERE len(c) >= 16),
+        |wnd AS (
+        |  SELECT doc_id, CASE WHEN len(h) >= 8 THEN
+        |      list_distinct(list_transform(generate_series(1, len(h) - 7),
+        |        i -> list_aggregate(h[i:i+7], 'min')))
+        |    ELSE [list_aggregate(h, 'min')] END AS fps
+        |  FROM g),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wnd),
+        |keep AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM ex a JOIN keep USING (fp) JOIN ex b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
     "q25_simhash" ->
       """WITH toks AS (

@@ -203,6 +203,35 @@ object Dedup {
   }
 
   /**
+   * Winnowing near-dup pairs: document pairs sharing ≥ `minShared`
+   * winnowing fingerprints ([[graft.operators.TextAnalysis.winnowFingerprints]]).
+   * Same inverted-index shape as [[ngramJaccardPairs]] — explode, df-cap,
+   * self-join on the posting key, count — but the postings are the
+   * winnowed SELECTION of gram hashes, a `2/(w+1)` fraction of the full
+   * gram index at the same substring-match guarantee (any shared
+   * canonical run of `w + k - 1` chars still collides). At 100 TB that
+   * factor lands directly on the dominant cost, the postings shuffle:
+   * `w = 8` winnowing moves ~4.5× fewer posting rows than full shingles,
+   * and the posting key is an int64, not the gram text.
+   */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 3,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val fps = barrier(
+      TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col(idCol).as("id"), col("fingerprint").as("fp")))
+    val filtered = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= maxDocFreq && col("df_") >= 2).select("fp"),
+      Seq("fp"))
+    filtered.select(col("fp"), col("id").as("id_a"))
+      .join(filtered.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
    * distinct `w`-token shingles with an evaluation/benchmark set — the
    * standard pre-training step that keeps test questions out of the

@@ -104,6 +104,51 @@ object TextAnalysis {
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
   /**
+   * Winnowing fingerprints — rolling-hash document fingerprinting
+   * (Schleimer/Wilkinson/Aiken, "Winnowing: Local Algorithms for Document
+   * Fingerprinting", SIGMOD 2003; the MOSS scheme): hash every `k`-char
+   * gram of the canonical text (lowercase, punctuation collapsed — the
+   * same canonical form as [[fingerprint]]), then in every window of `w`
+   * consecutive gram hashes select the minimum; the distinct selected
+   * hashes are the document's fingerprint set. The winnowing guarantee:
+   * two documents sharing a canonical substring of at least `w + k - 1`
+   * chars share at least one fingerprint — while storing only a
+   * `2/(w+1)` fraction of the gram hashes, which is what makes the
+   * downstream inverted index ([[graft.operators.Dedup.winnowingPairs]])
+   * `(w+1)/2`× sparser than full-shingle postings at the same guarantee.
+   *
+   * A document whose canonical form is shorter than one gram yields no
+   * fingerprints; one with fewer than `w` grams yields its single global
+   * minimum (the standard short-document degeneration).
+   *
+   * Hashes are the portable 60-bit md5 prefix (first 15 hex chars as
+   * int64) used by every other lane here, so any engine recomputes the
+   * identical set in SQL. Map-only — one canonicalization and one gram
+   * array per document, no shuffle: at 100 TB this runs at scan speed.
+   *
+   * @return (`idCol`, fingerprint: long) — one row per distinct selected hash
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
+    val canon = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    val c = col("__canon")
+    val h = col("__h")
+    val m = size(h)
+    df.select(col(idCol), canon.as("__canon"))
+      .filter(length(c) >= k)
+      // __h survives as its own projection (referenced more than once →
+      // CollapseProject keeps it), so the gram hashing runs once per row
+      .withColumn("__h", transform(sequence(lit(1), length(c) - (k - 1)),
+        i => conv(substring(md5(c.substr(i, lit(k))), 1, 15), 16, 10).cast("long")))
+      .withColumn("fingerprint", explode(array_distinct(
+        when(m >= w, transform(sequence(lit(1), m - (w - 1)),
+          i => array_min(slice(h, i, lit(w)))))
+          .otherwise(array(array_min(h))))))
+      .select(col(idCol), col("fingerprint"))
+  }
+
+  /**
    * Overlapping token-window chunking — the standard pre-training shaping
    * step (documents → fixed-size training windows). Sliding window of
    * `chunkSize` whitespace tokens advancing by `stride`; a document shorter

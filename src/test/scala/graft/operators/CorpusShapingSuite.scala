@@ -271,4 +271,41 @@ class CorpusShapingSuite extends SparkSpec {
       2L -> ((1L, "x y")),
       4L -> ((1L, "g"))))
   }
+
+  test("winnowFingerprints: shared long substring guarantees a shared hash; edges") {
+    val shared = "zq wv xk pj rt ln md fh"           // 23 canonical chars >> w+k-1
+    val docs = docsOf(Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"one two three $shared four five six",
+      3L -> "completely different words entirely here now",
+      4L -> "tiny",                                   // canon len 4 < k → no rows
+      5L -> "exactly sixteench"))                     // canon len 17 → 2 grams < w → 1 fp
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 16, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a shared canonical substring of >= w+k-1 = 23
+    // chars forces at least one common selected hash
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).size == 1)
+    // fingerprint rows are distinct per doc
+    assert(fps.length == fps.distinct.length)
+    // density: the selection keeps roughly 2/(w+1) of gram positions —
+    // doc 3 has 46 canonical chars → 31 grams, expect far fewer fps
+    assert(byDoc(3L).size < 31 && byDoc(3L).nonEmpty)
+  }
+
+  test("winnowingPairs: planted near-dup pair found, unrelated docs silent") {
+    val boiler = (1 to 30).map(i => s"wq$i xv$i").mkString(" ")
+    val docs = docsOf(Seq(
+      1L -> s"$boiler unique tail of document one",
+      2L -> s"$boiler another distinct ending here",
+      3L -> "no overlap with anything else at all",
+      4L -> "fully separate content again completely"))
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+      k = 16, w = 8, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 3L)
+  }
 }
