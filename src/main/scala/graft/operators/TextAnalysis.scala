@@ -123,12 +123,32 @@ object TextAnalysis {
    *
    * Hashes are the portable 60-bit md5 prefix (first 15 hex chars as
    * int64) used by every other lane here, so any engine recomputes the
-   * identical set in SQL. Map-only — one canonicalization and one gram
-   * array per document, no shuffle: at 100 TB this runs at scan speed.
+   * identical set in SQL. Map-only — one canonicalization and one
+   * single-pass native kernel per document
+   * ([[graft.functions.WinnowImpl]]: digest bytes straight to the int64,
+   * monotonic-deque window minima), no shuffle: at 100 TB this runs at
+   * scan speed. [[winnowFingerprintsComposable]] is the byte-identical
+   * pure-SQL form any engine can replay (parity asserted in tests).
    *
    * @return (`idCol`, fingerprint: long) — one row per distinct selected hash
    */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
+    val canon = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    df.select(col(idCol), canon.as("__canon"))
+      .filter(length(col("__canon")) >= k)
+      .select(col(idCol), explode(
+        graft.functions.WinnowFunctions.fingerprints(col("__canon"), k, w))
+        .as("fingerprint"))
+  }
+
+  /** The composable higher-order-function form of [[winnowFingerprints]] —
+    * the SQL-portable reference the oracle replays (gram hashes via
+    * md5 hex + base-16 conv, window minima via `array_min(slice(...))`).
+    * Byte-identical output to the native kernel; kept as the portability
+    * contract and the parity-test witness. */
+  def winnowFingerprintsComposable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8): DataFrame = {
     require(k > 0 && w > 0, "need k > 0 and w > 0")
     val canon = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))

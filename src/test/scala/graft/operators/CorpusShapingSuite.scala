@@ -295,6 +295,23 @@ class CorpusShapingSuite extends SparkSpec {
     assert(byDoc(3L).size < 31 && byDoc(3L).nonEmpty)
   }
 
+  test("winnowFingerprints: native kernel byte-identical to the composable SQL form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 16, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val composable = TextAnalysis
+      .winnowFingerprintsComposable(docs, "doc_id", "text", k = 16, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(native.nonEmpty && native.sameElements(composable))
+    // also at a window size that exercises the m < w degeneration
+    val tiny = docsOf(Seq(1L -> "seventeen chars ab", 2L -> "abcdefghijklmnop"))
+    val n2 = TextAnalysis.winnowFingerprints(tiny, "doc_id", "text", k = 16, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val c2 = TextAnalysis.winnowFingerprintsComposable(tiny, "doc_id", "text", k = 16, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(n2.sameElements(c2) && n2.length == 2)
+  }
+
   test("winnowingPairs: planted near-dup pair found, unrelated docs silent") {
     val boiler = (1 to 30).map(i => s"wq$i xv$i").mkString(" ")
     val docs = docsOf(Seq(
