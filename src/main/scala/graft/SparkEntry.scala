@@ -585,11 +585,14 @@ object SparkEntry {
           expr("bit_xor(fingerprint)").as("fp_xor"))),
 
     // --- pipeline: winnowing near-dup pairs — shared-fingerprint inverted
-    // index; (w+1)/2 ≈ 4.5× sparser postings than full-shingle Jaccard at
-    // the same shared-substring guarantee
+    // index, SIZE-NORMALIZED (Jaccard over fingerprint sets): an absolute
+    // shared-count cutoff admits chance char-gram matches that grow ~n²
+    // with the corpus; the normalized threshold keeps output linear in
+    // true duplication. (w+1)/2 ≈ 4.5× sparser postings than full-shingle
+    // Jaccard at the same shared-substring guarantee
     "q78_winnow_pairs" -> ((s, d) =>
       Dedup.winnowingPairs(docs(s, d), "doc_id", "text",
-        k = 16, w = 8, minShared = 3)),
+        k = 16, w = 8, threshold = 0.25, minShared = 3, maxDocFreq = 128)),
 
     // --- pipeline: brute-force cosine top-k similarity search
     "q26_sim_bruteforce" -> ((s, d) => {
@@ -1453,11 +1456,18 @@ object SparkEntry {
         |    ELSE [list_aggregate(h, 'min')] END AS fps
         |  FROM g),
         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wnd),
-        |keep AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-        |FROM ex a JOIN keep USING (fp) JOIN ex b USING (fp)
-        |WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+        |szs AS (SELECT doc_id, len(fps) AS sz FROM wnd),
+        |keep AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 128),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM ex a JOIN keep USING (fp) JOIN ex b USING (fp)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT id_a, id_b, inter AS n_shared,
+        |       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS winnow_sim
+        |FROM pr
+        |JOIN szs sa ON sa.doc_id = id_a
+        |JOIN szs sb ON sb.doc_id = id_b
+        |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.25""".stripMargin,
 
     "q25_simhash" ->
       """WITH toks AS (

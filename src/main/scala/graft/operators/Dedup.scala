@@ -203,23 +203,37 @@ object Dedup {
   }
 
   /**
-   * Winnowing near-dup pairs: document pairs sharing ≥ `minShared`
-   * winnowing fingerprints ([[graft.operators.TextAnalysis.winnowFingerprints]]).
-   * Same inverted-index shape as [[ngramJaccardPairs]] — explode, df-cap,
-   * self-join on the posting key, count — but the postings are the
+   * Winnowing near-dup pairs: document pairs whose winnowing-fingerprint
+   * sets ([[graft.operators.TextAnalysis.winnowFingerprints]]) have
+   * Jaccard similarity ≥ `threshold` (and ≥ `minShared` shared
+   * fingerprints as a small-doc noise floor). Same inverted-index shape
+   * as [[ngramJaccardPairs]] — explode, df-cap, self-join on the posting
+   * key, count, normalize by set sizes — but the postings are the
    * winnowed SELECTION of gram hashes, a `2/(w+1)` fraction of the full
    * gram index at the same substring-match guarantee (any shared
-   * canonical run of `w + k - 1` chars still collides). At 100 TB that
-   * factor lands directly on the dominant cost, the postings shuffle:
-   * `w = 8` winnowing moves ~4.5× fewer posting rows than full shingles,
-   * and the posting key is an int64, not the gram text.
+   * canonical run of `w + k - 1` chars still collides), and the posting
+   * key is an int64, not gram text.
+   *
+   * The SIZE-NORMALIZED threshold is what makes the contract hold at
+   * scale: chance char-gram collisions produce candidate pairs
+   * quadratically in corpus size, so any absolute shared-count cutoff
+   * admits garbage pairs that grow ~n² (measured: 12.3M pairs with
+   * `n_shared >= 3` on a 50× corpus where Jaccard ≥ 0.25 keeps 2.6k —
+   * the true near-dups, growing linearly). `maxDocFreq` defaults LOWER
+   * than the token-shingle paths (128, not 1000): winnowed char-gram
+   * fingerprints of shared boilerplate are far hotter than 5-token
+   * shingles, join work is Σ df² per posting (203M candidate rows at
+   * cap 1000 on the 50× corpus vs 60M at 128), and sizes are computed
+   * before the cap exactly like [[ngramJaccardPairs]], so dropped hot
+   * fingerprints only shrink the estimate, never invent a pair.
    */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, w: Int = 8, minShared: Int = 3,
-      maxDocFreq: Int = 1000): DataFrame = {
+      k: Int = 16, w: Int = 8, threshold: Double = 0.25, minShared: Int = 3,
+      maxDocFreq: Int = 128): DataFrame = {
     val fps = barrier(
       TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
         .select(col(idCol).as("id"), col("fingerprint").as("fp")))
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("set_size"))
     val filtered = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("df_"))
         .filter(col("df_") <= maxDocFreq && col("df_") >= 2).select("fp"),
@@ -229,6 +243,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b")), Seq("id_b"))
+      .withColumn("__sim", col("n_shared").cast("double") /
+        (col("size_a") + col("size_b") - col("n_shared")))
+      .filter(col("__sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("__sim"), 6).as("winnow_sim"))
   }
 
   /**

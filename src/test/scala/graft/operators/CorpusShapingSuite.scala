@@ -320,9 +320,11 @@ class CorpusShapingSuite extends SparkSpec {
       3L -> "no overlap with anything else at all",
       4L -> "fully separate content again completely"))
     val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
-      k = 16, w = 8, minShared = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      k = 16, w = 8, threshold = 0.25, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 >= 3L)
+    // the shared boiler dominates both docs → high normalized similarity
+    assert(pairs.head._4 >= 0.25 && pairs.head._4 <= 1.0)
   }
 }
