@@ -507,10 +507,15 @@ object Dedup {
       explode(shingles(col(corpusTextCol), w)).as("shingle")))
     val bSizes = bSh.groupBy("bid").agg(count(lit(1)).as("bsize"))
     val cSizes = cSh.groupBy("cid").agg(count(lit(1)).as("csize"))
-    val keptC = cSh.join(
-      cSh.groupBy("shingle").agg(count(lit(1)).as("df_"))
-        .filter(col("df_") <= maxCorpusDocFreq).select("shingle"),
-      Seq("shingle"))
+    // df cap as a broadcast ANTI-join against the HOT-shingle list: the
+    // shingles over the cap are by construction few (each is in >
+    // maxCorpusDocFreq docs, so there are at most postings/cap of them),
+    // while the kept list is nearly the whole vocabulary — inner-joining
+    // the corpus postings against the kept list would shuffle the entire
+    // postings set a second time just to apply the filter.
+    val hotC = cSh.groupBy("shingle").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > maxCorpusDocFreq).select("shingle")
+    val keptC = cSh.join(broadcast(hotC), Seq("shingle"), "left_anti")
     bSh.join(keptC, Seq("shingle"))
       .groupBy("bid", "cid").agg(count(lit(1)).as("inter"))
       .join(bSizes, Seq("bid")).join(cSizes, Seq("cid"))
