@@ -164,4 +164,25 @@ class PlanShapeSuite extends SparkSpec {
     // per-level rollups are aggregates (slot fan-in bounded by shard size)
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
   }
+
+  test("q77 winnowing: native kernel, map-only up to the per-doc aggregate") {
+    val p = plan("q77_winnow_fingerprint")
+    // the single-pass kernel replaces the HOF md5/conv/slice chain
+    assert(p.toLowerCase.contains("winnowfingerprints"), p.take(2000))
+    assert(!p.contains("Join"), "fingerprinting grew a join")
+    // one exchange only: the per-doc (count, xor) aggregate
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
+  test("q78 winnowing pairs: no cartesian/nested-loop; size join broadcasts") {
+    val p = plan("q78_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "size lookup lost its broadcast")
+  }
+
+  test("q74 cross near-dup: df cap is a broadcast anti-join on hot shingles") {
+    val p = plan("q74_cross_near_dup")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
