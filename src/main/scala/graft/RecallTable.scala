@@ -50,6 +50,10 @@ object RecallTable {
       val r = mean(Similarity.lshTopK(e, queries, k, dim, nPlanes))
       println(f"| LSH | nPlanes=$nPlanes | $r%.3f |")
     }
+    for (nPlanes <- Seq(4, 8, 12)) {
+      val r = mean(Similarity.lshTopKMultiProbe(e, queries, k, dim, nPlanes))
+      println(f"| LSH multi-probe | nPlanes=$nPlanes | $r%.3f |")
+    }
     val trained = Similarity.trainIvfCentroids(e, nlist, iters = 5)
     for (nprobe <- Seq(1, 2, 4, 8)) {
       val rid = mean(Similarity.ivfTopK(e, queries, k, nlist, nprobe))

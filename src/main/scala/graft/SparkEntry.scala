@@ -606,6 +606,15 @@ object SparkEntry {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, dim = 64, nPlanes = 8)
     }),
 
+    // --- pipeline: multi-probe LSH ANN — same corpus-side bucket index as
+    // q27, queries additionally probe each 1-bit-flip neighbor bucket;
+    // recall recovers for a probe-count (not corpus/index) cost
+    "q79_sim_lsh_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10), k = 5,
+        dim = 64, nPlanes = 8)
+    }),
+
     // --- pipeline: IVF ANN — coarse-quantizer cells, nprobe-limited search
     // (the partition-the-corpus scale path beside LSH; rows-only recall<1)
     "q52_sim_ivf" -> ((s, d) => {
@@ -1496,6 +1505,30 @@ object SparkEntry {
         |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM v),
         |q AS (SELECT vec_id AS query_id, emb AS qv, bucket FROM bk WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS nbr_id,
+        |         round(list_cosine_similarity(q.qv, c.emb), 6) AS sim
+        |  FROM q JOIN bk c USING (bucket) WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q79_sim_lsh_multiprobe" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |bk AS (SELECT vec_id, emb,
+        |  CAST(list_sum(list_transform(generate_series(0,7), p ->
+        |    CASE WHEN list_reduce(list_transform(generate_series(0,63), d ->
+        |           emb[d+1] * (CASE WHEN ((1103515245::BIGINT * (p*64+d+1) + 12345) % 2147483647)
+        |                                  < 1073741823 THEN 1.0 ELSE -1.0 END)),
+        |           (x,y) -> x+y) >= 0
+        |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v),
+        |q AS (SELECT vec_id AS query_id, emb AS qv,
+        |             unnest(list_append(list_transform(generate_series(0,7),
+        |                      p -> xor(bucket, 1::BIGINT << p)), bucket)) AS bucket
+        |      FROM bk WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.query_id, c.vec_id AS nbr_id,
         |         round(list_cosine_similarity(q.qv, c.emb), 6) AS sim

@@ -60,6 +60,22 @@ class AnnRecallSuite extends SparkSpec {
     assert(sweep.head._2 >= 0.05, s"nPlanes=4 recall below floor: ${sweep.head._2}")
   }
 
+  test("multi-probe LSH recall dominates single-probe at every nPlanes") {
+    // the probe set strictly CONTAINS the query's own bucket, so the
+    // candidate set is a superset of lshTopK's at equal nPlanes — recall
+    // can only rise; the measured gain (0.172 → 0.466 at nPlanes=4,
+    // sf0.01, BASELINE.md) gets a conservative floor on the margin
+    for (np <- Seq(4, 8)) {
+      val single = meanRecall(Similarity.lshTopK(emb, queries, k, dim, np))
+      val multi = meanRecall(Similarity.lshTopKMultiProbe(emb, queries, k, dim, np))
+      assert(multi >= single - 1e-9,
+        s"multi-probe lost recall at nPlanes=$np: $multi < $single")
+      if (np == 4)
+        assert(multi >= single + 0.1,
+          s"multi-probe gain collapsed at nPlanes=4: $single -> $multi")
+    }
+  }
+
   test("q69 shape: trained-IVF recall report per query, floor holds") {
     val q10 = emb.filter(col("vec_id") < 10)
     val cents = Similarity.trainIvfCentroids(emb, nlist, iters = 3)
