@@ -64,4 +64,26 @@ class StreamDedupSuite extends SparkSpec {
     // the helper fingerprint column does not leak into the output schema
     assert(!out.head.schema.fieldNames.contains("__fp"))
   }
+
+  test("ingest pipeline: content dedup then quality gate, one streaming query") {
+    // the batch map-only kernels (qualityFeatures) compose into the
+    // streaming ingest unchanged — dedup first (cheapest reject), then
+    // threshold on the quality features, all in a single streaming plan
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions._
+    val good = "a sensible document with several reasonable words inside it"
+    val out = run(df => {
+      val deduped = StreamDedup.dedupByContent(df, "ts", "10 minutes", "text")
+      TextAnalysis.qualityFeatures(deduped, col("text"))
+        .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2)
+        .select("element_id", "n_tokens")
+    }, Seq(
+      Seq(StreamedDoc(ts(1000), "a", good),
+        StreamedDoc(ts(1500), "b", good.toUpperCase), // dup of a → dropped
+        StreamedDoc(ts(2000), "c", "too short"),      // fails n_tokens gate
+        StreamedDoc(ts(2500), "d", "!!! ??? ... ### $$$ %%% ^^^ &&& *** @@@")),
+      Seq(StreamedDoc(ts(3000), "e", "another perfectly ordinary document of plain words"))))
+    assert(out.map(_.getAs[String]("element_id")).sorted.sameElements(Array("a", "e")))
+    assert(out.forall(_.getAs[Int]("n_tokens") >= 5))
+  }
 }
