@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AnalyzerImpl, AnalyzerTokensExpr, CosineSimilarity, DotProduct, LshBucketExpr, MinHashSigExpr, ShinglesExpr, SimHash60Expr}
+import graft.functions.{AnalyzerImpl, AnalyzerTokensExpr, CosineSimilarity, DotProduct, LshBucketExpr, MinHashSigExpr, ShinglesExpr, SimHash60Expr, WinnowFingerprintsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -98,6 +98,17 @@ object GraftExtensions {
               RegExpReplace(t, Literal(p), Literal(r)))
           }
         counts.reduce(Add(_, _))
+    },
+    fn("graft_winnow_fingerprints",
+      "graft_winnow_fingerprints(text, k, w) - distinct winnowed k-char-gram hashes (window w) of the canonical text") {
+      args =>
+        import org.apache.spark.sql.catalyst.expressions.{Lower, RegExpReplace, StringTrim}
+        // same canonical form as TextAnalysis.winnowFingerprints: lower,
+        // collapse non-alphanumerics, trim — then the single-pass kernel
+        val canon = StringTrim(
+          RegExpReplace(Lower(args(0)), Literal("[^a-z0-9]+"), Literal(" ")))
+        WinnowFingerprintsExpr(canon,
+          litInt(args(1), "gram size k"), litInt(args(2), "window w"))
     },
     fn("graft_sample_hash",
       "graft_sample_hash(id, pct[, salt]) - deterministic md5 sample membership (hash mod 100 < pct)") {

@@ -79,6 +79,21 @@ class GraftExtensionsSuite extends SparkSpec {
     assert(r.getBoolean(4) == api)
   }
 
+  test("winnow fingerprints from SQL match the operator on real documents") {
+    GraftExtensions.register(spark)
+    import graft.sources.Catalog
+    val docs = Catalog.load(spark, sf0001, "documents").limit(20)
+    docs.createOrReplaceTempView("ext_wdocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, fp FROM ext_wdocs
+        |LATERAL VIEW explode(graft_winnow_fingerprints(text, 16, 8)) AS fp""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaApi = graft.operators.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text", k = 16, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaApi))
+  }
+
   test("builder wiring: a session built withExtensions resolves the functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
