@@ -179,8 +179,15 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+    // postings carry the 60-bit md5 prefix of the shingle, not its text:
+    // every downstream stage (df groupBy, keep join, self-join) shuffles
+    // an int64 instead of a ~w·6-byte string — the key only ever feeds
+    // equality, so results are identical up to a 2^-61-per-vocab-pair
+    // collision (the same negligible contract as the minhash lanes)
     val sh = barrier(df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), w)).as("shingle")))
+        explode(shingles(col(textCol), w)).as("__sht"))
+      .select(col("id"),
+        conv(substring(md5(col("__sht")), 1, 15), 16, 10).cast("long").as("shingle")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val filtered = barrier(sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
@@ -271,10 +278,18 @@ object Dedup {
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, w: Int = 5,
       minShared: Int = 1): DataFrame = {
+    // join keys are the 60-bit shingle hashes (equality-only use, same
+    // contract as ngramJaccardPairs): the broadcast benchmark set ships
+    // 8-byte longs and the corpus-side probe hashes instead of comparing
+    // w-token strings
+    def hashed(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val docSh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), w)).as("shingle"))
+      explode(shingles(col(textCol), w)).as("__sht"))
+      .select(col("id"), hashed(col("__sht")).as("shingle"))
     val benchSh = bench
-      .select(explode(shingles(col(benchTextCol), w)).as("shingle")).distinct()
+      .select(explode(shingles(col(benchTextCol), w)).as("__sht"))
+      .select(hashed(col("__sht")).as("shingle")).distinct()
     docSh.join(broadcast(benchSh), Seq("shingle"))
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -501,10 +516,16 @@ object Dedup {
       batchTextCol: String, corpus: DataFrame, corpusIdCol: String,
       corpusTextCol: String, w: Int = 5, threshold: Double = 0.15,
       maxCorpusDocFreq: Int = 1000): DataFrame = {
+    // hashed posting keys, like ngramJaccardPairs: both sides of the
+    // candidate join and the df-cap aggregation shuffle int64s
+    def hashedSh(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val bSh = barrier(batch.select(col(batchIdCol).as("bid"),
-      explode(shingles(col(batchTextCol), w)).as("shingle")))
+      explode(shingles(col(batchTextCol), w)).as("__sht"))
+      .select(col("bid"), hashedSh(col("__sht")).as("shingle")))
     val cSh = barrier(corpus.select(col(corpusIdCol).as("cid"),
-      explode(shingles(col(corpusTextCol), w)).as("shingle")))
+      explode(shingles(col(corpusTextCol), w)).as("__sht"))
+      .select(col("cid"), hashedSh(col("__sht")).as("shingle")))
     val bSizes = bSh.groupBy("bid").agg(count(lit(1)).as("bsize"))
     val cSizes = cSh.groupBy("cid").agg(count(lit(1)).as("csize"))
     // df cap as a broadcast ANTI-join against the HOT-shingle list: the
