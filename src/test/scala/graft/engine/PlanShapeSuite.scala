@@ -185,4 +185,14 @@ class PlanShapeSuite extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q79 multi-probe LSH: probe join stays a broadcast equi-join") {
+    val p = plan("q79_sim_lsh_multiprobe")
+    // the exploded probe set must join on the bucket key, never degrade
+    // to a nested loop over the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"))
+    assert(p.contains("ObjectHashAggregate"))
+  }
 }
