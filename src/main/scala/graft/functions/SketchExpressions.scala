@@ -103,6 +103,60 @@ object SketchImpl {
     new GenericArrayData(sig)
   }
 
+  /** Fused tokens → w-shingles → md5hash60: distinct 60-bit shingle
+    * hashes in first-seen order, never materializing the string array.
+    * The hashed form of [[shingles]] for pipelines whose downstream only
+    * needs shingle EQUALITY (minhash banding, exact-Jaccard verification,
+    * posting joins): the barrier payload per doc drops from ~w·6 bytes
+    * per shingle to 8, with the usual 2^-61-per-vocab-pair collision
+    * contract. */
+  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+    val t = tokens(text)
+    if (t.length < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= t.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(t(i + j)); j += 1
+      }
+      seen.add(md5hash60(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k-lane MinHash signature over PRE-HASHED shingles: lane hash =
+    * xxhash64(shingleHash, seed = xxhash64(lane, 42)) — one long mix per
+    * (lane, shingle) instead of re-hashing the shingle STRING per lane.
+    * Lane semantics differ from [[minhashSig]] (a different random
+    * family), which is free: MinHash output is verified by exact Jaccard,
+    * never by lane value. */
+  def minhashSigFromHashes(hashArr: ArrayData, k: Int): ArrayData = {
+    val n = hashArr.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var lane = 0
+    while (lane < k) {
+      val seed = XXH64.hashInt(lane, 42L)
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong(hashArr.getLong(i), seed)
+        if (h < sig(lane)) sig(lane) = h
+        i += 1
+      }
+      lane += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** first 60 bits of md5(token) as a non-negative long — matches
     * `('0x' || substr(md5(t),1,15))::BIGINT` in the SQL oracle. */
   def md5hash60(t: String): Long = {
@@ -163,6 +217,30 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** shingleHashes(text, w) → array<long> (distinct 60-bit md5 prefixes,
+  * first-seen order). */
+case class ShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.shingleHashes(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.shingleHashes($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhashSigLongs(hashArray, k) → array<long> of lane minima over
+  * pre-hashed shingles. */
+case class MinHashSigLongsExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.minhashSigFromHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.minhashSigFromHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** simhash60(text) → long. */
 case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -177,8 +255,12 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
 object SketchFunctions {
   def shingles(text: Column, w: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(text), w))
+  def shingleHashes(text: Column, w: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(text), w))
   def minhashSig(shingleArr: Column, k: Int): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(shingleArr), k))
+  def minhashSigLongs(hashArr: Column, k: Int): Column =
+    Bridge.column(MinHashSigLongsExpr(Bridge.expression(hashArr), k))
   def simhash60(text: Column): Column =
     Bridge.column(SimHash60Expr(Bridge.expression(text)))
 }

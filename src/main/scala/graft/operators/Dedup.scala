@@ -94,16 +94,25 @@ object Dedup {
       w: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    // ONE barrier materializes shingle sets AND signatures: the projection
-    // computes `shingles(text)` once per row (whole-stage codegen
-    // subexpression elimination) and the downstream band-slicing cannot
-    // inline the signature into its per-band lambda (which would recompute
-    // all k lanes once per band). Shingle sets are re-read from the same
-    // materialization by the exact-Jaccard verification joins.
+    // ONE barrier materializes HASHED shingle sets AND signatures: the
+    // fused ShingleHashesExpr kernel tokenizes once and emits the 60-bit
+    // md5 prefix per distinct shingle (the barrier payload per shingle is
+    // 8 bytes, not the w-token string), and the signature kernel mixes
+    // each pre-hashed shingle per lane with one xxhash64-long instead of
+    // re-hashing the string k times. Downstream uses shingles only for
+    // EQUALITY (banding, exact-Jaccard verification), so the hashed form
+    // is exact up to the 2^-61-per-vocab-pair collision contract shared
+    // by every lane here; lane semantics are a different random family
+    // than the string form — free, since MinHash output is verified by
+    // exact Jaccard, never by lane value. The band-slicing below cannot
+    // inline the signature into its per-band lambda (which would
+    // recompute all k lanes once per band) — hence the materialization.
     val mat = barrier(df
-      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.shingleHashes(col(textCol), w).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k)))
+      .withColumn("sig",
+        graft.functions.SketchFunctions.minhashSigLongs(col("sh"), k)))
     val sh = mat.select("id", "sh")
     val sigs = mat.select("id", "sig")
     // Band buckets carry ids ONLY — no signature payload through the shuffle.
