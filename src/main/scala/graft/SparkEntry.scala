@@ -5,7 +5,7 @@ import java.time.Instant
 import graft.engine.Planners
 import graft.functions.{Analyzers, BanyanSemantics}
 import graft.model._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusStats, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{Catalog, TableDef}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -650,6 +650,14 @@ object SparkEntry {
       Similarity.cosineNearDupPairsLsh(emb(s, d), threshold = 0.35,
         dim = 64, nPlanes = 8)),
 
+    // --- pipeline: SemDeDup-style semantic dedup — per-cluster min-id
+    // survivors at cosine ≥ 0.35 (LSH clusters here, engine-recomputable;
+    // the trained-k-means cluster variant is suite-tested beside
+    // trained IVF)
+    "q80_semdedup" -> ((s, d) =>
+      Similarity.semDedupSurvivors(emb(s, d), threshold = 0.35,
+        dim = 64, nPlanes = 8)),
+
     // --- pipeline: quality-scoring features
     "q29_text_quality" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d).select("doc_id", "text"), col("text"))
@@ -671,6 +679,22 @@ object SparkEntry {
     "q68_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d).select("doc_id", "text"), col("text"))
         .drop("text")),
+
+    // --- pipeline: corpus unigram-LM log-prob scoring (perplexity proxy
+    // for quality filtering) — micro-nat integer sums, engine-exact
+    "q81_unigram_logprob" -> ((s, d) =>
+      CorpusStats.unigramLogProb(docs(s, d), "doc_id", "text")),
+
+    // --- pipeline: BM25 keyword retrieval top-20 (ranked full-text
+    // search over the corpus; contributions in exact integer micros)
+    "q82_bm25_topk" -> ((s, d) =>
+      CorpusStats.bm25TopK(docs(s, d), "doc_id", "text",
+        terms = Seq("spark", "window", "join", "stream"), kTop = 20)),
+
+    // --- pipeline: corpus n-gram document frequencies, top 50 — the
+    // what-is-this-corpus-made-of summary behind df-cap choices
+    "q83_ngram_stats" -> ((s, d) =>
+      CorpusStats.ngramDocFreq(docs(s, d), "text", w = 3, topN = 50)),
 
     // --- pipeline: overlapping token-window chunking (documents →
     // fixed-size training windows; map-only row multiplication)
@@ -1603,6 +1627,23 @@ object SparkEntry {
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35""".stripMargin,
 
+    "q80_semdedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |bk AS (SELECT vec_id, emb,
+        |  CAST(list_sum(list_transform(generate_series(0,7), p ->
+        |    CASE WHEN list_reduce(list_transform(generate_series(0,63), d ->
+        |           emb[d+1] * (CASE WHEN ((1103515245::BIGINT * (p*64+d+1) + 12345) % 2147483647)
+        |                                  < 1073741823 THEN 1.0 ELSE -1.0 END)),
+        |           (x,y) -> x+y) >= 0
+        |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35)
+        |SELECT vec_id, bucket AS cluster FROM bk
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
     "q29_text_quality" ->
       """WITH f AS (
         |  SELECT doc_id, text,
@@ -1637,6 +1678,65 @@ object SparkEntry {
         |            WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
         |            ELSE 'es' END AS pred_lang
         |FROM s""".stripMargin,
+
+    "q81_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                        x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+        |model AS (
+        |  SELECT tok,
+        |         CAST(round(ln((c + 1)::DOUBLE / (n + v)::DOUBLE) * 1000000.0) AS BIGINT) AS lpm
+        |  FROM counts, tot)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(lpm) AS BIGINT) AS lp_micros
+        |FROM toks t JOIN model USING (tok)
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "q82_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS dl,
+        |         list_filter(t, x -> list_contains(['spark','window','join','stream'], x)) AS qt
+        |  FROM toks),
+        |stats AS (SELECT COUNT(*) AS ndocs, SUM(dl) AS sumdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(qt) AS tok FROM base)
+        |  GROUP BY doc_id, dl, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df_ FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(ndocs AS DOUBLE) - df_ + 0.5) / (df_ + 0.5)) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(ndocs AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS contrib
+        |  FROM tf JOIN dfreq USING (tok), stats),
+        |sc AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros
+        |       FROM scored GROUP BY doc_id)
+        |SELECT doc_id, score_micros FROM (
+        |  SELECT doc_id, score_micros,
+        |         row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rn FROM sc)
+        |WHERE rn <= 20""".stripMargin,
+
+    "q83_ngram_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |cnt AS (SELECT gram, COUNT(*) AS doc_freq FROM ex GROUP BY gram)
+        |SELECT gram, doc_freq FROM (
+        |  SELECT gram, doc_freq,
+        |         row_number() OVER (ORDER BY doc_freq DESC, gram) AS rn FROM cnt)
+        |WHERE rn <= 50""".stripMargin,
 
     "q31_token_counts" ->
       """SELECT doc_id,

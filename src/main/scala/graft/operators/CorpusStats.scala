@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level statistical models for training-data curation — operators
+ * whose per-document score depends on aggregates over the WHOLE corpus
+ * (term frequencies, document frequencies, collection size), unlike the
+ * map-only per-document features in [[TextAnalysis]].
+ *
+ * Scale shape shared by all three: the corpus-wide model is built with
+ * one partial-aggregated shuffle keyed on the term (vocabulary-bounded
+ * output, map-side combine), the model is joined back, and per-document
+ * scores reduce with a second partial-aggregated shuffle keyed on the
+ * document id. Nothing is all-pairs; nothing collects to the driver —
+ * scalar corpus totals travel as a broadcast one-row cross join so the
+ * whole computation stays one lazy plan.
+ *
+ * Determinism contract (oracle-exact across engines): every per-token
+ * floating contribution is rounded to integer MICROS (`round(x*1e6)` →
+ * int64) before any order-dependent summation, so document scores are
+ * exact integer sums — the same trick the Merkle tree uses for cents
+ * (PropertyStore) — and the only cross-engine float surface is a single
+ * `ln`/`round` per distinct term, not per occurrence.
+ */
+object CorpusStats {
+
+  /** The pipeline-wide tokenization (same as quality scoring / n-gram
+    * dedup): lowercase alnum runs, everything else a separator. */
+  def tokensAlnum(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** One materialization of (id, token array) feeding model-build AND
+    * scoring subtrees — one pass over the raw text, doc-sized payload
+    * (smaller than the text itself), same policy knob as the dedup
+    * barriers (`spark.graft.dedup.barrier`). */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.barrier(df.select(col(idCol).as("id"), tokensAlnum(col(textCol)).as("toks")))
+
+  /**
+   * Unigram language-model scoring — the cheap perplexity proxy used for
+   * corpus quality filtering (the CCNet/KenLM-style signal, reduced to
+   * unigrams): the model is the corpus itself, `P(t) = (c_t + 1) / (N + V)`
+   * add-one smoothed, and each document scores the sum of its tokens'
+   * log-probabilities. Low (very negative) mean scores flag documents made
+   * of rare junk tokens; implausibly high ones flag degenerate repetition
+   * of the most common tokens.
+   *
+   * Output: (id, n_tokens, lp_micros) — `lp_micros` is Σ round(ln P(t)·1e6)
+   * over token OCCURRENCES, an exact int64 (divide by 1e6·n_tokens for the
+   * mean log-prob). Documents with zero tokens carry no score and are
+   * omitted, like every other tokenized path.
+   *
+   * Scale: vocabulary aggregate (partial agg on token), corpus totals as a
+   * broadcast one-row join, score join keyed on token (vocabulary-sized
+   * build side — AQE picks broadcast when it fits), final partial agg on id.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenized(df, idCol, textCol)
+      .select(col("id"), explode(col("toks")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
+    val model = counts.crossJoin(broadcast(totals)).select(
+      col("tok"),
+      round(log((col("c") + 1).cast("double") /
+        (col("__n") + col("__v")).cast("double")) * lit(1e6))
+        .cast("long").as("lp_micros_tok"))
+    toks.join(model, Seq("tok"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_micros_tok").as("lp_micros"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
+   * BM25 keyword retrieval (Robertson/Spärck Jones Okapi weighting): score
+   * every document against a bag of query terms, return the global top
+   * `kTop` by score with the id as the deterministic tiebreak. The engine's
+   * full-text MATCH answers "which rows contain these tokens"; this is the
+   * RANKED version a retrieval pipeline needs.
+   *
+   * Per (document, term): `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+   * with `idf = ln(1 + (N − df + ½)/(df + ½))`; contributions round to
+   * micros before the per-document sum (see the object doc), so scores are
+   * exact int64 and the top-k cut is deterministic.
+   *
+   * Scale: tokens are filtered to the query terms BEFORE the explode —
+   * postings are (matching docs × query terms)-sized, never corpus-token-
+   * sized; corpus totals (N, Σdl) travel as a broadcast one-row join; df
+   * per term is a terms-sized broadcast; the global top-k is a
+   * TakeOrderedAndProject (per-partition heaps + driver merge of kTop),
+   * not a single-partition sort.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val base = tokenized(df, idCol, textCol).select(
+      col("id"), size(col("toks")).as("dl"),
+      filter(col("toks"), t => t.isin(terms.map(lit): _*)).as("__qt"))
+    // corpus stats over ALL docs (N and avgdl include non-matching docs)
+    val stats = base.agg(count(lit(1)).as("__ndocs"), sum("dl").as("__sumdl"))
+    val tf = base.select(col("id"), col("dl"), explode(col("__qt")).as("tok"))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df_"))
+    val scored = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__sumdl").cast("double") / col("__ndocs").cast("double"))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__ndocs").cast("double") - col("df_") + lit(0.5)) /
+          (col("df_") + lit(0.5))))
+      // (1 − b) pre-folded to a literal so both engines associate the
+      // denominator identically; tf and dl enter as exact doubles
+      .withColumn("__contrib", round(
+        col("__idf") *
+          (col("tf") * lit(k1 + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("dl").cast("double") / col("__avgdl"))))) *
+          lit(1e6)).cast("long"))
+    scored.groupBy("id").agg(sum("__contrib").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("id"))
+      .limit(kTop)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
+   * Corpus n-gram statistics: document frequency of every word `w`-gram
+   * (distinct per document — the same shingle sets the dedup family
+   * blocks on), global top `topN` by frequency, gram text ascending as
+   * the deterministic tiebreak. The "what is this corpus made of" summary
+   * every curation run starts from, and the empirical source for df-cap
+   * choices in [[Dedup.ngramJaccardPairs]]-style blocking.
+   *
+   * Scale: one explode + one partial-aggregated shuffle on the gram,
+   * TakeOrderedAndProject for the cut — the same shape as a word count.
+   */
+  def ngramDocFreq(df: DataFrame, textCol: String, w: Int, topN: Int): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), w)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(topN)
+}

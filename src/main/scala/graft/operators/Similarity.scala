@@ -262,6 +262,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic deduplication"):
+   * partition the embedding space into clusters, compare pairs only WITHIN
+   * a cluster, and drop every vector that has a lower-id neighbor with
+   * cosine ≥ `threshold` in its cluster. Survivors are exactly the
+   * per-neighborhood minimum ids — a pure function of the data (the paper
+   * keeps a random representative; the min-id rule makes the survivor set
+   * deterministic, hence oracle-checkable). Like SemDeDup itself, pairs
+   * split across clusters are missed by design — that locality is what
+   * removes the O(n²) term.
+   *
+   * This variant clusters by LSH sign bucket (deterministic, engine-
+   * recomputable). Scale shape: map-only bucketing, pair space
+   * Σ_b |bucket_b|² via the shuffled equi-join of
+   * [[cosineNearDupPairsLsh]], then one id-only anti-join.
+   */
+  def semDedupSurvivors(vectors: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dropped = cosineNearDupPairsLsh(vectors, threshold, dim, nPlanes, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    vectors.select(col(idCol), lshBucket(col(vecCol), dim, nPlanes).as("cluster"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * [[semDedupSurvivors]] over a TRAINED coarse quantizer (k-means cells,
+   * e.g. [[trainIvfCentroids]] output) — the production SemDeDup shape:
+   * semantically coherent clusters instead of random hyperplane buckets,
+   * so near-duplicates co-locate by meaning rather than by chance sign
+   * agreement. Same drop rule; deterministic given the centroids, but not
+   * SQL-recomputable (iterative training), so its evidence is the suite's
+   * invariant tests, like the trained-IVF path.
+   */
+  def semDedupSurvivorsWith(vectors: DataFrame, threshold: Double,
+      cents: Array[(Long, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = cents.head._2.length
+    val flat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    import graft.functions.IvfFunctions.probeCells
+    val celled = vectors.select(col(idCol), col(vecCol),
+      explode(probeCells(col(vecCol), flat, cids, dim, 1)).as("cluster"))
+    val a = celled.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = celled.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    celled.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, left side
     * restricted by a predicate (blocking) to bound the pair space. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,

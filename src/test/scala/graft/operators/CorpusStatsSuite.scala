@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level statistical operators ([[CorpusStats]]) and SemDeDup
+ * ([[Similarity.semDedupSurvivors]]): hand-computable micro-corpora pin
+ * the model math (smoothed log-probs, Okapi weighting, df counting) and
+ * the survivor rule, independent of the DuckDB oracle.
+ */
+class CorpusStatsSuite extends SparkSpec {
+
+  import spark.implicits._
+
+  // 4-doc corpus with a fully hand-countable vocabulary
+  private lazy val docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "the dog sat on the mat"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("unigramLogProb: add-one smoothed micros match a hand computation") {
+    val out = CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus: the×4 cat×2 sat×2 ran dog on mat  → N=12, V=7
+    val n = 12.0 + 7.0
+    def lp(c: Long): Long = math.round(math.log((c + 1) / n) * 1e6)
+    assert(out(1L) == ((3L, lp(4) + lp(2) + lp(2))))
+    assert(out(2L) == ((3L, lp(4) + lp(2) + lp(1))))
+    assert(out(3L) == ((6L, 2 * lp(4) + lp(1) + lp(2) + lp(1) + lp(1))))
+    // zero-token docs carry no score
+    assert(!out.contains(4L))
+  }
+
+  test("bm25TopK: ranks the doc with more query-term mass first, exact micros") {
+    val out = CorpusStats.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("cat", "dog"), kTop = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // docs 1,2 contain cat (df=2); doc 3 contains dog (df=1, higher idf)
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    val n = 4.0; val sumdl = 12.0; val avgdl = sumdl / 4.0
+    def score(df: Int, dl: Int): Long = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tfTerm = 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      math.round(idf * tfTerm * 1e6)
+    }
+    val byId = out.toMap
+    assert(byId(1L) == score(2, 3))
+    assert(byId(2L) == score(2, 3))
+    assert(byId(3L) == score(1, 6))
+    // dog's rarity (idf) outweighs doc 3's length penalty here
+    assert(out.head._1 == 3L, out.mkString(","))
+  }
+
+  test("bm25TopK: kTop caps and ties break by id ascending") {
+    val out = CorpusStats.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("cat"), kTop = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L) // docs 1,2 tie on score; min id wins
+  }
+
+  test("ngramDocFreq counts distinct-per-document grams with gram tiebreak") {
+    val out = CorpusStats.ngramDocFreq(
+      Seq("a b c a b c", "a b c").toDF("text"), "text", w = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // doc1 grams: {a b c, b c a, c a b} (a-b-c appears twice but counts once)
+    assert(out.toMap == Map("a b c" -> 2L, "b c a" -> 1L, "c a b" -> 1L))
+    assert(out.head == (("a b c", 2L)))
+    // remaining tie on 1 breaks by gram ascending
+    assert(out.map(_._1).toSeq == Seq("a b c", "b c a", "c a b"))
+  }
+
+  // --- SemDeDup ---
+
+  /** Two tight semantic clusters (axis 0 and axis 1), 4 vectors each,
+    * plus one isolated vector. Within-cluster cosine ≈ 1, cross ≈ 0. */
+  private lazy val vecs = {
+    val rows =
+      (0 until 4).map(i => (i.toLong, Array.tabulate(8)(d => if (d == 0) 1.0 else 0.001 * i))) ++
+      (4 until 8).map(i => (i.toLong, Array.tabulate(8)(d => if (d == 1) 1.0 else 0.001 * i))) ++
+      Seq((8L, Array.tabulate(8)(d => if (d == 7) 1.0 else 0.0)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semDedupSurvivors keeps exactly the min-id per dense neighborhood") {
+    val out = Similarity.semDedupSurvivors(vecs, threshold = 0.9, dim = 8, nPlanes = 6)
+      .select("vec_id").as[Long].collect().toSet
+    // LSH sign buckets are deterministic; near-identical vectors share a
+    // bucket, so each cluster collapses to its min id; the isolate survives.
+    assert(out.contains(0L) && out.contains(4L) && out.contains(8L), out)
+    assert(!out.exists(id => (id > 0 && id < 4) || (id > 4 && id < 8)), out)
+  }
+
+  test("semDedupSurvivorsWith drops within-cell dups, keeps min id per cell") {
+    // explicit centroids pin the cell assignment so the survivor set is exact
+    val cents = Array(
+      (0L, Array.tabulate(8)(d => if (d == 0) 1.0 else 0.0)),
+      (1L, Array.tabulate(8)(d => if (d == 1) 1.0 else 0.0)),
+      (2L, Array.tabulate(8)(d => if (d == 7) 1.0 else 0.0)))
+    val out = Similarity.semDedupSurvivorsWith(vecs, threshold = 0.9, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(0L, 4L, 8L), out)
+  }
+
+  test("semDedupSurvivorsWith over trained cells: survivors form an " +
+      "independent set — no within-cell near-dup pair survives") {
+    val cents = Similarity.trainIvfCentroids(vecs, nlist = 3, iters = 5)
+    val out = Similarity.semDedupSurvivorsWith(vecs, threshold = 0.9, cents)
+      .select("cluster", "vec_id").as[(Long, Long)].collect()
+    val survivors = out.map(_._2).toSet
+    assert(survivors.contains(0L) && survivors.contains(8L))
+    val byVec = vecs.as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for {
+      (c, ids) <- out.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      Array(x, y) <- ids.combinations(2).map(_.toArray)
+    } assert(cos(byVec(x), byVec(y)) < 0.9,
+      s"survivors $x,$y in cell $c are still near-dups")
+  }
+
+  test("semDedupSurvivorsWith is deterministic across runs") {
+    val cents = Similarity.trainIvfCentroids(vecs, nlist = 3, iters = 3)
+    val a = Similarity.semDedupSurvivorsWith(vecs, 0.9, cents)
+      .orderBy("vec_id").collect().toSeq
+    val b = Similarity.semDedupSurvivorsWith(vecs, 0.9, cents)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+}
