@@ -696,6 +696,23 @@ object SparkEntry {
     "q83_ngram_stats" -> ((s, d) =>
       CorpusStats.ngramDocFreq(docs(s, d), "text", w = 3, topN = 50)),
 
+    // --- pipeline: CCNet-style head/middle/tail perplexity tiers —
+    // thresholds from a 10% deterministic hash sample's ⅓/⅔ order stats
+    "q84_perplexity_tiers" -> ((s, d) =>
+      CorpusStats.perplexityTiers(docs(s, d), "doc_id", "text",
+        samplePpm = 100000L)),
+
+    // --- pipeline: deterministic global shuffle → 16 training shards,
+    // with each doc's write position within its shard
+    "q85_training_shards" -> ((s, d) =>
+      TextAnalysis.trainingShards(docs(s, d), "doc_id", nShards = 16)),
+
+    // --- pipeline: token-budget prefix cut in shuffle order — the
+    // distributed two-pass prefix sum, no global sort
+    "q86_token_budget_cut" -> ((s, d) =>
+      TextAnalysis.tokenBudgetCut(docs(s, d), "doc_id", "text",
+        budget = 15000L)),
+
     // --- pipeline: overlapping token-window chunking (documents →
     // fixed-size training windows; map-only row multiplication)
     "q61_chunking" -> ((s, d) =>
@@ -1737,6 +1754,55 @@ object SparkEntry {
         |  SELECT gram, doc_freq,
         |         row_number() OVER (ORDER BY doc_freq DESC, gram) AS rn FROM cnt)
         |WHERE rn <= 50""".stripMargin,
+
+    "q84_perplexity_tiers" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                        x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+        |model AS (
+        |  SELECT tok,
+        |         CAST(round(ln((c + 1)::DOUBLE / (n + v)::DOUBLE) * 1000000.0) AS BIGINT) AS lpm
+        |  FROM counts, tot),
+        |scored AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(lpm) AS BIGINT) AS lp
+        |  FROM toks t JOIN model USING (tok) GROUP BY t.doc_id),
+        |s2 AS (SELECT doc_id, n_tokens, (-lp) // n_tokens AS surprisal_micros FROM scored),
+        |samp AS (SELECT doc_id, surprisal_micros FROM s2
+        |         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < 100000),
+        |rk AS (SELECT surprisal_micros,
+        |              row_number() OVER (ORDER BY surprisal_micros, doc_id) AS rn,
+        |              COUNT(*) OVER () AS n
+        |       FROM samp),
+        |cuts AS (SELECT MIN(surprisal_micros) AS t1, MAX(surprisal_micros) AS t2 FROM rk
+        |         WHERE rn = GREATEST(1, n // 3) OR rn = GREATEST(1, (n * 2) // 3))
+        |SELECT doc_id, n_tokens, surprisal_micros,
+        |       CASE WHEN surprisal_micros <= t1 THEN 'head'
+        |            WHEN surprisal_micros <= t2 THEN 'middle'
+        |            ELSE 'tail' END AS tier
+        |FROM s2, cuts""".stripMargin,
+
+    "q85_training_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |           FROM documents)
+        |SELECT doc_id, h % 16 AS shard,
+        |       row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+        |FROM h""".stripMargin,
+
+    "q86_token_budget_cut" ->
+      """WITH h AS (SELECT doc_id,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT doc_id, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM h)
+        |WHERE cum_tokens <= 15000""".stripMargin,
 
     "q31_token_counts" ->
       """SELECT doc_id,

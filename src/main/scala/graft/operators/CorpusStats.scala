@@ -73,6 +73,58 @@ object CorpusStats {
   }
 
   /**
+   * CCNet-style perplexity-tier bucketing (Wenzek et al. 2020, "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+   * split the corpus into head / middle / tail thirds by language-model
+   * surprisal — head = most-fluent third (lowest mean negative log-prob
+   * under [[unigramLogProb]]'s corpus model), tail = least. CCNet draws
+   * its thresholds from a sample of the corpus, not a global sort; so
+   * does this: a deterministic hash sample (`samplePpm`, same md5 rule as
+   * `TextAnalysis.sampleByHash`) is ranked and the ⅓ / ⅔ order statistics
+   * become the cut points.
+   *
+   * Determinism: per-doc surprisal is `(-lp_micros) div n_tokens` — both
+   * operands positive, so truncating and flooring division agree and any
+   * engine computes the identical int64. Docs AT a threshold fall into
+   * the better tier (`<=`), making ties deterministic.
+   *
+   * Scale shape: scoring is [[unigramLogProb]]'s two partial-agg
+   * shuffles; the sample is ppm-bounded, so its rank window is a
+   * documented single-partition pass over a sample-sized set; the two
+   * threshold values broadcast back as a one-row cross join. No global
+   * sort of the corpus anywhere.
+   *
+   * @return (id, n_tokens, surprisal_micros, tier)
+   */
+  def perplexityTiers(df: DataFrame, idCol: String, textCol: String,
+      samplePpm: Long = 100000L, salt: String = ""): DataFrame = {
+    require(samplePpm > 0 && samplePpm <= 1000000L, "samplePpm is 1..1000000")
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(df, idCol, textCol)
+      .withColumn("surprisal_micros", expr("(-lp_micros) div n_tokens"))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    val sample = scored.filter(h % 1000000L < samplePpm)
+      .select(col(idCol), col("surprisal_micros"))
+    // bounded by samplePpm — a single-partition window over the SAMPLE
+    val ranked = sample
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("surprisal_micros"), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy()))
+    val cuts = ranked.filter(
+        col("__rn") === greatest(lit(1L), expr("__n div 3")) ||
+        col("__rn") === greatest(lit(1L), expr("(__n * 2) div 3")))
+      .agg(min("surprisal_micros").as("__t1"), max("surprisal_micros").as("__t2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("surprisal_micros") <= col("__t1"), lit("head"))
+          .when(col("surprisal_micros") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("n_tokens"), col("surprisal_micros"), col("tier"))
+  }
+
+  /**
    * BM25 keyword retrieval (Robertson/Spärck Jones Okapi weighting): score
    * every document against a bag of query terms, return the global top
    * `kTop` by score with the id as the deterministic tiebreak. The engine's

@@ -365,4 +365,80 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("widx"), col("wtext")))),
           s => s("wtext")), " ").as("text_dedup"))
   }
+
+  /** The 60-bit md5 shuffle key shared by the export shapers below and
+    * [[sampleByHash]]/[[mixtureSample]]: a pure function of (id, salt),
+    * so the training order is stable across runs, engines, partitionings,
+    * and re-ingests — and a different salt is a fresh epoch permutation. */
+  private def shuffleKey(idCol: String, salt: String): Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+
+  /**
+   * Deterministic training-shard assignment: the "global shuffle then
+   * write N shards" step every pretraining export ends with. Each doc
+   * gets `shard = h mod nShards` and `pos` = its rank within the shard
+   * by (h, id) — exactly the write order of that shard's file. Because
+   * the permutation is the hash, NO global sort happens: one hash
+   * shuffle on the shard key, then an in-shard sort, which is the
+   * minimum work any sharded writer does. A writer maps this 1:1 to
+   * `repartition(nShards, shard).sortWithinPartitions(h, id).write`.
+   *
+   * @return (id, shard, pos) — pos is 1-based within the shard
+   */
+  def trainingShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = shuffleKey(idCol, salt)
+    df.select(col(idCol), (h % nShards).as("shard"), h.as("__h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__h"), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /**
+   * Token-budget prefix cut: walk the corpus in deterministic-shuffle
+   * order (h, id) and keep documents while the running token total stays
+   * within `budget` — "give me the first N tokens of a shuffled corpus",
+   * the exact-budget variant of [[mixtureSample]]'s rate sampling.
+   *
+   * The global running sum is computed WITHOUT a global sort: the hash
+   * key is range-bucketed (`h div 2^54` → 64 buckets, monotone in h, so
+   * (bucket, h, id) IS (h, id) order), per-bucket token totals are a
+   * bounded aggregate whose running offsets broadcast back, and the
+   * within-bucket cumulative sum is a partitioned window — the classic
+   * two-pass distributed prefix sum. Each doc's `cum_tokens` is its
+   * offset + in-bucket running sum, identical to the single-machine
+   * cumulative sum any engine computes over the same order.
+   *
+   * @return (id, n_tokens, cum_tokens) for kept docs — cum_tokens ≤ budget
+   */
+  def tokenBudgetCut(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 0L, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val h = shuffleKey(idCol, salt)
+    val base = df.select(col(idCol), h.as("__h"),
+      (h / lit(1L << 54)).as("__bucket"),
+      tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+    // pass 1: bounded (≤64-row) bucket totals; their EXCLUSIVE running
+    // sum is each bucket's global offset — a single-partition window
+    // over a dimension-sized set
+    val offsets = base.groupBy("__bucket")
+      .agg(sum("n_tokens").as("__btot"))
+      .withColumn("__offset",
+        coalesce(sum("__btot").over(
+          Window.orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__offset")
+    // pass 2: in-bucket running sum + broadcast offset = global prefix
+    base.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("cum_tokens", col("__offset") + sum("n_tokens").over(
+        Window.partitionBy("__bucket").orderBy(col("__h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -195,4 +195,33 @@ class PlanShapeSuite extends SparkSpec {
     assert(!p.contains("Window"))
     assert(p.contains("ObjectHashAggregate"))
   }
+
+  test("q84 perplexity tiers: corpus scoring never sorts globally; cuts broadcast") {
+    val p = plan("q84_perplexity_tiers")
+    // exactly one single-partition window — over the ppm-BOUNDED sample
+    // (the rank that yields the two cut points); the corpus-wide scoring
+    // and tier assignment must not sort
+    assert("Window".r.findAllIn(p).size <= 2, p.take(3000)) // rn + count share a spec
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "threshold row lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q85 training shards: ONE hash exchange on the shard key, in-shard sort only") {
+    val p = plan("q85_training_shards")
+    // global sort would show as a range Exchange; shard assignment is a
+    // single hashpartitioning exchange + sortWithinPartition
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("q86 token-budget cut: two-pass prefix sum, no corpus-wide single partition") {
+    val p = plan("q86_token_budget_cut")
+    // the SinglePartition exchange feeds only the ≤64-row bucket totals;
+    // the corpus-side running sum is a bucket-partitioned window
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("rangepartitioning"),
+      "corpus-wide global sort — the bucketed prefix sum degenerated")
+    assert(p.contains("BroadcastExchange"), "bucket offsets lost their broadcast")
+  }
 }

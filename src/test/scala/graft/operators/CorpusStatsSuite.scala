@@ -123,6 +123,61 @@ class CorpusStatsSuite extends SparkSpec {
       s"survivors $x,$y in cell $c are still near-dups")
   }
 
+  // --- export shapers (TextAnalysis) & perplexity tiers -------------------
+
+  private lazy val corpus = Seq.tabulate(40) { i =>
+    // vary length and vocabulary so surprisal and token counts spread
+    (i.toLong, (Seq.fill(3 + i % 7)("the cat") ++ Seq(s"rare$i")).mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("perplexityTiers: full-corpus sample partitions monotonically by surprisal") {
+    val out = CorpusStats.perplexityTiers(corpus, "doc_id", "text",
+      samplePpm = 1000000L)
+      .select("tier", "surprisal_micros").as[(String, Long)].collect()
+    val byTier = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byTier.keySet == Set("head", "middle", "tail"), byTier.keySet)
+    // head = most fluent (lowest surprisal); boundaries never interleave
+    assert(byTier("head").max <= byTier("middle").min)
+    assert(byTier("middle").max <= byTier("tail").min)
+    assert(out.length == 40)
+  }
+
+  test("trainingShards: total preservation, contiguous 1-based in-shard positions") {
+    val out = TextAnalysis.trainingShards(corpus, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 40 && out.map(_._1).toSet.size == 40)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    for ((_, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // determinism: a second run is byte-identical
+    val again = TextAnalysis.trainingShards(corpus, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("tokenBudgetCut: two-pass prefix sum matches the naive global-sort cut") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 120L
+    val got = TextAnalysis.tokenBudgetCut(corpus, "doc_id", "text", budget)
+      .select("doc_id", "n_tokens", "cum_tokens").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // naive single-partition reference: global sort by the same (h, id)
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(""))), 1, 15),
+      16, 10).cast("long")
+    val naive = corpus.select(col("doc_id"), h.as("h"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "cum_tokens").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == naive)
+    // the budget actually bites: something kept, something excluded
+    assert(got.nonEmpty && got.length < 40)
+    assert(got.map(_._2).sum <= budget)
+  }
+
   test("semDedupSurvivorsWith is deterministic across runs") {
     val cents = Similarity.trainIvfCentroids(vecs, nlist = 3, iters = 3)
     val a = Similarity.semDedupSurvivorsWith(vecs, 0.9, cents)
