@@ -121,8 +121,10 @@ object SparkEntry {
       val raw = s.read.parquet(s"$d/events.parquet")
       val src = s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
+      val tsUs = (Catalog.tsNanosExpr(raw.schema("ts").dataType) / 1000L)
+        .cast("long")
       val pts = src.select(
-        timestamp_micros(expr("CAST(ts AS LONG) DIV 1000")).as("ts"),
+        timestamp_micros(tsUs).as("ts"),
         col("user_id").cast("string").as("entity"),
         floor(col("value")).cast("long").as("value"))
       // Each shuffle partition of a stateful operator carries a state

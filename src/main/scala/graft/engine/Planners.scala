@@ -57,7 +57,41 @@ object Planners {
                 Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
               catch { case _: ArithmeticException =>
                 if (i.getEpochSecond < 0) Long.MinValue else Long.MaxValue }
-            df.filter(ts >= lit(ns(b)) && ts < lit(ns(e)))
+            val (bNs, eNs) = (ns(b), ns(e))
+            // When ts_ns is DERIVED from a physical timestamp column (the
+            // timestamp[us] testdata encoding), a filter on the derived
+            // column cannot reach the parquet scan; mirror the range onto
+            // the physical `ts` (widened outward to µs bounds — the exact
+            // ns cut stays with the ts_ns filter) so row groups prune.
+            val mirror: Option[Column] =
+              if (name != "ts_ns") None
+              else df.schema.fields.find(_.name == "ts").flatMap { f =>
+                def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+                  Math.floorDiv(us, 1000000L),
+                  (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                  java.time.ZoneOffset.UTC)
+                def ltz(us: Long) = java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+                val toLit: Option[Long => Column] = f.dataType match {
+                  case org.apache.spark.sql.types.TimestampNTZType =>
+                    Some(us => lit(ntz(us)))
+                  case org.apache.spark.sql.types.TimestampType =>
+                    Some(us => lit(ltz(us)))
+                  case _ => None
+                }
+                toLit.map { mk =>
+                  val lo = col("ts") >= mk(Math.floorDiv(bNs, 1000L))
+                  // ceil-div for the exclusive end, saturating near Long.Max
+                  if (eNs > Long.MaxValue - 999L) lo
+                  else lo && col("ts") < mk(Math.floorDiv(eNs + 999L, 1000L))
+                }
+              }
+            val exact = ts >= lit(bNs) && ts < lit(eNs)
+            df.filter(mirror.fold(exact)(m => m && exact))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            def ntz(i: java.time.Instant) =
+              java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+            df.filter(ts >= lit(ntz(b)) && ts < lit(ntz(e)))
           case _ =>
             df.filter(ts >= lit(java.sql.Timestamp.from(b)) && ts < lit(java.sql.Timestamp.from(e)))
         }

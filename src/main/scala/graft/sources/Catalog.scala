@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -54,17 +54,46 @@ final case class TableDef(
 
 object Catalog {
 
+  /** Raw-epoch-nanos expression for an events `ts` column, independent of
+    * BOTH the physical encoding and the session timezone. The driver has
+    * shipped two encodings across testdata generations: parquet
+    * `timestamp[ns]` (readable only as long via nanosAsLong) and
+    * `timestamp[us]` (TIMESTAMP_NTZ). NTZ wall-clock is UTC by the
+    * generator's contract; wall-clock difference from the NTZ epoch is
+    * timezone-free arithmetic, unlike a cast through TimestampType which
+    * would shift with `spark.sql.session.timeZone`. */
+  def tsNanosExpr(dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => col("ts")
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000")
+      case TimestampType => expr("unix_micros(ts) * 1000")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events ts type: $other")
+    }
+  }
+
   /** Parquet `timestamp[ns]` is not readable as TimestampType by Spark
     * (PARQUET_TYPE_ILLEGAL); read nanos as long and truncate to micros —
-    * same truncation DuckDB applies casting ns→µs, so oracle results agree. */
+    * same truncation DuckDB applies casting ns→µs, so oracle results agree.
+    * A `timestamp[us]` encoding instead KEEPS `ts` as the physical column
+    * (so time filters mirrored onto it still push down to the parquet scan
+    * — see Planners.applyTime) and derives the raw-nanos `ts_ns` that all
+    * engine arithmetic runs on. */
   def readParquet(spark: SparkSession, dir: String, table: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$table.parquet")
     table match {
       case "events" =>
-        // keep the raw nanos for exact arithmetic, expose a µs timestamp
-        raw.withColumn("ts_ns", col("ts").cast("long"))
-          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // keep the raw nanos for exact arithmetic, expose a µs timestamp
+            raw.withColumn("ts_ns", col("ts"))
+              .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+          case dt =>
+            raw.withColumn("ts_ns", tsNanosExpr(dt))
+        }
       case _ => raw
     }
   }

@@ -38,7 +38,7 @@ class IntegrationSuite extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(rawSchema).parquet(srcDir)
-      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts_ns", graft.sources.Catalog.tsNanosExpr(rawSchema("ts").dataType))
     Write.streamSink(stream, root, spec, tmp("itckpt")).awaitTermination()
 
     // 2. measure query over the ingested layout vs over the source (S1)
@@ -67,7 +67,7 @@ class IntegrationSuite extends SparkSpec {
     val layoutStream = spark.readStream
       .schema(spark.read.parquet(flat).schema).parquet(flat)
     val ptsStream = layoutStream.select(
-      timestamp_micros(expr("CAST(ts AS LONG) DIV 1000")).as("ts"),
+      timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
       col("user_id").cast("string").as("entity"),
       floor(col("value")).cast("long").as("value"))
     val streamed = TopNStream.replayToBatch(ptsStream,

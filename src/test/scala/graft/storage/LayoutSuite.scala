@@ -162,7 +162,7 @@ class LayoutSuite extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(srcDir).schema
     val src = spark.readStream.schema(rawSchema).parquet(srcDir)
-      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts_ns", graft.sources.Catalog.tsNanosExpr(rawSchema("ts").dataType))
     val q = Write.streamSink(src, root, spec, ckpt)
     q.awaitTermination()
     val back = Layout.read(spark, root, spec)
