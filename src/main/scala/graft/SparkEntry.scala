@@ -715,6 +715,13 @@ object SparkEntry {
       TextAnalysis.tokenBudgetCut(docs(s, d), "doc_id", "text",
         budget = 15000L)),
 
+    // --- pipeline: exact-substring span dedup (Lee et al. 2021) —
+    // stride-1 16-token spans, first corpus-wide occurrence survives,
+    // every other occurrence's span is cut and the doc reassembles
+    "q87_span_dedup" -> ((s, d) =>
+      TextAnalysis.spanDedup(docs(s, d), "doc_id", "text", spanTokens = 16)
+        .withColumnRenamed("id", "doc_id")),
+
     // --- pipeline: overlapping token-window chunking (documents →
     // fixed-size training windows; map-only row multiplication)
     "q61_chunking" -> ((s, d) =>
@@ -1805,6 +1812,31 @@ object SparkEntry {
         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM h)
         |WHERE cum_tokens <= 15000""".stripMargin,
+
+    "q87_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |sh AS (SELECT doc_id, unnest(generate_series(0, n - 16)) AS p, t FROM base WHERE n >= 16),
+        |keyed AS (SELECT doc_id, p,
+        |    ('0x' || substr(md5(array_to_string(t[p+1 : p+16], ' ')), 1, 15))::BIGINT AS k
+        |  FROM sh),
+        |vic AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn
+        |    FROM keyed) WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 15)) AS q FROM vic),
+        |pos AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS q, t FROM base),
+        |keptp AS (SELECT pos.doc_id, pos.q, pos.t[pos.q + 1] AS tok
+        |          FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.q = cov.q
+        |          WHERE cov.q IS NULL),
+        |res AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY q) AS text_dedup
+        |        FROM keptp GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |       CAST(b.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |       COALESCE(r.text_dedup, '') AS text_dedup
+        |FROM base b LEFT JOIN res r USING (doc_id)""".stripMargin,
 
     "q31_token_counts" ->
       """SELECT doc_id,

@@ -366,6 +366,93 @@ object TextAnalysis {
           s => s("wtext")), " ").as("text_dedup"))
   }
 
+  /**
+   * Exact-substring span dedup — the stride-1 completion of
+   * [[windowDedup]], after "Deduplicating Training Data Makes Language
+   * Models Better" (Lee et al. 2021): every `spanTokens`-token substring
+   * occurring more than once corpus-wide keeps only its FIRST occurrence
+   * (ordered by (id, start position)); every other occurrence's token
+   * span is cut from its document, overlapping cut spans merging into one
+   * removed region. Unlike windowDedup's fixed grid, this catches
+   * duplicated passages at ANY offset — the suffix-array result, reached
+   * with distributable primitives (the suffix array itself does not
+   * shard).
+   *
+   * Scale shape: three bounded shuffles. (1) The posting shuffle —
+   * (span-hash int64, id, pos) per token position, the honest minimum
+   * payload for substring-level dedup (Lee et al.'s suffix array is the
+   * same order) — feeds ONE `row_number` window partitioned by the
+   * 60-bit span hash (corpus-cardinality key, so per-partition state is
+   * a handful of rows; rank>1 marks victims without the second postings
+   * shuffle a keeper-join would cost, and unlike windowDedup we need the
+   * victims, not just the keepers). (2) Victim starts group by id —
+   * buffer bounded by document length. (3) The id-equi-join back to the
+   * documents. Span merging and text reassembly are per-row array
+   * kernels (sorted starts fold into disjoint intervals, so the covered
+   * array is at most the document's token count).
+   *
+   * Hash note: spans compare by the first 60 bits of md5 of the joined
+   * span text (engine-portable like the other dedup paths); a collision
+   * (~n²/2⁶¹) removes a non-duplicate span.
+   *
+   * @return (id, n_tokens, n_removed, text_dedup) for every doc with at
+   *         least one token; n_removed = 0 for docs shorter than
+   *         `spanTokens` or with no repeated span; text_dedup = "" when
+   *         everything was cut
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 1, "spanTokens must be > 1")
+    import org.apache.spark.sql.expressions.Window
+    val L = spanTokens
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val base = df.select(col(idCol).as("id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+    val occ = base.filter(col("__n") >= L)
+      .select(col("id"), explode(sequence(lit(0), col("__n") - L)).as("p"),
+        col("__toks"))
+      .select(col("id"), col("p"),
+        conv(substring(md5(array_join(
+          slice(col("__toks"), col("p") + 1, lit(L)), " ")), 1, 15),
+          16, 10).cast("long").as("k"))
+    val victims = occ
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("id"), col("p"))))
+      .filter(col("__rn") > 1)
+      .select("id", "p")
+    // sorted span starts -> disjoint [s, e) intervals (equal-length spans:
+    // sorted starts mean the running end only ever grows)
+    val spans = victims.groupBy("id")
+      .agg(array_sort(collect_list(col("p"))).as("__ps"))
+      .withColumn("__iv", expr(
+        s"""aggregate(__ps,
+             named_struct('ivs', cast(array() as array<struct<s:int,e:int>>),
+                          'cs', -1, 'ce', -1),
+             (a, p) -> IF(a.ce < 0,
+               named_struct('ivs', a.ivs, 'cs', p, 'ce', p + $L),
+               IF(p <= a.ce,
+                 named_struct('ivs', a.ivs, 'cs', a.cs,
+                              'ce', greatest(a.ce, p + $L)),
+                 named_struct(
+                   'ivs', concat(a.ivs,
+                     array(named_struct('s', a.cs, 'e', a.ce))),
+                   'cs', p, 'ce', p + $L))),
+             a -> IF(a.cs < 0, a.ivs,
+               concat(a.ivs, array(named_struct('s', a.cs, 'e', a.ce)))))"""))
+      .select("id", "__iv")
+    base.join(spans, Seq("id"), "left")
+      .withColumn("__cov", coalesce(
+        expr("flatten(transform(__iv, iv -> sequence(iv.s, iv.e - 1)))"),
+        expr("cast(array() as array<int>)")))
+      .withColumn("__kept", expr("array_except(sequence(0, __n - 1), __cov)"))
+      .select(col("id"),
+        col("__n").cast("long").as("n_tokens"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"),
+          p => element_at(col("__toks"), p + 1)), " ").as("text_dedup"))
+  }
+
   /** The 60-bit md5 shuffle key shared by the export shapers below and
     * [[sampleByHash]]/[[mixtureSample]]: a pure function of (id, salt),
     * so the training order is stable across runs, engines, partitionings,

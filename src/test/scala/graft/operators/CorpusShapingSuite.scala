@@ -272,6 +272,54 @@ class CorpusShapingSuite extends SparkSpec {
       4L -> ((1L, "g"))))
   }
 
+  test("spanDedup: cross-doc and within-doc spans cut, overlaps merge, short docs pass") {
+    val docs = docsOf(Seq(
+      1L -> "a b c d e f",       // first occurrence of every span it has
+      2L -> "x y a b c d z w",   // contains doc 1's [a b c d] at offset 2 → cut
+      3L -> "p q r",             // shorter than L=4 → untouched
+      4L -> "m n o p q m n o p q")) // within-doc repeat at offset 5 → cut
+    val got = TextAnalysis.spanDedup(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((6L, 0L, "a b c d e f")))
+    assert(got(2L) == ((8L, 4L, "x y z w")))
+    assert(got(3L) == ((3L, 0L, "p q r")))
+    // doc 4: victims are starts 5,6 (repeats of its own spans at 0,1) →
+    // the two overlapping cut spans merge into covered [5,10)
+    assert(got(4L) == ((10L, 5L, "m n o p q")))
+  }
+
+  test("spanDedup: equals the brute-force spec on the sf0.001 corpus") {
+    val L = 16
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.spanDedup(docs, "doc_id", "text", spanTokens = L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val toks = raw.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toVector }.filter(_._2.nonEmpty)
+    val first = scala.collection.mutable.Map[String, (Long, Int)]()
+    for ((id, tv) <- toks; p <- 0 to tv.length - L) {
+      val s = tv.slice(p, p + L).mkString(" ")
+      if (!first.contains(s)) first(s) = (id, p)
+    }
+    val expect = toks.map { case (id, tv) =>
+      val covered = scala.collection.mutable.Set[Int]()
+      for (p <- 0 to tv.length - L) {
+        val s = tv.slice(p, p + L).mkString(" ")
+        if (first(s) != ((id, p))) covered ++= (p until p + L)
+      }
+      val kept = tv.indices.filterNot(covered)
+      id -> ((tv.length.toLong, covered.size.toLong,
+        kept.map(tv).mkString(" ")))
+    }.toMap
+    assert(got == expect)
+    // and the corpus actually exercises the operator
+    assert(got.values.exists(_._2 > 0L))
+  }
+
   test("winnowFingerprints: shared long substring guarantees a shared hash; edges") {
     val shared = "zq wv xk pj rt ln md fh"           // 23 canonical chars >> w+k-1
     val docs = docsOf(Seq(
