@@ -238,20 +238,26 @@ object TextAnalysis {
     val n = size(t)
     // n-grams WITH multiplicity (the distinct-shingle kernel can't see
     // repeats): zip shifted slices of one token array; slice lengths clamp
-    // at 0 for docs shorter than the gram order
+    // at 0 for docs shorter than the gram order. Each gram array lands in
+    // its OWN projection column before dupFrac reads it twice (numerator
+    // array_distinct + denominator size): lambda subtrees get no CSE, and
+    // CollapseProject keeps a multiply-referenced non-cheap alias in its
+    // own project, so the zip_with chain runs once per row, not twice.
+    // 3-grams likewise extend the materialized 2-grams instead of
+    // re-concatenating from scratch.
     val len2 = greatest(n - 1, lit(0))
     val len3 = greatest(n - 2, lit(0))
     val grams2 = zip_with(slice(t, lit(1), len2), slice(t, lit(2), len2),
       (a, b) => concat_ws(" ", a, b))
-    val grams3 = zip_with(
-      zip_with(slice(t, lit(1), len3), slice(t, lit(2), len3),
-        (a, b) => concat_ws(" ", a, b)),
+    val grams3 = zip_with(slice(col("__g2"), lit(1), len3),
       slice(t, lit(3), len3), (ab, c) => concat_ws(" ", ab, c))
     df.withColumn("__rtoks", toks)
+      .withColumn("__g2", grams2)
+      .withColumn("__g3", grams3)
       .withColumn("dup_word_frac", dupFrac(t))
-      .withColumn("dup_2gram_frac", dupFrac(grams2))
-      .withColumn("dup_3gram_frac", dupFrac(grams3))
-      .drop("__rtoks")
+      .withColumn("dup_2gram_frac", dupFrac(col("__g2")))
+      .withColumn("dup_3gram_frac", dupFrac(col("__g3")))
+      .drop("__rtoks", "__g2", "__g3")
   }
 
   /** PII-bearing spans a scrub pass redacts: emails, dotted-quad IPs, long
