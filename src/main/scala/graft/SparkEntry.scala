@@ -722,6 +722,14 @@ object SparkEntry {
       TextAnalysis.spanDedup(docs(s, d), "doc_id", "text", spanTokens = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // --- pipeline: hybrid retrieval — BM25 top-100 and cosine top-100
+    // around one query embedding fuse by reciprocal rank (doc_id and
+    // vec_id share the id space in the testdata corpus)
+    "q88_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrfTopK(docs(s, d), emb(s, d),
+        queryTerms = Seq("spark", "window", "join", "stream"),
+        queryVecId = 7L, kTop = 20)),
+
     // --- pipeline: overlapping token-window chunking (documents →
     // fixed-size training windows; map-only row multiplication)
     "q61_chunking" -> ((s, d) =>
@@ -1837,6 +1845,51 @@ object SparkEntry {
         |       CAST(b.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
         |       COALESCE(r.text_dedup, '') AS text_dedup
         |FROM base b LEFT JOIN res r USING (doc_id)""".stripMargin,
+
+    "q88_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS dl,
+        |         list_filter(t, x -> list_contains(['spark','window','join','stream'], x)) AS qt
+        |  FROM toks),
+        |stats AS (SELECT COUNT(*) AS ndocs, SUM(dl) AS sumdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(qt) AS tok FROM base)
+        |  GROUP BY doc_id, dl, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df_ FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(ndocs AS DOUBLE) - df_ + 0.5) / (df_ + 0.5)) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(ndocs AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS contrib
+        |  FROM tf JOIN dfreq USING (tok), stats),
+        |sc AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros
+        |       FROM scored GROUP BY doc_id),
+        |lex AS (SELECT doc_id AS id, CAST(rn AS BIGINT) AS lex_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rn FROM sc)
+        |  WHERE rn <= 100),
+        |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |semsc AS (SELECT e.vec_id AS id,
+        |    round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM qv, embeddings e WHERE e.vec_id <> 7),
+        |sem AS (SELECT id, CAST(rank AS BIGINT) AS sem_rank FROM (
+        |    SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank FROM semsc)
+        |  WHERE rank <= 100),
+        |fused AS (
+        |  SELECT COALESCE(lex.id, sem.id) AS doc_id,
+        |         COALESCE(lex_rank, 0) AS lex_rank,
+        |         COALESCE(sem_rank, 0) AS sem_rank,
+        |         COALESCE(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT), 0) +
+        |         COALESCE(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT), 0) AS rrf_nanos
+        |  FROM lex FULL JOIN sem ON lex.id = sem.id)
+        |SELECT doc_id, lex_rank, sem_rank, rrf_nanos FROM (
+        |  SELECT *, row_number() OVER (ORDER BY rrf_nanos DESC, doc_id) AS rn FROM fused)
+        |WHERE rn <= 20""".stripMargin,
 
     "q31_token_counts" ->
       """SELECT doc_id,

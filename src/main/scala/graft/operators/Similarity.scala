@@ -342,4 +342,51 @@ object Similarity {
       .filter(col("sim_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
+
+  /**
+   * Hybrid lexical+semantic retrieval by reciprocal-rank fusion
+   * (Cormack et al. 2009): fuse the BM25 top-`poolSize` for
+   * `queryTerms` with the exact cosine top-`poolSize` around the
+   * `queryVecId` embedding, score = Σ 1/(kRrf + rank) over the lists
+   * that contain the doc, and return the top `kTop` fused results.
+   * The standard first-stage retriever of a RAG/search stack, composed
+   * from the engine's own ranked primitives.
+   *
+   * Scale shape: candidate generation is the corpus-touching part and
+   * reuses [[graft.operators.CorpusStats.bm25TopK]] (partial-aggregated
+   * scoring, TakeOrdered cut) and [[bruteForceTopK]] (broadcast query,
+   * bounded top-k aggregate). Fusion then runs on two ≤`poolSize`-row
+   * lists — the full-outer join and final cut are dimension-sized no
+   * matter the corpus. The one single-partition window ranks the
+   * ≤`poolSize`-row lexical list, never the corpus.
+   *
+   * Determinism: ranks tiebreak by id; RRF contributions are
+   * `round(1e9/(kRrf+rank))` nanos summed as integers, so the fused
+   * score is an exact int64 in any engine. Absent ranks report 0.
+   *
+   * @return (doc_id, lex_rank, sem_rank, rrf_nanos), top kTop by
+   *         (rrf_nanos desc, doc_id)
+   */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, kTop: Int,
+      poolSize: Int = 100, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = CorpusStats.bm25TopK(docs, "doc_id", "text", queryTerms, poolSize)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_micros").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val sem = bruteForceTopK(embeddings,
+        embeddings.filter(col("vec_id") === queryVecId), poolSize)
+      .select(col("nbr_id").as("id"), col("rank").cast("long").as("sem_rank"))
+    def contrib(rank: Column): Column =
+      coalesce(round(lit(1e9) / (lit(kRrf) + rank)).cast("long"), lit(0L))
+    lex.join(sem, Seq("id"), "full")
+      .withColumn("rrf_nanos", contrib(col("lex_rank")) + contrib(col("sem_rank")))
+      .select(col("id").as("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        col("rrf_nanos"))
+      .orderBy(col("rrf_nanos").desc, col("doc_id"))
+      .limit(kTop)
+  }
 }

@@ -215,6 +215,19 @@ class PlanShapeSuite extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("q87 span dedup: hash-partitioned postings window, no cartesian, no global sort") {
+    val p = plan("q87_span_dedup")
+    // victims come from ONE row_number window partitioned by the
+    // corpus-cardinality span hash — never a single-partition window
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"),
+      "span-hash window degenerated to a single partition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("rangepartitioning"),
+      "span dedup must not globally sort the corpus")
+  }
+
   test("q86 token-budget cut: two-pass prefix sum, no corpus-wide single partition") {
     val p = plan("q86_token_budget_cut")
     // the SinglePartition exchange feeds only the ≤64-row bucket totals;

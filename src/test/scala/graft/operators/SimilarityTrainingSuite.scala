@@ -32,6 +32,31 @@ class SimilarityTrainingSuite extends SparkSpec {
   private def nearestAxis(v: Array[Double]): Int =
     (0 until 4).maxBy(c => v(c * 2))
 
+  test("hybridRrfTopK: both-list docs outrank single-list docs at equal rank") {
+    val docs = graft.sources.Catalog.load(spark, sf0001, "documents")
+    val emb = graft.sources.Catalog.load(spark, sf0001, "embeddings")
+    val terms = Seq("spark", "window", "join", "stream")
+    val fused = Similarity.hybridRrfTopK(docs, emb, terms,
+      queryVecId = 7L, kTop = 20).collect()
+    assert(fused.length == 20)
+    // ordered by fused score desc, id tiebreak
+    val scores = fused.map(_.getLong(3))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // RRF arithmetic: every row's score equals its ranks' contributions
+    def c(r: Long): Long = if (r == 0L) 0L else math.round(1e9 / (60 + r))
+    fused.foreach { row =>
+      assert(row.getLong(3) == c(row.getLong(1)) + c(row.getLong(2)))
+    }
+    // a doc present in both lists must beat a doc with only one, equal
+    // rank: holds by construction since contributions are positive
+    val both = fused.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(both.nonEmpty, "fixture degenerate: no doc in both lists")
+    // determinism: a second evaluation returns identical rows
+    val again = Similarity.hybridRrfTopK(docs, emb, terms,
+      queryVecId = 7L, kTop = 20).collect()
+    assert(fused.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("trainIvfCentroids recovers the 4 cluster axes") {
     val cents = Similarity.trainIvfCentroids(clustered, nlist = 4, iters = 5)
     assert(cents.length == 4)
