@@ -242,6 +242,26 @@ object SparkEntry {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** Offline PQ codebook training (the PQ index build), materialized once
+    * per embeddings fingerprint — q94 times the recall measurement over
+    * the trained codebook, not a per-query re-train. */
+  private def ensureTrainedPqCodebook(s: SparkSession, d: String): String =
+    materialized("pqcb", d, s"${fileSig(d, "embeddings")}|b8.k16.iters3.v1") { dir =>
+      import s.implicits._
+      Similarity.trainPqCodebooks(emb(s, d), dim = 64, nBlocks = 8,
+        codesPerBlock = 16, iters = 3)
+        .toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("i", "w").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/cb")
+    }
+
+  private def readTrainedPqCodebook(s: SparkSession, d: String): Array[Double] = {
+    // flat weight order is positional — the index column restores it
+    val root = ensureTrainedPqCodebook(s, d)
+    s.read.parquet(s"$root/cb").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+  }
+
   /** Untimed setup hook for the bench: performs the one-time
     * materializations so the timed q41/q44/q51 measure their read paths. */
   /** Ingest the raw source tables into the engine's own layout once
@@ -1122,6 +1142,72 @@ object SparkEntry {
         .groupBy(col("c_mktsegment")).agg(
           sum(col("o_totalprice").cast("decimal(25,6)")).cast("double").as("sum_total"),
           count(lit(1)).as("n_orders"))
+    }),
+
+    // --- property snapshot read (time travel): the live view AS OF
+    // revision 30000 — for ids whose later mutations (upserts, tombstones)
+    // exceed the cut they have not happened yet; ids whose entire history
+    // starts after it are absent. Same stored log as q49; one predicate
+    // ahead of the same compaction
+    "q89_property_asof" -> ((s, d) => {
+      val root = ensurePropertyLog(s, d)
+      graft.storage.PropertyStore.asOf(
+        s.read.parquet(s"$root/log"), "id", "rev", "deleted",
+        asOfRev = 30000L)
+        .select("id", "rev", "price")
+    }),
+
+    // --- gap-based sessionization: native session_window aggregate —
+    // 30-minute idle gap splits each user's event stream into sessions
+    "q90_sessionize" -> ((s, d) =>
+      graft.operators.Sessions.sessionize(ev(s, d), "user_id", "ts_ns",
+        gapMs = 1800000L, valueCol = col("value"))),
+
+    // --- multi-resolution rollup ladder: hourly downsample, then the
+    // DAILY level re-aggregated FROM the hourly rollup (never rescanning
+    // raw events) — count/sum/min/max compose exactly
+    "q91_rollup_reagg" -> ((s, d) =>
+      graft.operators.Sessions.coarsen(
+        graft.operators.Sessions.downsample(ev(s, d), "ts_ns",
+          dims = Seq("event_type"), valueCol = col("value"),
+          intervalMs = 3600000L),
+        dims = Seq("event_type"), intervalMs = 86400000L)),
+
+    // --- PMI collocations: top adjacent-bigram associations over the
+    // corpus — vocabulary-induction / multi-word-entity signal
+    "q93_pmi_bigrams" -> ((s, d) =>
+      CorpusStats.pmiBigrams(docs(s, d), "doc_id", "text",
+        minCount = 5L, topN = 50)),
+
+    // --- pipeline: product-quantization ANN — corpus compressed to
+    // 8 codes/vector (32× smaller index), queries rank by asymmetric
+    // distance over the codes; id-prefix codebook (oracle-recomputable,
+    // like q52's quantizer — the trained codebook path is q94)
+    "q92_pq_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        dim = 64, nBlocks = 8, codesPerBlock = 16)
+    }),
+
+    // --- pipeline: MEASURED recall@k of trained-codebook PQ against the
+    // exact L2 baseline (the metric PQ approximates) — evidence for the
+    // production path, like q69 for trained IVF. Deterministic (decimal-
+    // summed per-block k-means) but iterative, so rows-only
+    "q94_pq_recall_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val cb = readTrainedPqCodebook(s, d)
+      Similarity.recallAtK(
+        Similarity.pqTopKWith(e, q, k = 5, cb, nBlocks = 8, codesPerBlock = 16),
+        Similarity.bruteForceTopKL2(e, q, k = 5))
+        .withColumnRenamed("query_id", "vec_id")
+    }),
+
+    // --- pipeline: exact squared-L2 top-k (ascending-distance baseline
+    // the PQ paths are measured against; integer-micros distances)
+    "q95_sim_bruteforce_l2" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopKL2(e, e.filter(col("vec_id") < 10), k = 5)
     }))
 
   // =========================================================================
@@ -2249,5 +2335,117 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_total,
         |       COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q89_property_asof" ->
+      """WITH log0 AS (
+        |  SELECT o_custkey AS id, o_orderkey AS rev, o_totalprice AS price, false AS deleted
+        |  FROM orders),
+        |maxr AS (SELECT id, max(rev) AS m FROM log0 GROUP BY id),
+        |upd AS (SELECT id, m + 1 AS rev, id * 1000.0 AS price, false AS deleted
+        |        FROM maxr WHERE id <= 5),
+        |log1 AS (SELECT * FROM log0 UNION ALL SELECT * FROM upd),
+        |del AS (SELECT id, max(rev) + 1 AS rev, CAST(NULL AS DOUBLE) AS price, true AS deleted
+        |        FROM log1 WHERE id IN (1, 2) GROUP BY id),
+        |log2 AS (SELECT * FROM log1 UNION ALL SELECT * FROM del),
+        |snap AS (SELECT * FROM log2 WHERE rev <= 30000),
+        |live AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY rev DESC) AS rn FROM snap)
+        |SELECT id, rev, price FROM live WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "q90_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_ms, v,
+        |         CASE WHEN lag(ts_ms) OVER w IS NULL
+        |              OR ts_ms - lag(ts_ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts_ms) AS session_start_ms,
+        |       max(ts_ms) + 1800000 AS session_end_ms,
+        |       COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q91_rollup_reagg" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms, event_type,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+        |       MIN(CAST(floor(value) AS BIGINT)) AS min_v,
+        |       MAX(CAST(floor(value) AS BIGINT)) AS max_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q93_pmi_bigrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |bgu AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |                i -> {'a': t[i], 'b': t[i + 1]})) AS bg
+        |  FROM tk),
+        |uc AS (SELECT unnest(t) AS tok FROM tk),
+        |ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uc GROUP BY tok),
+        |pc AS (SELECT bg.a AS a, bg.b AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |       FROM bgu GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM ucnt) AS n,
+        |               (SELECT CAST(COUNT(*) AS DOUBLE) FROM bgu) AS m)
+        |SELECT a || ' ' || b AS bigram, c_ab,
+        |       CAST(round(ln(CAST(c_ab AS DOUBLE) * n * n / (m * ua.c * ub.c))
+        |            * 1000000.0) AS BIGINT) AS pmi_micros
+        |FROM pc JOIN ucnt ua ON ua.tok = pc.a
+        |        JOIN ucnt ub ON ub.tok = pc.b, tot
+        |ORDER BY pmi_micros DESC, bigram LIMIT 50""".stripMargin,
+
+    "q92_pq_ann" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, emb
+        |        FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT blocks.b AS block, cbv.code,
+        |              list_transform(range(1, 9), i -> cbv.emb[blocks.b * 8 + i]) AS cent
+        |       FROM cbv, (SELECT unnest(range(0, 8)) AS b) blocks),
+        |enc0 AS (SELECT v.vec_id, cb.block, cb.code,
+        |           list_reduce(list_transform(range(1, 9),
+        |             i -> (v.emb[cb.block * 8 + i] - cb.cent[i])
+        |                  * (v.emb[cb.block * 8 + i] - cb.cent[i])),
+        |             (x, y) -> x + y) AS dsq
+        |         FROM v, cb),
+        |enc AS (SELECT vec_id, block, code FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id, block
+        |                                       ORDER BY dsq, code) AS rn
+        |          FROM enc0) WHERE rn = 1),
+        |adc AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+        |          CAST(SUM(CAST(round(list_reduce(list_transform(range(1, 9),
+        |            i -> (q.emb[e.block * 8 + i] - cb.cent[i])
+        |                 * (q.emb[e.block * 8 + i] - cb.cent[i])),
+        |            (x, y) -> x + y) * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_micros
+        |        FROM v q JOIN enc e ON e.vec_id <> q.vec_id
+        |        JOIN cb ON cb.block = e.block AND cb.code = e.code
+        |        WHERE q.vec_id < 10
+        |        GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, nbr_id, adc_micros,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY adc_micros, nbr_id) AS rank
+        |           FROM adc)
+        |SELECT query_id, nbr_id, rank, adc_micros AS dist_micros
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q95_sim_bruteforce_l2" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+        |         CAST(round(list_reduce(list_transform(range(1, 65),
+        |           i -> (q.emb[i] - e.emb[i]) * (q.emb[i] - e.emb[i])),
+        |           (x, y) -> x + y) * 1000000.0) AS BIGINT) AS dist_micros
+        |  FROM v q JOIN v e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (SELECT query_id, nbr_id, dist_micros,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY dist_micros, nbr_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, nbr_id, rank, dist_micros
+        |FROM ranked WHERE rank <= 5""".stripMargin)
 }

@@ -192,4 +192,54 @@ object CorpusStats {
       .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(topN)
+
+  /**
+   * PMI-ranked collocations: the `topN` adjacent token bigrams by
+   * pointwise mutual information, `PMI(a,b) = ln( P(ab) / (P(a)·P(b)) )`
+   * with `P(ab) = c_ab / M` over bigram occurrences and `P(x) = c_x / N`
+   * over token occurrences — the classic vocabulary-induction signal
+   * (candidate merges for a BPE-style tokenizer, multi-word entities for
+   * an index). `minCount` suppresses the unstable low-frequency tail,
+   * where PMI otherwise degenerates to an inverse-frequency ranking.
+   *
+   * Determinism: one double ratio `(c_ab·N·N) / (M·c_a·c_b)` evaluated in
+   * a fixed association order, one `ln`, rounded to integer micro-nats —
+   * the same single-ln surface as [[unigramLogProb]]. IEEE-754 binary64
+   * arithmetic is operation-for-operation deterministic, so any engine
+   * mirroring the expression computes the identical int64.
+   *
+   * Scale: bigram and unigram counts are two partial-aggregated shuffles
+   * keyed on vocabulary-bounded terms; the two count joins are
+   * term-keyed (AQE broadcasts the unigram side when it fits); scalar
+   * totals ride a broadcast one-row cross join; the final cut is
+   * TakeOrdered. Nothing corpus-quadratic, nothing on the driver.
+   *
+   * @return (bigram, c_ab, pmi_micros) — top `topN` by PMI desc, bigram asc
+   */
+  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topN: Int = 50): DataFrame = {
+    require(minCount >= 1 && topN >= 1, "minCount and topN must be positive")
+    val toks = tokenized(df, idCol, textCol)
+    // adjacent pairs within a document, order-preserving, occurrences
+    val bigrams = toks.select(explode(expr(
+      "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+        "(t, i) -> struct(t AS a, toks[i + 1] AS b))")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairCounts = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totals = uni.agg(sum("c").as("__n"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("__m")))
+    pairCounts
+      .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), Seq("a"))
+      .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(concat(col("a"), lit(" "), col("b")).as("bigram"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("__n") * col("__n") /
+          (col("__m").cast("double") * col("c_a") * col("c_b"))) * lit(1e6))
+          .cast("long").as("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("bigram"))
+      .limit(topN)
+  }
 }

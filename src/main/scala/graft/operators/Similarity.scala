@@ -328,6 +328,145 @@ object Similarity {
       .select(col(idCol), col("cluster"))
   }
 
+  /**
+   * Exact squared-L2 top-k (ascending) — the ground-truth metric for the
+   * product-quantization paths below (PQ approximates L2, not cosine).
+   * Same broadcast-queries + bounded top-k shape as [[bruteForceTopK]];
+   * distances are integer micros from the native [[graft.functions
+   * .L2SqMicrosExpr]] kernel (dimension-ascending accumulation, one
+   * rounding), so ranking ties are engine-exact.
+   */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PqFunctions.l2sqMicros
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = c.join(broadcast(q), col("nbr_id") =!= col("query_id"))
+      .withColumn("dist_micros", l2sqMicros(col("q_vec"), col("nbr_vec")))
+    rankTopKAsc(scored, k)
+  }
+
+  /** ascending-distance variant of [[rankTopK]]: rank by (dist_micros asc,
+    * nbr_id asc) through the same bounded top-k aggregate (negated ints —
+    * ADC micros ≤ ~1e9 are exact as doubles). */
+  private def rankTopKAsc(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(topK(k)((-col("dist_micros")).cast("double"), col("nbr_id")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.sim")).cast("long").as("dist_micros"))
+
+  /** Flat codebook from the `codesPerBlock` LOWEST-ID corpus vectors
+    * (code c of block b = that vector's b-th subvector) — deterministic
+    * and SQL-recomputable, the PQ analogue of [[ivfTopK]]'s id-prefix
+    * quantizer. The production path is [[trainPqCodebooks]]. */
+  def pqCodebookFromPrefix(corpus: DataFrame, dim: Int, nBlocks: Int,
+      codesPerBlock: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Double] = {
+    require(dim % nBlocks == 0, "dim must divide into nBlocks")
+    val sub = dim / nBlocks
+    val rows = corpus.orderBy(col(idCol)).limit(codesPerBlock)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length == codesPerBlock,
+      s"corpus has fewer than $codesPerBlock vectors")
+    val cb = new Array[Double](nBlocks * codesPerBlock * sub)
+    for (b <- 0 until nBlocks; c <- 0 until codesPerBlock; i <- 0 until sub)
+      cb((b * codesPerBlock + c) * sub + i) = rows(c)(b * sub + i)
+    cb
+  }
+
+  /**
+   * Product-quantization ANN (Jégou et al. 2011): corpus vectors compress
+   * to `nBlocks` codes via the codegen'd [[graft.functions.PqEncodeExpr]]
+   * kernel; queries rank candidates by asymmetric distance (ADC — exact
+   * query subvector against the candidate's reconstructed codeword),
+   * integer micros per the kernel's block-rounded contract.
+   *
+   * Scale shape: encode is MAP-ONLY over the corpus (the codebook is a
+   * plan-time reference object, like the LSH planes and IVF centroids) —
+   * at 100 TB the corpus is scanned once to write the code table, 32×
+   * smaller than the raw vectors, and every later query touches only
+   * codes; ADC is a broadcast join against the query set with the bounded
+   * top-k aggregate. Compose with IVF cells to prune WHICH codes a query
+   * reads (IVFADC) — the cell join is [[ivfTopKWith]]'s.
+   *
+   * This overload uses the id-prefix codebook (oracle-recomputable);
+   * recall of the TRAINED path is measured against [[bruteForceTopKL2]]
+   * (BASELINE.md recall tables, like LSH/IVF).
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nBlocks: Int = 8, codesPerBlock: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKWith(corpus, queries, k,
+      pqCodebookFromPrefix(corpus, dim, nBlocks, codesPerBlock, idCol, vecCol),
+      nBlocks, codesPerBlock, idCol, vecCol)
+
+  /** [[pqTopK]] with an explicit flat codebook (e.g. [[trainPqCodebooks]]
+    * output) — the production path. */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cb: Array[Double], nBlocks: Int, codesPerBlock: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PqFunctions.{pqAdcMicros, pqEncode}
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      pqEncode(col(vecCol).cast("array<double>"), cb, nBlocks, codesPerBlock)
+        .as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = c.join(broadcast(q), col("nbr_id") =!= col("query_id"))
+      .withColumn("dist_micros",
+        pqAdcMicros(col("__codes"), col("q_vec"), cb, nBlocks, codesPerBlock))
+    rankTopKAsc(scored, k)
+  }
+
+  /**
+   * Offline per-block k-means codebook training (the PQ index build):
+   * one [[graft.functions.PqEncodeExpr]] assignment pass trains ALL
+   * blocks simultaneously — posexplode of the code array yields
+   * (block, code, subvector) and the centroid update is `sub` per-block
+   * per-dimension means, partial-aggregated with DECIMAL accumulation
+   * (bit-identical run-to-run under any partition merge order, like
+   * [[trainIvfCentroids]]). Each iteration collects
+   * `nBlocks · codesPerBlock` rows — codebook-sized, never corpus-sized.
+   * Empty codes keep their previous codeword (dead-cell rule). Train on
+   * a sample at 100 TB; the codebook only needs subspace structure.
+   */
+  def trainPqCodebooks(corpus: DataFrame, dim: Int, nBlocks: Int = 8,
+      codesPerBlock: Int = 16, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Double] = {
+    import graft.functions.PqFunctions.pqEncode
+    require(dim % nBlocks == 0, "dim must divide into nBlocks")
+    val sub = dim / nBlocks
+    var cb = pqCodebookFromPrefix(corpus, dim, nBlocks, codesPerBlock, idCol, vecCol)
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs.select(col("__v"),
+        posexplode(pqEncode(col("__v"), cb, nBlocks, codesPerBlock)))
+        .withColumnRenamed("pos", "__b").withColumnRenamed("col", "__c")
+      val aggs = (0 until sub).map(i =>
+        (sum(element_at(col("__v"), col("__b") * sub + i + 1)
+          .cast("decimal(27,10)")) / count(lit(1)))
+          .cast("double").as(s"__d$i"))
+      val updated = assigned.groupBy("__b", "__c")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1).toInt) ->
+          Array.tabulate(sub)(i => r.getDouble(2 + i)))
+        .toMap
+      val next = cb.clone()
+      for (b <- 0 until nBlocks; c <- 0 until codesPerBlock)
+        updated.get((b, c)).foreach { cw =>
+          var i = 0
+          while (i < sub) { next((b * codesPerBlock + c) * sub + i) = cw(i); i += 1 }
+        }
+      cb = next
+    }
+    cb
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, left side
     * restricted by a predicate (blocking) to bound the pair space. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,

@@ -84,6 +84,24 @@ object PropertyStore {
       .filter(!coalesce(col(deletedCol), lit(false)))
 
   /**
+   * Snapshot (time-travel) read: the live view AS OF `asOfRev` — mutations
+   * with `rev > asOfRev` have not happened yet. The append-only log is the
+   * history, so a snapshot is one predicate ahead of [[compact]]: the same
+   * latest-revision resolution over the log's prefix. This is the read
+   * side of the reference's snapshot facility (banyand/backup snapshots
+   * capture a store at a revision; restoring one serves exactly this
+   * view). A document whose only pre-`asOfRev` state is a tombstone is
+   * absent, like any deleted document.
+   *
+   * Scale: the revision predicate pushes into the parquet scan (revs
+   * correlate with write time, so row groups prune), then one partial
+   * aggregate per id — no extra pass over the post-snapshot suffix.
+   */
+  def asOf(log: DataFrame, idCol: String, revCol: String,
+      deletedCol: String, asOfRev: Long): DataFrame =
+    compact(log.filter(col(revCol) <= asOfRev), idCol, revCol, deletedCol)
+
+  /**
    * Anti-entropy digest tree of a property shard (docs/concept/
    * property-repair.md "Build Merkel Tree"): leaf = digest of each
    * document's latest revision INCLUDING tombstones (two replicas that
