@@ -2359,7 +2359,7 @@ object SparkEntry {
         |m AS (
         |  SELECT user_id, ts_ms, v,
         |         CASE WHEN lag(ts_ms) OVER w IS NULL
-        |              OR ts_ms - lag(ts_ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |              OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
         |s AS (
         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms

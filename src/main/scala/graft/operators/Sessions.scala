@@ -25,9 +25,11 @@ object Sessions {
 
   /**
    * Gap-based sessionization: events of one entity belong to the same
-   * session while consecutive events are less than `gapMs` apart; a
-   * session's end is its last event + gap (the idle timeout that closed
-   * it). Timestamps are truncated to MILLISECONDS before the gap compare
+   * session while consecutive events are at most `gapMs` apart (an event
+   * at EXACTLY last + gap still extends — `session_window` merge
+   * semantics); a session's end is its last event + gap (the idle
+   * timeout that closed it). Timestamps truncate to MILLISECONDS before
+   * the gap compare
    * so an external engine reasoning in ms computes identical sessions
    * (the reference's query timestamps are ms precision too,
    * measure/v1/query.proto:35).

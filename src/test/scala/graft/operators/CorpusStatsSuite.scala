@@ -186,4 +186,29 @@ class CorpusStatsSuite extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(a == b)
   }
+
+  test("pmiBigrams: micros match a hand computation; cut and order hold") {
+    // corpus engineered so "new york" dominates: 6 co-occurrences, both
+    // tokens rare outside the pair; "the cat" is frequent but both
+    // tokens are common, so its PMI is lower
+    val d = Seq(
+      (1L, "new york new york new york the cat"),
+      (2L, "new york new york new york the cat"),
+      (3L, "the cat the cat the cat the dog the dog")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.pmiBigrams(d, "doc_id", "text", minCount = 5L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // hand counts: doc1/2 tokens = [new york ×3, the, cat] → 8 each;
+    // doc3 = [the cat ×3, the dog ×2] → 10. N = 26.
+    // unigrams: new=6 york=6 the=7 cat=5 dog=2
+    // bigram occurrences M = 7 + 7 + 9 = 23
+    // "new york" ×3 per doc1/2 → 6 ("york new" ×2 each = 4, under cut);
+    // "the cat": doc1 + doc2 + doc3×3 = 5 ("cat the" 3, under cut)
+    def pmi(cab: Long, ca: Long, cb: Long): Long =
+      math.round(math.log(cab.toDouble * 26 * 26 / (23.0 * ca * cb)) * 1e6)
+    assert(out.toSeq == Seq(
+      ("new york", 6L, pmi(6, 6, 6)),
+      ("the cat", 5L, pmi(5, 7, 5))))
+    assert(out(0)._3 > out(1)._3, "the engineered collocation must rank first")
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Catalog
+import org.apache.spark.sql.functions._
+
+/** Gap sessionization and multi-resolution rollup re-aggregation. */
+class SessionsSuite extends SparkSpec {
+
+  import spark.implicits._
+
+  private val MIN = 60000L // ms
+  private def ns(ms: Long) = ms * 1000000L
+
+  private def sessions(tsMs: Seq[(Long, Long)], gapMs: Long) =
+    Sessions.sessionize(
+      tsMs.map { case (u, t) => (u, ns(t), 1.0) }.toDF("user_id", "ts_ns", "value"),
+      "user_id", "ts_ns", gapMs, col("value"))
+      .orderBy("user_id", "session_start_ms")
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events", "sum_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+  test("events closer than the gap merge; a gap-sized pause splits") {
+    // user 1: 0, 10min, then 50min (40min pause > 30min gap) → 2 sessions
+    val got = sessions(Seq((1L, 0L), (1L, 10 * MIN), (1L, 50 * MIN)), 30 * MIN)
+    assert(got == Seq(
+      (1L, 0L, 10 * MIN + 30 * MIN, 2L, 2L),
+      (1L, 50 * MIN, 80 * MIN, 1L, 1L)))
+  }
+
+  test("a pause of EXACTLY the gap still merges; one ms beyond splits") {
+    // session_window's range is end-INCLUSIVE at the merge boundary: an
+    // event AT last_ts + gap extends the session (Spark semantics —
+    // the oracle mirrors it as `diff > gap` starting a new session)
+    val merged = sessions(Seq((1L, 0L), (1L, 30 * MIN)), 30 * MIN)
+    assert(merged == Seq((1L, 0L, 60 * MIN, 2L, 2L)),
+      s"exact-gap event must extend the session: $merged")
+    val split = sessions(Seq((1L, 0L), (1L, 30 * MIN + 1)), 30 * MIN)
+    assert(split.size == 2, s"gap+1ms must open a new session: $split")
+  }
+
+  test("entities never mix") {
+    val got = sessions(Seq((1L, 0L), (1L, 30 * MIN - 1), (2L, 0L)), 30 * MIN)
+    assert(got == Seq(
+      (1L, 0L, 30 * MIN - 1 + 30 * MIN, 2L, 2L),
+      (2L, 0L, 30 * MIN, 1L, 1L)))
+  }
+
+  test("sessionize matches an independent window-function formulation") {
+    val ev = Catalog.load(spark, sf0001, "events")
+    val got = Sessions.sessionize(ev, "user_id", "ts_ns",
+      gapMs = 1800000L, valueCol = col("value"))
+    // reference: lag/cumsum session ids (the oracle's shape, in Spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+    val ref = ev.select(col("user_id"), expr("ts_ns DIV 1000000").as("ts_ms"),
+        floor(col("value")).cast("long").as("v"))
+      .withColumn("new_s",
+        when(col("ts_ms") - lag("ts_ms", 1).over(w) <= 1800000L, 0L).otherwise(1L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_ms").as("session_start_ms"),
+        (max("ts_ms") + 1800000L).as("session_end_ms"),
+        count(lit(1)).as("n_events"), sum("v").as("sum_v"))
+      .drop("sid")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("coarsening the hourly rollup equals rolling up daily directly") {
+    val ev = Catalog.load(spark, sf0001, "events")
+    val hourly = Sessions.downsample(ev, "ts_ns", Seq("event_type"),
+      col("value"), intervalMs = 3600000L)
+    val viaLadder = Sessions.coarsen(hourly, Seq("event_type"),
+      intervalMs = 86400000L)
+    val direct = Sessions.downsample(ev, "ts_ns", Seq("event_type"),
+      col("value"), intervalMs = 86400000L)
+    assert(viaLadder.exceptAll(direct).isEmpty && direct.exceptAll(viaLadder).isEmpty)
+  }
+
+  test("sessionize carries no Window node (native session_window aggregate)") {
+    val ev = Catalog.load(spark, sf0001, "events")
+    val plan = Sessions.sessionize(ev, "user_id", "ts_ns", 1800000L, col("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+  }
+}

@@ -179,4 +179,28 @@ class PropertyStoreSuite extends SparkSpec {
       .toSeq == Seq(999), "equal-rev mismatch must take A's document")
     assert(liveB.filter(col("id") === "50").count() == 1)
   }
+
+  test("asOf replays the live view at a past revision") {
+    import spark.implicits._
+    val log = Seq(
+      ("a", 1L, 10, false), ("a", 3L, 30, false), ("a", 5L, 50, false),
+      ("b", 2L, 20, false), ("b", 4L, 0, true), // b deleted at rev 4
+      ("c", 6L, 60, false)) // c born after the snapshot
+      .toDF("id", "rev", "v", "deleted")
+    def view(rev: Long) =
+      PropertyStore.asOf(log, "id", "rev", "deleted", rev)
+        .select("id", "rev", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // at rev 3: a@3 live, b@2 still live (tombstone is in the future)
+    assert(view(3L) == Set(("a", 3L, 30), ("b", 2L, 20)))
+    // at rev 4: b's tombstone has landed
+    assert(view(4L) == Set(("a", 3L, 30)))
+    // at the head the snapshot IS the compaction
+    val head = PropertyStore.compact(log, "id", "rev", "deleted")
+      .select("id", "rev", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(view(Long.MaxValue) == head)
+    // before any history: empty, not an error
+    assert(view(0L).isEmpty)
+  }
 }
