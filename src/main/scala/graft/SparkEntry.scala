@@ -300,6 +300,7 @@ object SparkEntry {
     ensurePropertyLog(s, d)
     ensurePropertyLogB(s, d)
     ensureTrainedCentroids(s, d)
+    ensureTrainedPqCodebook(s, d)
     ()
   }
 
@@ -1208,6 +1209,16 @@ object SparkEntry {
     "q95_sim_bruteforce_l2" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopKL2(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // --- pipeline: IVFADC — IVF cells prune WHICH inverted list a query
+    // reads, PQ codes rank the candidates without raw vectors (the
+    // production 100 TB ANN composition; id-prefix quantizers here, so
+    // the oracle recomputes both)
+    "q96_ivfadc" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfAdcTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        dim = 64, nlist = 8, nprobe = 2, nBlocks = 8, codesPerBlock = 16)
     }))
 
   // =========================================================================
@@ -2446,6 +2457,58 @@ object SparkEntry {
         |                  row_number() OVER (PARTITION BY query_id
         |                                     ORDER BY dist_micros, nbr_id) AS rank
         |           FROM scored)
+        |SELECT query_id, nbr_id, rank, dist_micros
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q96_ivfadc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id < 8),
+        |cscore AS (
+        |  SELECT v.vec_id, c.cid, list_cosine_similarity(v.emb, c.cemb) AS cs
+        |  FROM v, cents c),
+        |cell AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+        |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, emb
+        |        FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT blocks.b AS block, cbv.code,
+        |              list_transform(range(1, 9), i -> cbv.emb[blocks.b * 8 + i]) AS cent
+        |       FROM cbv, (SELECT unnest(range(0, 8)) AS b) blocks),
+        |enc0 AS (SELECT v.vec_id, cb.block, cb.code,
+        |           list_reduce(list_transform(range(1, 9),
+        |             i -> (v.emb[cb.block * 8 + i] - cb.cent[i])
+        |                  * (v.emb[cb.block * 8 + i] - cb.cent[i])),
+        |             (x, y) -> x + y) AS dsq
+        |         FROM v, cb),
+        |enc AS (SELECT vec_id, block, code FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id, block
+        |                                       ORDER BY dsq, code) AS rn
+        |          FROM enc0) WHERE rn = 1),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, l.vec_id AS nbr_id
+        |  FROM probes p JOIN cell l ON l.cid = p.cid
+        |  WHERE l.vec_id <> p.query_id),
+        |adc AS (SELECT c.query_id, c.nbr_id,
+        |          CAST(SUM(CAST(round(list_reduce(list_transform(range(1, 9),
+        |            i -> (q.emb[e.block * 8 + i] - cb.cent[i])
+        |                 * (q.emb[e.block * 8 + i] - cb.cent[i])),
+        |            (x, y) -> x + y) * 1000000.0) AS BIGINT)) AS BIGINT) AS dist_micros
+        |        FROM cand c
+        |        JOIN v q ON q.vec_id = c.query_id
+        |        JOIN enc e ON e.vec_id = c.nbr_id
+        |        JOIN cb ON cb.block = e.block AND cb.code = e.code
+        |        GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, nbr_id, dist_micros,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY dist_micros, nbr_id) AS rank
+        |           FROM adc)
         |SELECT query_id, nbr_id, rank, dist_micros
         |FROM ranked WHERE rank <= 5""".stripMargin)
 }

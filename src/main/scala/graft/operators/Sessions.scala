@@ -55,6 +55,28 @@ object Sessions {
   }
 
   /**
+   * Streaming form of [[sessionize]]: the same native `session_window`
+   * aggregate under a watermark — a session emits (append mode) once the
+   * watermark passes its end, i.e. once the idle gap has provably
+   * elapsed. State per open session is one merged window + counters,
+   * evicted at emission; the 100 TB-stream shape (keyed state, bounded
+   * by OPEN sessions, not history).
+   */
+  def sessionizeStream(df: DataFrame, entityCol: String, tsCol: String,
+      gapMs: Long, watermarkDelay: String, valueCol: Column): DataFrame = {
+    require(gapMs > 0, "gapMs must be positive")
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(entityCol),
+        session_window(col(tsCol), s"$gapMs milliseconds").as("__w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(valueCol).cast("long")).as("sum_v"))
+      .select(col(entityCol),
+        unix_millis(col("__w.start")).as("session_start_ms"),
+        unix_millis(col("__w.end")).as("session_end_ms"),
+        col("n_events"), col("sum_v"))
+  }
+
+  /**
    * Fixed-interval rollup of raw events: one row per (bucket, dims) with
    * the four re-aggregable statistics. `value` is floored to int64 first
    * (exact sums, engine-portable).

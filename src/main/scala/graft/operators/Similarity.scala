@@ -467,6 +467,65 @@ object Similarity {
     cb
   }
 
+  /**
+   * IVFADC (Jégou et al. 2011 §IV): the production composition of the two
+   * ANN quantizers — the IVF coarse quantizer prunes WHICH inverted list
+   * a query reads (nprobe/nlist of the corpus), and within those lists
+   * candidates rank by PQ asymmetric distance over 8-byte codes instead
+   * of raw vectors. At 100 TB the index is cell-partitioned parquet of
+   * (id, codes) — 32× smaller than the embeddings — and a query touches
+   * nprobe cells of it; the raw-vector rerank of the returned k, if
+   * wanted, is a k-row point lookup.
+   *
+   * Scale shape: both assignments are map-only codegen'd kernels over
+   * plan-time reference objects; the probe join is a broadcast equi-join
+   * on the cell id; ranking is the bounded top-k aggregate. One corpus
+   * scan builds the index, never an all-pairs product.
+   *
+   * This overload derives both quantizers from the id-prefix rule
+   * (oracle-recomputable); [[ivfAdcTopKWith]] takes trained ones.
+   */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nlist: Int = 8, nprobe: Int = 2, nBlocks: Int = 8,
+      codesPerBlock: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    ivfAdcTopKWith(corpus, queries, k, cents,
+      pqCodebookFromPrefix(corpus, dim, nBlocks, codesPerBlock, idCol, vecCol),
+      nprobe, nBlocks, codesPerBlock, idCol, vecCol)
+  }
+
+  /** [[ivfAdcTopK]] with explicit trained quantizers — the production
+    * path ([[trainIvfCentroids]] cells + [[trainPqCodebooks]] codes). */
+  def ivfAdcTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[(Long, Array[Double])], cb: Array[Double], nprobe: Int,
+      nBlocks: Int, codesPerBlock: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe <= cents.length, "nprobe must not exceed the centroid count")
+    import graft.functions.IvfFunctions.probeCells
+    import graft.functions.PqFunctions.{pqAdcMicros, pqEncode}
+    val dim = cents.head._2.length
+    val flat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    // the inverted list rows: cell id + PQ codes (the whole stored index)
+    val lists = corpus.select(col(idCol).as("nbr_id"),
+      pqEncode(col(vecCol).cast("array<double>"), cb, nBlocks, codesPerBlock)
+        .as("__codes"),
+      explode(probeCells(col(vecCol), flat, cids, dim, 1)).as("__cell"))
+    val probes = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      explode(probeCells(col(vecCol), flat, cids, dim, nprobe)).as("__cell"))
+    val scored = lists.join(broadcast(probes), Seq("__cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("dist_micros",
+        pqAdcMicros(col("__codes"), col("q_vec"), cb, nBlocks, codesPerBlock))
+    rankTopKAsc(scored, k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, left side
     * restricted by a predicate (blocking) to bound the pair space. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,

@@ -86,6 +86,30 @@ class PqSuite extends SparkSpec {
     assert(recall(truth) == 1.0)
   }
 
+  test("IVFADC at nprobe = nlist degenerates to exactly full PQ search") {
+    // probing every cell removes the IVF pruning entirely — the ranked
+    // output must be row-identical to pqTopKWith over the same codebook
+    val cents = Similarity.trainIvfCentroids(emb, nlist = 4, iters = 2)
+    val cb = Similarity.trainPqCodebooks(emb, dim, nBlocks, cpb, iters = 2)
+    val full = Similarity.ivfAdcTopKWith(emb, queries, 10, cents, cb,
+      nprobe = 4, nBlocks, cpb)
+    val pq = Similarity.pqTopKWith(emb, queries, 10, cb, nBlocks, cpb)
+    assert(full.exceptAll(pq).isEmpty && pq.exceptAll(full).isEmpty)
+  }
+
+  test("IVFADC recall rises with nprobe (pruning only removes candidates)") {
+    val truth = Similarity.bruteForceTopKL2(emb, queries, 10).localCheckpoint()
+    def recall(approx: DataFrame): Double =
+      Similarity.recallAtK(approx, truth).agg(avg("recall")).head().getDouble(0)
+    val cents = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
+    val cb = Similarity.trainPqCodebooks(emb, dim, nBlocks, cpb, iters = 2)
+    val sweep = Seq(1, 2, 4, 8).map(np => recall(
+      Similarity.ivfAdcTopKWith(emb, queries, 10, cents, cb, np, nBlocks, cpb)))
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b + 1e-9, s"IVFADC recall fell along nprobe sweep: $sweep")
+    }
+  }
+
   test("rankings: pqTopK output is dense ranks per query, ascending distance") {
     val got = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 5, dim,
       nBlocks, cpb).collect()
