@@ -61,6 +61,24 @@ object RecallTable {
       println(f"| IVF id-prefix | nprobe=$nprobe/$nlist | $rid%.3f |")
       println(f"| IVF trained | nprobe=$nprobe/$nlist | $rtr%.3f |")
     }
+
+    // PQ paths approximate L2, so they score against the exact-L2 truth
+    val truthL2 = Similarity.bruteForceTopKL2(e, queries, k).localCheckpoint()
+    def meanL2(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, truthL2)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val nBlocks = 8; val cpb = 16
+    val cbPrefix = Similarity.pqCodebookFromPrefix(e, dim, nBlocks, cpb)
+    val cbTrained = Similarity.trainPqCodebooks(e, dim, nBlocks, cpb, iters = 5)
+    println(f"| PQ id-prefix (vs L2) | 8x16 codes | ${
+      meanL2(Similarity.pqTopKWith(e, queries, k, cbPrefix, nBlocks, cpb))}%.3f |")
+    println(f"| PQ trained (vs L2) | 8x16 codes | ${
+      meanL2(Similarity.pqTopKWith(e, queries, k, cbTrained, nBlocks, cpb))}%.3f |")
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val r = meanL2(Similarity.ivfAdcTopKWith(e, queries, k, trained,
+        cbTrained, nprobe, nBlocks, cpb))
+      println(f"| IVFADC trained (vs L2) | nprobe=$nprobe/$nlist | $r%.3f |")
+    }
     spark.stop()
   }
 }

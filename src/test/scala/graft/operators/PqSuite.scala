@@ -97,17 +97,26 @@ class PqSuite extends SparkSpec {
     assert(full.exceptAll(pq).isEmpty && pq.exceptAll(full).isEmpty)
   }
 
-  test("IVFADC recall rises with nprobe (pruning only removes candidates)") {
-    val truth = Similarity.bruteForceTopKL2(emb, queries, 10).localCheckpoint()
-    def recall(approx: DataFrame): Double =
-      Similarity.recallAtK(approx, truth).agg(avg("recall")).head().getDouble(0)
+  test("IVFADC sweep: candidate sets nest; recall vs ADC's own ranking is monotone") {
+    // recall vs the EXACT-L2 truth is NOT monotone in nprobe — ADC is
+    // approximate, so extra candidates can displace true neighbors
+    // (measured at sf0.01: 0.238/0.280/0.300/0.292 along 1/2/4/8). The
+    // true invariant is against PQ's OWN full ranking: every IVFADC hit
+    // that full PQ ranks in its top-k can only be RECOVERED as nprobe
+    // grows, so recall measured against full-PQ-as-truth is monotone
+    // and hits exactly 1 at nprobe = nlist.
     val cents = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
     val cb = Similarity.trainPqCodebooks(emb, dim, nBlocks, cpb, iters = 2)
-    val sweep = Seq(1, 2, 4, 8).map(np => recall(
+    val pqTruth = Similarity.pqTopKWith(emb, queries, 10, cb, nBlocks, cpb)
+      .localCheckpoint()
+    def recallVsPq(approx: DataFrame): Double =
+      Similarity.recallAtK(approx, pqTruth).agg(avg("recall")).head().getDouble(0)
+    val sweep = Seq(1, 2, 4, 8).map(np => recallVsPq(
       Similarity.ivfAdcTopKWith(emb, queries, 10, cents, cb, np, nBlocks, cpb)))
     sweep.sliding(2).foreach { case Seq(a, b) =>
-      assert(a <= b + 1e-9, s"IVFADC recall fell along nprobe sweep: $sweep")
+      assert(a <= b + 1e-9, s"IVFADC-vs-PQ recall fell along nprobe sweep: $sweep")
     }
+    assert(sweep.last == 1.0, s"nprobe=nlist must recover full PQ exactly: $sweep")
   }
 
   test("rankings: pqTopK output is dense ranks per query, ascending distance") {
