@@ -1219,6 +1219,21 @@ object SparkEntry {
       val e = emb(s, d)
       Similarity.ivfAdcTopK(e, e.filter(col("vec_id") < 10), k = 5,
         dim = 64, nlist = 8, nprobe = 2, nBlocks = 8, codesPerBlock = 16)
+    }),
+
+    // --- pipeline: IVFADC shortlist → exact rerank — the full retrieval
+    // stack: compressed index nominates 20 candidates, raw vectors fetched
+    // by broadcast point lookup, final 5 rank by exact L2
+    "q97_ivfadc_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      Similarity.ivfAdcRerankTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        kShort = 20, cents,
+        Similarity.pqCodebookFromPrefix(e, dim = 64, nBlocks = 8, codesPerBlock = 16),
+        nprobe = 2, nBlocks = 8, codesPerBlock = 16)
     }))
 
   // =========================================================================
@@ -2510,5 +2525,69 @@ object SparkEntry {
         |                                     ORDER BY dist_micros, nbr_id) AS rank
         |           FROM adc)
         |SELECT query_id, nbr_id, rank, dist_micros
-        |FROM ranked WHERE rank <= 5""".stripMargin)
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q97_ivfadc_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id < 8),
+        |cscore AS (
+        |  SELECT v.vec_id, c.cid, list_cosine_similarity(v.emb, c.cemb) AS cs
+        |  FROM v, cents c),
+        |cell AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM cscore WHERE vec_id < 10) WHERE rn <= 2),
+        |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, emb
+        |        FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT blocks.b AS block, cbv.code,
+        |              list_transform(range(1, 9), i -> cbv.emb[blocks.b * 8 + i]) AS cent
+        |       FROM cbv, (SELECT unnest(range(0, 8)) AS b) blocks),
+        |enc0 AS (SELECT v.vec_id, cb.block, cb.code,
+        |           list_reduce(list_transform(range(1, 9),
+        |             i -> (v.emb[cb.block * 8 + i] - cb.cent[i])
+        |                  * (v.emb[cb.block * 8 + i] - cb.cent[i])),
+        |             (x, y) -> x + y) AS dsq
+        |         FROM v, cb),
+        |enc AS (SELECT vec_id, block, code FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id, block
+        |                                       ORDER BY dsq, code) AS rn
+        |          FROM enc0) WHERE rn = 1),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, l.vec_id AS nbr_id
+        |  FROM probes p JOIN cell l ON l.cid = p.cid
+        |  WHERE l.vec_id <> p.query_id),
+        |adc AS (SELECT c.query_id, c.nbr_id,
+        |          CAST(SUM(CAST(round(list_reduce(list_transform(range(1, 9),
+        |            i -> (q.emb[e.block * 8 + i] - cb.cent[i])
+        |                 * (q.emb[e.block * 8 + i] - cb.cent[i])),
+        |            (x, y) -> x + y) * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_micros
+        |        FROM cand c
+        |        JOIN v q ON q.vec_id = c.query_id
+        |        JOIN enc e ON e.vec_id = c.nbr_id
+        |        JOIN cb ON cb.block = e.block AND cb.code = e.code
+        |        GROUP BY 1, 2),
+        |short AS (SELECT query_id, nbr_id FROM (
+        |            SELECT query_id, nbr_id,
+        |                   row_number() OVER (PARTITION BY query_id
+        |                                      ORDER BY adc_micros, nbr_id) AS rank
+        |            FROM adc) WHERE rank <= 20),
+        |rr AS (SELECT s.query_id, s.nbr_id,
+        |         CAST(round(list_reduce(list_transform(range(1, 65),
+        |           i -> (q.emb[i] - n.emb[i]) * (q.emb[i] - n.emb[i])),
+        |           (x, y) -> x + y) * 1000000.0) AS BIGINT) AS dist_micros
+        |       FROM short s
+        |       JOIN v q ON q.vec_id = s.query_id
+        |       JOIN v n ON n.vec_id = s.nbr_id),
+        |final AS (SELECT query_id, nbr_id, dist_micros,
+        |                 row_number() OVER (PARTITION BY query_id
+        |                                    ORDER BY dist_micros, nbr_id) AS rank
+        |          FROM rr)
+        |SELECT query_id, nbr_id, rank, dist_micros
+        |FROM final WHERE rank <= 5""".stripMargin)
 }

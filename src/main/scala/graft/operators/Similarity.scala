@@ -526,6 +526,39 @@ object Similarity {
     rankTopKAsc(scored, k)
   }
 
+  /**
+   * IVFADC shortlist → EXACT rerank: the full production retrieval stack
+   * (Jégou et al. 2011 §V) — the compressed index nominates `kShort`
+   * candidates per query, then their RAW vectors are fetched and the
+   * final `k` rank by exact squared L2. Every true top-k neighbor the
+   * shortlist contains survives the exact rerank (fewer than k items can
+   * beat it), so recall@k here is exactly the shortlist's recall — the
+   * rerank converts candidate recall into result precision.
+   *
+   * Scale shape: the rerank's vector fetch BROADCASTS the shortlist
+   * (|queries|·kShort id rows) against one corpus scan — a map-side
+   * semi-join point lookup, never a shuffle of the corpus; everything
+   * upstream is [[ivfAdcTopKWith]]'s cell-pruned code scan.
+   */
+  def ivfAdcRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kShort: Int, cents: Array[(Long, Array[Double])], cb: Array[Double],
+      nprobe: Int, nBlocks: Int, codesPerBlock: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kShort >= k, "the shortlist must be at least the final k")
+    import graft.functions.PqFunctions.l2sqMicros
+    val shortlist = ivfAdcTopKWith(corpus, queries, kShort, cents, cb,
+      nprobe, nBlocks, codesPerBlock, idCol, vecCol)
+      .select(col("query_id"), col("nbr_id"))
+    val scored = corpus
+      .select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("nbr_vec"))
+      .join(broadcast(shortlist), Seq("nbr_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))), Seq("query_id"))
+      .withColumn("dist_micros", l2sqMicros(col("q_vec"), col("nbr_vec")))
+    rankTopKAsc(scored, k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, left side
     * restricted by a predicate (blocking) to bound the pair space. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,

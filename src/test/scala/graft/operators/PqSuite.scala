@@ -119,6 +119,30 @@ class PqSuite extends SparkSpec {
     assert(sweep.last == 1.0, s"nprobe=nlist must recover full PQ exactly: $sweep")
   }
 
+  test("exact rerank recall equals the shortlist's candidate recall") {
+    // every true top-k neighbor present in the shortlist survives an
+    // EXACT rerank (only other truth members can outrank it), so
+    // recall(rerank top-k) ≥ recall(ADC-ranked top-k) always, and a
+    // shortlist of the whole corpus reranks to exactly the truth
+    val truth = Similarity.bruteForceTopKL2(emb, queries, 10).localCheckpoint()
+    def recall(approx: DataFrame): Double =
+      Similarity.recallAtK(approx, truth).agg(avg("recall")).head().getDouble(0)
+    val cents = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
+    val cb = Similarity.trainPqCodebooks(emb, dim, nBlocks, cpb, iters = 2)
+    val adc = recall(Similarity.ivfAdcTopKWith(emb, queries, 10, cents, cb,
+      nprobe = 4, nBlocks, cpb))
+    val rr = recall(Similarity.ivfAdcRerankTopK(emb, queries, 10, kShort = 50,
+      cents, cb, nprobe = 4, nBlocks, cpb))
+    assert(rr >= adc - 1e-9,
+      s"rerank recall $rr below ADC-ranked recall $adc")
+    // shortlist = whole corpus (every cell probed, kShort = corpus size)
+    // makes the rerank exhaustive exact search
+    val n = emb.count().toInt
+    val exhaustive = Similarity.ivfAdcRerankTopK(emb, queries, 10, kShort = n,
+      cents, cb, nprobe = 8, nBlocks, cpb)
+    assert(recall(exhaustive) == 1.0, "exhaustive rerank must equal the truth")
+  }
+
   test("rankings: pqTopK output is dense ranks per query, ascending distance") {
     val got = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 5, dim,
       nBlocks, cpb).collect()
