@@ -21,9 +21,11 @@ os.makedirs(spill, exist_ok=True)
 oracle = json.load(open(oracle_json))
 times = {}
 failed = {}
+import gc
 for name in sorted(oracle):
     best = None
     err = None
+    con = None
     try:
         con = duckdb.connect()
         con.execute(f"SET memory_limit='{mem_limit}'")
@@ -38,9 +40,20 @@ for name in sorted(oracle):
             con.execute(oracle[name]).fetchall()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        con.close()
     except Exception as e:
         err = f"{type(e).__name__}: {e}"
+    finally:
+        # ALWAYS release the connection — a failed query's connection
+        # otherwise keeps its buffers alive and every later query dies
+        # on tiny allocations (measured: one q61 OOM at sf5 cascaded
+        # into 35 spurious failures)
+        try:
+            if con is not None:
+                con.close()
+        except Exception:
+            pass
+        del con
+        gc.collect()
     if err is None:
         times[name] = round(best, 4)
         print(f"[oracle] {name} {times[name]}s", file=sys.stderr, flush=True)
