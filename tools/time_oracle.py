@@ -3,30 +3,26 @@
 against a testdata dir. Two repetitions, min taken (the judge's re-time
 shape). Prints one JSON object {query: sec, ..., "_total": sec}.
 
-Robust at large scale factors: each query gets a FRESH connection with an
-explicit memory limit and a spill directory, and a query that still fails
-(e.g. the recursive-CTE reachability blowing past memory at sf5) is
-recorded under "_failed" instead of aborting the whole run — an oracle
-that cannot complete a query at a scale the engine handles is itself a
-scaling datapoint. Progress goes to stderr per query so long runs are
-observable."""
+Robust at large scale factors: each query runs in its OWN forked
+subprocess with a fresh connection, an explicit memory limit, and a
+spill directory. Process isolation is the point — a query that OOMs at
+sf5 leaves the parent untouched, where a single long-lived process never
+returns the fragmented arenas to the OS and every later query then dies
+on kilobyte allocations (measured: one q60 OOM cascaded into 35 spurious
+failures twice, with and without connection close). A genuinely failing
+query is recorded under "_failed" instead of aborting the run — an
+oracle that cannot complete a query at a scale the engine handles is
+itself a scaling datapoint. Progress goes to stderr per query.
+
+Optional third arg: comma-separated query names to (re)time only those.
+"""
 import os, sys, json, time
-import duckdb
+import multiprocessing as mp
 
-sfdir, oracle_json = sys.argv[1], sys.argv[2]
-mem_limit = os.environ.get("DUCK_MEM_LIMIT", "100GB")
-spill = os.environ.get("DUCK_TEMP_DIR", "/tmp/duckspill")
-os.makedirs(spill, exist_ok=True)
 
-oracle = json.load(open(oracle_json))
-times = {}
-failed = {}
-import gc
-for name in sorted(oracle):
-    best = None
-    err = None
-    con = None
+def run_one(sfdir, sql, mem_limit, spill, q):
     try:
+        import duckdb
         con = duckdb.connect()
         con.execute(f"SET memory_limit='{mem_limit}'")
         con.execute(f"SET temp_directory='{spill}'")
@@ -35,33 +31,59 @@ for name in sorted(oracle):
             p = f"{sfdir}/{t}.parquet"
             src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        best = None
         for _ in range(2):
             t0 = time.time()
-            con.execute(oracle[name]).fetchall()
+            con.execute(sql).fetchall()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        q.put(("ok", best))
     except Exception as e:
-        err = f"{type(e).__name__}: {e}"
-    finally:
-        # ALWAYS release the connection — a failed query's connection
-        # otherwise keeps its buffers alive and every later query dies
-        # on tiny allocations (measured: one q61 OOM at sf5 cascaded
-        # into 35 spurious failures)
-        try:
-            if con is not None:
-                con.close()
-        except Exception:
-            pass
-        del con
-        gc.collect()
-    if err is None:
-        times[name] = round(best, 4)
-        print(f"[oracle] {name} {times[name]}s", file=sys.stderr, flush=True)
-    else:
-        failed[name] = err.splitlines()[0][:200]
-        print(f"[oracle] {name} FAILED {failed[name]}", file=sys.stderr, flush=True)
-times["_total"] = round(sum(v for k, v in times.items() if k != "_total"), 3)
-if failed:
-    times["_failed"] = failed
-print(json.dumps(times))
-sys.exit(0)
+        q.put(("err", f"{type(e).__name__}: {e}"))
+
+
+def main():
+    sfdir, oracle_json = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    mem_limit = os.environ.get("DUCK_MEM_LIMIT", "100GB")
+    spill = os.environ.get("DUCK_TEMP_DIR", "/tmp/duckspill")
+    os.makedirs(spill, exist_ok=True)
+
+    oracle = json.load(open(oracle_json))
+    times = {}
+    failed = {}
+    ctx = mp.get_context("fork")
+    for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
+        q = ctx.Queue()
+        p = ctx.Process(target=run_one,
+                        args=(sfdir, oracle[name], mem_limit, spill, q))
+        p.start()
+        status, payload = None, None
+        while True:
+            try:
+                status, payload = q.get(timeout=5)
+                break
+            except Exception:  # queue.Empty — check for a dead child
+                if not p.is_alive():
+                    status = "err"
+                    payload = f"child died without a report (exitcode {p.exitcode})"
+                    break
+        p.join()
+        if status == "ok":
+            times[name] = round(payload, 4)
+            print(f"[oracle] {name} {times[name]}s", file=sys.stderr, flush=True)
+        else:
+            failed[name] = str(payload).splitlines()[0][:200]
+            print(f"[oracle] {name} FAILED {failed[name]}",
+                  file=sys.stderr, flush=True)
+    times["_total"] = round(sum(v for k, v in times.items() if k != "_total"), 3)
+    if failed:
+        times["_failed"] = failed
+    print(json.dumps(times))
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)
