@@ -177,6 +177,78 @@ object Layout {
   }
 
   /**
+   * Small-file compaction (the reference's background part merge,
+   * banyand/internal/storage — parts accrete per flush and a merger
+   * rewrites many small parts into one): rewrite every (seg, shard)
+   * directory whose file count exceeds `maxFiles` into
+   * ceil(bytes / targetBytes) files. Steady ingest otherwise accretes
+   * one file per micro-batch per directory, and at 100 TB the scan's
+   * file-listing and per-file open cost come to dominate the read path —
+   * compaction is the maintenance op that keeps a layout scannable.
+   *
+   * Mechanics mirror [[Stages]].migrate: the rewrite is a
+   * dynamic-partition OVERWRITE through Spark's commit protocol (staged
+   * under `_temporary`, committed by rename), so a crashed compaction
+   * leaves the old files in place, and a retry redoes the same
+   * idempotent rewrite. Row content is untouched — same data, fewer
+   * files — and like the reference's merger it assumes one maintainer
+   * per table (the CatalogStore single-writer rule).
+   *
+   * @return (seg, shard, filesBefore, filesAfter) per compacted directory
+   */
+  def compactSegments(spark: SparkSession, root: String, spec: LayoutSpec,
+      targetBytes: Long = 128L << 20, maxFiles: Int = 1): Seq[(Int, Int, Int, Int)] = {
+    require(targetBytes > 0 && maxFiles >= 1, "targetBytes/maxFiles must be positive")
+    import org.apache.hadoop.fs.Path
+    val table = new Path(path(root, spec))
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(table)) return Nil
+    val victims = for {
+      segSt <- fs.listStatus(table).toSeq
+      if segSt.isDirectory && segSt.getPath.getName.startsWith(s"$SegCol=")
+      shardSt <- fs.listStatus(segSt.getPath).toSeq
+      if shardSt.isDirectory && shardSt.getPath.getName.startsWith(s"$ShardCol=")
+      files = fs.listStatus(shardSt.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      if files.length > maxFiles
+    } yield {
+      val seg = segSt.getPath.getName.stripPrefix(s"$SegCol=").toInt
+      val shard = shardSt.getPath.getName.stripPrefix(s"$ShardCol=").toInt
+      val bytes = files.map(_.getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      (seg, shard, shardSt.getPath.toString, files.length, n)
+    }
+    if (victims.isEmpty) return Nil
+    // one job rewrites all victim directories: read ONLY those directories
+    // (basePath keeps the partition columns), bin each directory's rows
+    // into its own ceil(bytes/targetBytes) output files (broadcast bin
+    // counts, entity-hash binning keeps a series co-located), and
+    // dynamic-overwrite exactly those partitions. Non-victim directories
+    // are never read or touched.
+    import spark.implicits._
+    val bins = victims.map(v => (v._1, v._2, v._5))
+      .toDF(SegCol, ShardCol, "__nbins")
+    spark.read
+      .option("basePath", path(root, spec))
+      .parquet(victims.map(_._3): _*)
+      .join(broadcast(bins), Seq(SegCol, ShardCol))
+      .withColumn("__bin",
+        pmod(xxhash64(spec.entity.map(col): _*), col("__nbins").cast("long")))
+      .repartition(victims.map(_._5).sum, col(SegCol), col(ShardCol), col("__bin"))
+      .drop("__nbins", "__bin")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(SegCol, ShardCol)
+      .parquet(path(root, spec))
+    spark.catalog.refreshByPath(path(root, spec))
+    victims.map { case (seg, shard, p, before, _) =>
+      val after = fs.listStatus(new Path(p))
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      (seg, shard, before, after)
+    }.sortBy(v => (v._1, v._2))
+  }
+
+  /**
    * Catalog-backed bucketed form of the layout: partitioned by `seg` and
    * BUCKETED (not just directory-sharded) by the entity, sorted within
    * buckets by (entity, ts). Because bucketing is recorded in the table

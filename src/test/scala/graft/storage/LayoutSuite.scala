@@ -174,4 +174,43 @@ class LayoutSuite extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("compaction merges small files; rows, routing, and quiet dirs untouched") {
+    val root = tmp("compact")
+    // steady micro-batch ingest: 6 appends -> up to 6 files per (seg,shard)
+    val slice = events.limit(600)
+    (0 until 6).foreach { i =>
+      Layout.append(slice.filter(col("event_id") % 6 === i), root, spec)
+    }
+    def fileCounts(): Map[(Int, Int), Int] = {
+      val table = new java.io.File(Layout.path(root, spec))
+      (for {
+        seg <- table.listFiles().toSeq if seg.getName.startsWith("seg=")
+        sh <- seg.listFiles().toSeq if sh.getName.startsWith("shard=")
+      } yield (seg.getName.stripPrefix("seg=").toInt,
+        sh.getName.stripPrefix("shard=").toInt) ->
+        sh.listFiles().count(f => f.isFile && !f.getName.startsWith("_"))).toMap
+    }
+    val before = fileCounts()
+    assert(before.values.exists(_ > 1), s"ingest should fragment: $before")
+    val rowsBefore = Layout.read(spark, root, spec)
+      .orderBy("event_id", "ts_ns").collect().toSeq
+    val report = Layout.compactSegments(spark, root, spec,
+      targetBytes = 128L << 20, maxFiles = 1)
+    val after = fileCounts()
+    // every fragmented directory compacted to one file (tiny data << target)
+    assert(after.values.forall(_ == 1), s"still fragmented: $after")
+    report.foreach { case (seg, shard, nb, na) =>
+      assert(nb > 1 && na == 1, s"bad report row ($seg,$shard,$nb,$na)")
+      assert(before((seg, shard)) == nb && after((seg, shard)) == na)
+    }
+    // untouched directories were not rewritten (not in the report)
+    val quiet = before.filter(_._2 == 1).keySet
+    assert(report.map(r => (r._1, r._2)).toSet.intersect(quiet).isEmpty)
+    // byte-identical row content, and a second pass is a no-op
+    val rowsAfter = Layout.read(spark, root, spec)
+      .orderBy("event_id", "ts_ns").collect().toSeq
+    assert(rowsAfter == rowsBefore)
+    assert(Layout.compactSegments(spark, root, spec).isEmpty)
+  }
 }
