@@ -57,18 +57,25 @@ object CorpusStats {
    * build side — AQE picks broadcast when it fits), final partial agg on id.
    */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokenized(df, idCol, textCol)
+    // per-doc occurrence counts FIRST: the model join and the final
+    // aggregate then see distinct (doc, token) pairs, not occurrences —
+    // the occurrence multiplicity rides along as an exact int64 factor
+    // (score = Σ c_dt · lp_t is the same integer), and both shuffles get
+    // map-side combine over the smaller pair set
+    val docTok = tokenized(df, idCol, textCol)
       .select(col("id"), explode(col("toks")).as("tok"))
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("__cdt"))
+    val counts = docTok.groupBy("tok").agg(sum("__cdt").as("c"))
     val totals = counts.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
     val model = counts.crossJoin(broadcast(totals)).select(
       col("tok"),
       round(log((col("c") + 1).cast("double") /
         (col("__n") + col("__v")).cast("double")) * lit(1e6))
         .cast("long").as("lp_micros_tok"))
-    toks.join(model, Seq("tok"))
+    docTok.join(model, Seq("tok"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lp_micros_tok").as("lp_micros"))
+      .agg(sum("__cdt").as("n_tokens"),
+        sum(col("__cdt") * col("lp_micros_tok")).as("lp_micros"))
       .withColumnRenamed("id", idCol)
   }
 

@@ -96,6 +96,30 @@ object Sessions {
   }
 
   /**
+   * Streaming form of [[downsample]]: the same fixed-interval
+   * count/sum/min/max rollup as a watermarked tumbling-window aggregate —
+   * a bucket emits (append mode) once the watermark passes its end, and
+   * the emitted rows are exactly what the batch operator computes over
+   * the same events. writeStream this into the rollup table and
+   * [[coarsen]] reads it like any other level of the ladder: continuous
+   * ingest maintains the 1m level, scheduled batch re-aggregation rolls
+   * it up. State is bounded by OPEN buckets × dims, not history.
+   */
+  def downsampleStream(df: DataFrame, tsCol: String, dims: Seq[String],
+      valueCol: Column, intervalMs: Long, watermarkDelay: String): DataFrame = {
+    require(intervalMs > 0, "intervalMs must be positive")
+    val v = floor(valueCol).cast("long")
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$intervalMs milliseconds").as("__w") +:
+        dims.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(v).as("sum_v"),
+        min(v).as("min_v"), max(v).as("max_v"))
+      .select(unix_millis(col("__w.start")).as("bucket_ms") +:
+        (dims.map(col) ++ Seq(col("cnt"), col("sum_v"), col("min_v"),
+          col("max_v"))): _*)
+  }
+
+  /**
    * Re-aggregate a finer [[downsample]] rollup to a coarser interval —
    * reads the rollup table, never the raw events. `intervalMs` must be a
    * multiple of the finer rollup's interval (a finer bucket then falls

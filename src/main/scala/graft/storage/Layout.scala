@@ -209,7 +209,8 @@ object Layout {
       shardSt <- fs.listStatus(segSt.getPath).toSeq
       if shardSt.isDirectory && shardSt.getPath.getName.startsWith(s"$ShardCol=")
       files = fs.listStatus(shardSt.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
       if files.length > maxFiles
     } yield {
       val seg = segSt.getPath.getName.stripPrefix(s"$SegCol=").toInt
@@ -243,7 +244,8 @@ object Layout {
     spark.catalog.refreshByPath(path(root, spec))
     victims.map { case (seg, shard, p, before, _) =>
       val after = fs.listStatus(new Path(p))
-        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
       (seg, shard, before, after)
     }.sortBy(v => (v._1, v._2))
   }

@@ -189,7 +189,8 @@ class LayoutSuite extends SparkSpec {
         sh <- seg.listFiles().toSeq if sh.getName.startsWith("shard=")
       } yield (seg.getName.stripPrefix("seg=").toInt,
         sh.getName.stripPrefix("shard=").toInt) ->
-        sh.listFiles().count(f => f.isFile && !f.getName.startsWith("_"))).toMap
+        sh.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).toMap
     }
     val before = fileCounts()
     assert(before.values.exists(_ > 1), s"ingest should fragment: $before")

@@ -68,4 +68,45 @@ class SessionStreamSuite extends SparkSpec {
     assert(got.subsetOf(batch), "stream must be a prefix of the batch replay")
     assert((batch -- got).forall(_._1 == 9L), "only the sentinel stays open")
   }
+
+  test("streamed rollup buckets equal the batch downsample on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[SessionEvent]
+    val name = "roll_test_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Sessions.downsampleStream(
+        src.toDF().withColumnRenamed("user_id", "event_type"),
+        "ts", Seq("event_type"), col("value"),
+        intervalMs = 10 * MIN, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmp("roll"))
+      .start()
+    src.addData(
+      SessionEvent(1L, ts(0), 1.5), SessionEvent(1L, ts(3 * MIN), 2.5),
+      SessionEvent(2L, ts(4 * MIN), 7.9), SessionEvent(1L, ts(12 * MIN), 4.0))
+    q.processAllAvailable()
+    src.addData(SessionEvent(9L, ts(1000 * MIN), 0.0)) // watermark push
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("bucket_ms", "event_type", "cnt", "sum_v", "min_v", "max_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (0L, 1L, 2L, 3L, 1L, 2L),          // floor(1.5)+floor(2.5) = 1+2
+      (0L, 2L, 1L, 7L, 7L, 7L),
+      (10 * MIN, 1L, 1L, 4L, 4L, 4L)),
+      s"streamed rollup diverges: $got")
+    // batch operator over the same events (sentinel included) ⊇ streamed
+    val batch = Sessions.downsample(
+      Seq((1L, 0L, 1.5), (1L, 3 * MIN, 2.5), (2L, 4 * MIN, 7.9),
+        (1L, 12 * MIN, 4.0), (9L, 1000 * MIN, 0.0))
+        .map { case (u, t, v) => (u, t * 1000000L, v) }
+        .toDF("event_type", "ts_ns", "value"),
+      "ts_ns", Seq("event_type"), col("value"), intervalMs = 10 * MIN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got.subsetOf(batch) && (batch -- got).forall(_._2 == 9L))
+  }
 }
