@@ -1221,6 +1221,30 @@ object SparkEntry {
         dim = 64, nlist = 8, nprobe = 2, nBlocks = 8, codesPerBlock = 16)
     }),
 
+    // --- as-of (temporal) join: every purchase enriched with the user's
+    // latest signup at-or-before it — dimension state in effect at event
+    // time; one key shuffle + running carry, no per-row point query
+    "q98_asof_enrich" -> ((s, d) => {
+      val e = ev(s, d).withColumn("ts_ms", tsMs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          floor(col("value")).cast("long").as("v"))
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts_ms")
+        .agg(max(floor(col("value")).cast("long")).as("signup_value"))
+        .select(col("user_id"), col("ts_ms"),
+          col("ts_ms").as("signup_ts_ms"), col("signup_value"))
+      graft.operators.Sessions.asOfJoin(purchases, signups, "user_id",
+        "ts_ms", "ts_ms", Seq("signup_ts_ms", "signup_value"))
+    }),
+
+    // --- counter rates (meter/PromQL `rate`): per-user per-second delta
+    // between consecutive click samples, exact integer-micros rates
+    "q99_counter_rate" -> ((s, d) =>
+      graft.operators.Sessions.counterRates(
+        ev(s, d).filter(col("event_type") === "click"),
+        "user_id", "ts_ns", col("value"))),
+
     // --- pipeline: IVFADC shortlist → exact rerank — the full retrieval
     // stack: compressed index nominates 20 candidates, raw vectors fetched
     // by broadcast point lookup, final 5 rank by exact L2
@@ -2589,5 +2613,32 @@ object SparkEntry {
         |                                    ORDER BY dist_micros, nbr_id) AS rank
         |          FROM rr)
         |SELECT query_id, nbr_id, rank, dist_micros
-        |FROM final WHERE rank <= 5""".stripMargin)
+        |FROM final WHERE rank <= 5""".stripMargin,
+
+    "q98_asof_enrich" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT user_id, epoch_ms(ts) AS sts,
+        |         CAST(MAX(CAST(floor(value) AS BIGINT)) AS BIGINT) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_ms, p.v,
+        |       s.sts AS signup_ts_ms, s.signup_value
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts_ms >= s.sts""".stripMargin,
+
+    "q99_counter_rate" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click'),
+        |l AS (
+        |  SELECT user_id, ts_ms, v,
+        |         lag(ts_ms) OVER w AS prev_ts_ms, v - lag(v) OVER w AS dv
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, v))
+        |SELECT user_id, ts_ms, prev_ts_ms, dv, ts_ms - prev_ts_ms AS dt_ms,
+        |       CAST(round(CAST(dv AS DOUBLE) * 1000000000.0 / (ts_ms - prev_ts_ms))
+        |            AS BIGINT) AS rate_micros
+        |FROM l WHERE ts_ms - prev_ts_ms > 0""".stripMargin)
 }

@@ -77,6 +77,76 @@ object Sessions {
   }
 
   /**
+   * As-of (temporal) join: attach to every left row the LATEST right row
+   * of the same key with `rightTs <= leftTs` — "the dimension state in
+   * effect when the event happened" (config at incident time, the last
+   * preceding marker event, a slowly-changing attribute). Right rows
+   * must be unique per (key, ts); pre-aggregate if not.
+   *
+   * Spark-first shape: no point-in-time subquery per row and no range
+   * join — the two sides UNION on the key, one shuffle partitions by
+   * the (high-cardinality) key, and a running `last(payload, ignoreNulls)`
+   * carries each right row forward to the left rows that follow it in
+   * (ts, right-first) order. Cost is one exchange + one in-partition
+   * sort, the same as the sessionize aggregate; per-key state is one
+   * payload row. Ties at equal ts resolve right-before-left, so an
+   * event AT the marker's timestamp sees that marker (ASOF `>=`
+   * semantics, like DuckDB's ASOF JOIN).
+   *
+   * @param payload right-side columns to carry (names must not clash
+   *                with left columns)
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTsMs: String, rightTsMs: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asOfJoin needs at least one payload column")
+    require(payload.forall(p => !left.columns.contains(p)),
+      "payload column names must not clash with left columns")
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(col(key) +: col(rightTsMs).as("__ts") +:
+        payload.map(col): _*)
+      .withColumn("__is_r", lit(1))
+    val l = left.withColumn("__ts", col(leftTsMs)).withColumn("__is_r", lit(0))
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(all) { (df, p) =>
+        df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+      }
+      .filter(col("__is_r") === 0)
+      .drop("__is_r", "__ts")
+  }
+
+  /**
+   * Counter rates (the meter/PromQL `rate` primitive): per entity, the
+   * per-second rate between CONSECUTIVE samples — `Δfloor(value) /
+   * Δt`. Pairs with `Δt = 0` are dropped (undefined rate). The window
+   * partitions on the high-cardinality entity and holds one lag row of
+   * state; determinism: integer deltas, one double division, one
+   * rounding to integer micros.
+   *
+   * @return (entityCol, ts_ms, prev_ts_ms, dv, dt_ms, rate_micros)
+   */
+  def counterRates(df: DataFrame, entityCol: String, tsNsCol: String,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // value tiebreak: equal-(entity, ts) samples order deterministically,
+    // and identical duplicates are order-indifferent (their dt=0 pair is
+    // dropped either way) — exact cross-engine parity
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("ts_ms"), col("__v"))
+    df.select(col(entityCol), expr(s"$tsNsCol DIV 1000000").as("ts_ms"),
+        floor(valueCol).cast("long").as("__v"))
+      .withColumn("prev_ts_ms", lag("ts_ms", 1).over(w))
+      .withColumn("dv", col("__v") - lag("__v", 1).over(w))
+      .withColumn("dt_ms", col("ts_ms") - col("prev_ts_ms"))
+      .filter(col("dt_ms") > 0)
+      .withColumn("rate_micros", // per-SECOND rate: dv·1e6·(1000/dt_ms)
+        round(col("dv").cast("double") * lit(1.0e9) / col("dt_ms"))
+          .cast("long"))
+      .drop("__v")
+  }
+
+  /**
    * Fixed-interval rollup of raw events: one row per (bucket, dims) with
    * the four re-aggregable statistics. `value` is floored to int64 first
    * (exact sums, engine-portable).

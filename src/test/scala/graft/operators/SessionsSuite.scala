@@ -79,6 +79,39 @@ class SessionsSuite extends SparkSpec {
     assert(viaLadder.exceptAll(direct).isEmpty && direct.exceptAll(viaLadder).isEmpty)
   }
 
+  test("asOfJoin attaches the latest at-or-before right row per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 150L), (2L, 50L, 500L))
+      .toDF("k", "ts", "pv")
+      .select(col("k"), col("ts"), col("ts").as("p_ts"), col("pv"))
+    val got = Sessions.asOfJoin(left, right, "k", "ts", "ts", Seq("p_ts", "pv"))
+      .select("k", "ts", "tag", "p_ts", "pv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 10L, "a", 10L, 100L), // equal ts sees the marker (>= semantics)
+      (1L, 20L, "b", 15L, 150L), // latest preceding wins
+      (1L, 5L, "c", -1L, -1L),   // nothing before → null
+      (2L, 10L, "d", -1L, -1L))) // other key's markers invisible
+  }
+
+  test("counterRates: integer deltas, zero-dt pairs dropped, exact micros") {
+    val df = Seq((1L, 0L, 10.0), (1L, 2000L, 15.9), (1L, 2000L, 15.9),
+      (1L, 4000L, 11.0), (2L, 0L, 1.0))
+      .map { case (u, ms, v) => (u, ms * 1000000L, v) }
+      .toDF("user_id", "ts_ns", "value")
+    val got = Sessions.counterRates(df, "user_id", "ts_ns", col("value"))
+      .select("user_id", "ts_ms", "dv", "dt_ms", "rate_micros").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 2000L, 5L, 2000L, 2500000L),   // +5 over 2s = 2.5/s
+      (1L, 4000L, -4L, 2000L, -2000000L)) // counter reset → negative rate
+      , s"got $got")
+  }
+
   test("sessionize carries no Window node (native session_window aggregate)") {
     val ev = Catalog.load(spark, sf0001, "events")
     val plan = Sessions.sessionize(ev, "user_id", "ts_ns", 1800000L, col("value"))
