@@ -1245,6 +1245,18 @@ object SparkEntry {
         ev(s, d).filter(col("event_type") === "click"),
         "user_id", "ts_ns", col("value"))),
 
+    // --- ordered conversion funnel: signup → click → purchase, each step
+    // strictly after the previous; one entity-keyed partial agg per step
+    "q100_funnel" -> ((s, d) =>
+      graft.operators.Funnels.funnel(ev(s, d), "user_id", "ts_ns",
+        "event_type", Seq("signup", "click", "purchase"))),
+
+    // --- cohort retention triangle: weekly cohorts by first event,
+    // activity at k-week offsets; two partial-agg shuffles
+    "q101_retention" -> ((s, d) =>
+      graft.operators.Funnels.retention(ev(s, d), "user_id", "ts_ns",
+        periodMs = 7L * 86400000L)),
+
     // --- pipeline: IVFADC shortlist → exact rerank — the full retrieval
     // stack: compressed index nominates 20 candidates, raw vectors fetched
     // by broadcast point lookup, final 5 rank by exact L2
@@ -2640,5 +2652,30 @@ object SparkEntry {
         |SELECT user_id, ts_ms, prev_ts_ms, dv, ts_ms - prev_ts_ms AS dt_ms,
         |       CAST(round(CAST(dv AS DOUBLE) * 1000000000.0 / (ts_ms - prev_ts_ms))
         |            AS BIGINT) AS rate_micros
-        |FROM l WHERE ts_ms - prev_ts_ms > 0""".stripMargin)
+        |FROM l WHERE ts_ms - prev_ts_ms > 0""".stripMargin,
+
+    "q100_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |s0 AS (SELECT user_id, min(ts_ms) AS t0_ms FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(ts_ms) AS t1_ms FROM e
+        |       JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_ms > t0_ms GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_ms) AS t2_ms FROM e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_ms > t1_ms GROUP BY 1)
+        |SELECT s0.user_id, s0.t0_ms, s1.t1_ms, s2.t2_ms,
+        |       CAST(1 + (s1.user_id IS NOT NULL)::INT
+        |              + (s2.user_id IS NOT NULL)::INT AS BIGINT) AS depth
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+    "q101_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS p FROM events),
+        |cohort AS (SELECT user_id, min(p) AS c FROM active GROUP BY 1)
+        |SELECT c * 604800000 AS cohort_ms, p - c AS k,
+        |       COUNT(*) AS n_entities
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)
 }
