@@ -53,8 +53,12 @@ object CorpusStats {
    * omitted, like every other tokenized path.
    *
    * Scale: vocabulary aggregate (partial agg on token), corpus totals as a
-   * broadcast one-row join, score join keyed on token (vocabulary-sized
-   * build side — AQE picks broadcast when it fits), final partial agg on id.
+   * broadcast one-row join, score join with the model EXPLICITLY broadcast
+   * (the model is vocabulary-bounded by construction — ~16 bytes per
+   * distinct term — so it fits an executor at any corpus size; leaving the
+   * choice to AQE was measured 8.5× slower at 50× data when the planner
+   * shuffled the (doc, token) side on the token key instead), final
+   * partial agg on id.
    */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // per-doc occurrence counts FIRST: the model join and the final
@@ -72,7 +76,7 @@ object CorpusStats {
       round(log((col("c") + 1).cast("double") /
         (col("__n") + col("__v")).cast("double")) * lit(1e6))
         .cast("long").as("lp_micros_tok"))
-    docTok.join(model, Seq("tok"))
+    docTok.join(broadcast(model), Seq("tok"))
       .groupBy("id")
       .agg(sum("__cdt").as("n_tokens"),
         sum(col("__cdt") * col("lp_micros_tok")).as("lp_micros"))
@@ -216,10 +220,11 @@ object CorpusStats {
    * mirroring the expression computes the identical int64.
    *
    * Scale: bigram and unigram counts are two partial-aggregated shuffles
-   * keyed on vocabulary-bounded terms; the two count joins are
-   * term-keyed (AQE broadcasts the unigram side when it fits); scalar
-   * totals ride a broadcast one-row cross join; the final cut is
-   * TakeOrdered. Nothing corpus-quadratic, nothing on the driver.
+   * keyed on vocabulary-bounded terms; the two count joins broadcast the
+   * unigram side explicitly (vocabulary-bounded by construction, same
+   * argument as [[unigramLogProb]]'s model join); scalar totals ride a
+   * broadcast one-row cross join; the final cut is TakeOrdered. Nothing
+   * corpus-quadratic, nothing on the driver.
    *
    * @return (bigram, c_ab, pmi_micros) — top `topN` by PMI desc, bigram asc
    */
@@ -239,8 +244,8 @@ object CorpusStats {
     val totals = uni.agg(sum("c").as("__n"))
       .crossJoin(bigrams.agg(count(lit(1)).as("__m")))
     pairCounts
-      .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), Seq("a"))
-      .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), Seq("b"))
+      .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b")), Seq("b"))
       .crossJoin(broadcast(totals))
       .select(concat(col("a"), lit(" "), col("b")).as("bigram"), col("c_ab"),
         round(log(col("c_ab").cast("double") * col("__n") * col("__n") /

@@ -44,7 +44,7 @@ object Dedup {
     *    recomputable on block loss; storage is freed only when the
     *    session drops the RDD, so callers own the lifetime.
     */
-  private[operators] def barrier(df: DataFrame): DataFrame =
+  private[graft] def barrier(df: DataFrame): DataFrame =
     df.sparkSession.conf.get("spark.graft.dedup.barrier", "localCheckpoint") match {
       case "checkpoint" => df.checkpoint()
       case "persist" => df.persist()

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Event-sequence analytics over the stream/measure surface: ordered
@@ -9,13 +10,14 @@ import org.apache.spark.sql.functions._
  * event-analytics deployment runs on exactly the data shape the engine
  * stores (entity, event time, event type).
  *
- * Scale shapes: [[funnel]] is one partial-aggregated shuffle on the
- * entity per STEP (steps are a small fixed list — k aggregates, no
- * per-entity event collection, no window over history). [[retention]]
+ * Scale shapes: [[funnel]] is ONE shuffle on the entity — step events
+ * hash-partition once, sort within partitions by (entity, time), and a
+ * streaming per-partition fold carries an O(k) frontier per entity (no
+ * per-entity event collection, no window buffering, no join per step;
+ * the earlier k-join form paid k−1 entity shuffles). [[retention]]
  * is two partial-aggregated shuffles (first-seen cohort, then distinct
  * active periods). Nothing collects events per entity into memory —
- * unlike the collect-and-fold funnel form, a billion-event entity costs
- * only its aggregate updates.
+ * a billion-event entity costs only its sorted scan.
  */
 object Funnels {
 
@@ -27,30 +29,95 @@ object Funnels {
    * means the funnel stopped there; `depth` is the number of completed
    * steps.
    *
-   * @param steps predicate values of `stepCol`, in funnel order
-   * @return (entityCol, t0_ms..t{k-1}_ms, depth)
+   * The per-entity recurrence (t_k = earliest step-k event after t_{k−1})
+   * is inherently sequential in event time, so it cannot partial-aggregate
+   * in arbitrary order; the scalable exact form is the one every columnar
+   * event store uses: co-locate an entity's step events with one hash
+   * exchange, external-sort within partitions, fold each entity's run with
+   * a k-slot frontier. `mapPartitions` is justified here (not a
+   * convenience): the fold's state transition reads its OWN earlier
+   * output, which no Catalyst aggregate/window can express without
+   * buffering whole entity histories.
+   *
+   * @param steps predicate values of `stepCol`, in funnel order (repeats
+   *              allowed — each occurrence must be strictly later)
+   * @return (entityCol, t0_ms..t{k-1}_ms, depth); entities that never
+   *         completed step 0 are absent
    */
   def funnel(df: DataFrame, entityCol: String, tsNsCol: String,
       stepCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val e = df.select(col(entityCol), expr(s"$tsNsCol DIV 1000000").as("__ts"),
-      col(stepCol).as("__step"))
-    // t0 over all entities; each later step left-joins the previous
-    // frontier and keeps min ts strictly after it
-    val first = e.filter(col("__step") === steps.head)
-      .groupBy(entityCol).agg(min("__ts").as("t0_ms"))
-    val full = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (s, i)) =>
-      val prev = s"t${i - 1}_ms"
-      val cur = s"t${i}_ms"
-      val nxt = e.filter(col("__step") === s)
-        .join(acc.select(col(entityCol), col(prev)), entityCol)
-        .filter(col("__ts") > col(prev))
-        .groupBy(entityCol).agg(min("__ts").as(cur))
-      acc.join(nxt.select(col(entityCol), col(cur)), Seq(entityCol), "left")
+    val k = steps.size
+    // step value → ascending indices it satisfies (repeated step names
+    // mean "the same event type again, strictly later")
+    val stepsOf: Map[String, Array[Int]] =
+      steps.zipWithIndex.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).sorted.toArray
+      }
+    val e = df
+      .filter(col(stepCol).isin(steps.map(lit): _*) &&
+        col(tsNsCol).isNotNull)
+      .select(col(entityCol).as("__e"),
+        expr(s"$tsNsCol DIV 1000000").as("__ts"),
+        col(stepCol).cast("string").as("__s"))
+    val prepared = e.repartition(col("__e"))
+      .sortWithinPartitions(col("__e"), col("__ts"))
+    val entityField = df.schema(entityCol)
+    val outSchema = StructType(
+      StructField(entityCol, entityField.dataType, entityField.nullable) +:
+        (0 until k).map(i => StructField(s"t${i}_ms", LongType, nullable = true)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val folded = prepared.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val f = Array.fill(k)(Long.MinValue) // per-step frontier
+        private var cur: Any = null
+        private var open = false
+        private var out: Row = null
+        private def close(): Row = {
+          val vals = new Array[Any](k + 1)
+          vals(0) = cur
+          var i = 0
+          while (i < k) {
+            vals(i + 1) = if (f(i) == Long.MinValue) null else f(i)
+            i += 1
+          }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+        private def consume(r: Row): Unit = {
+          val ent = r.get(0)
+          if (!open || ent != cur) {
+            if (open && f(0) != Long.MinValue) out = close()
+            cur = ent; open = true
+            var i = 0; while (i < k) { f(i) = Long.MinValue; i += 1 }
+          }
+          val t = r.getLong(1)
+          val idxs = stepsOf(r.getString(2))
+          var j = 0
+          while (j < idxs.length) {
+            val i = idxs(j)
+            if (i == 0) { if (f(0) == Long.MinValue) f(0) = t }
+            else if (f(i) == Long.MinValue && f(i - 1) != Long.MinValue &&
+              t > f(i - 1)) f(i) = t
+            j += 1
+          }
+        }
+        def hasNext: Boolean = {
+          while (out == null && rows.hasNext) consume(rows.next())
+          if (out == null && open) {
+            if (f(0) != Long.MinValue) out = close()
+            open = false
+          }
+          out != null
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("empty funnel fold")
+          val r = out; out = null; r
+        }
+      }
     }
     val depth = steps.indices.map(i => when(col(s"t${i}_ms").isNotNull, 1)
       .otherwise(0)).reduce(_ + _)
-    full.withColumn("depth", depth.cast("long"))
+    folded.withColumn("depth", depth.cast("long"))
   }
 
   /** Per-stage conversion counts from a [[funnel]] result: how many

@@ -91,7 +91,11 @@ object Sessions {
    * sort, the same as the sessionize aggregate; per-key state is one
    * payload row. Ties at equal ts resolve right-before-left, so an
    * event AT the marker's timestamp sees that marker (ASOF `>=`
-   * semantics, like DuckDB's ASOF JOIN).
+   * semantics, like DuckDB's ASOF JOIN). The payload travels as ONE
+   * struct through a single `last(ignoreNulls)` — every enriched row is
+   * a whole right row, never a column-wise mix of two right rows (which
+   * per-column carries would produce when a right row holds a NULL in
+   * one payload column but not another).
    *
    * @param payload right-side columns to carry (names must not clash
    *                with left columns)
@@ -102,19 +106,19 @@ object Sessions {
     require(payload.forall(p => !left.columns.contains(p)),
       "payload column names must not clash with left columns")
     import org.apache.spark.sql.expressions.Window
-    val r = right.select(col(key) +: col(rightTsMs).as("__ts") +:
-        payload.map(col): _*)
+    val r = right.select(col(key), col(rightTsMs).as("__ts"),
+        struct(payload.map(col): _*).as("__pay"))
       .withColumn("__is_r", lit(1))
     val l = left.withColumn("__ts", col(leftTsMs)).withColumn("__is_r", lit(0))
     val all = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__is_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(all) { (df, p) =>
-        df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-      }
+    val carried = all
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__is_r") === 0)
-      .drop("__is_r", "__ts")
+    payload.foldLeft(carried)((df, p) => df.withColumn(p, col("__pay")(p)))
+      .drop("__is_r", "__ts", "__pay")
   }
 
   /**

@@ -349,10 +349,20 @@ object Similarity {
   }
 
   /** ascending-distance variant of [[rankTopK]]: rank by (dist_micros asc,
-    * nbr_id asc) through the same bounded top-k aggregate (negated ints —
-    * ADC micros ≤ ~1e9 are exact as doubles). */
+    * nbr_id asc) through the same bounded top-k aggregate. The aggregate
+    * compares doubles, which hold integers exactly only up to 2^53 —
+    * ADC micros (~1e9) are far inside that, but arbitrary-magnitude L2
+    * callers ([[bruteForceTopKL2]], the rerank paths) could exceed it
+    * with vector components around 1e4–1e5 at dim 64, silently misranking
+    * near-ties. The in-plan guard turns that case into a loud error (one
+    * branch per row — noise next to the distance kernel). */
   private def rankTopKAsc(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
+    scored
+      .withColumn("__exact", assert_true(
+        col("dist_micros") < lit(1L << 53),
+        lit("dist_micros exceeds 2^53: double ranking would lose precision")))
+      .filter(col("__exact").isNull)
+      .groupBy(col("query_id"))
       .agg(topK(k)((-col("dist_micros")).cast("double"), col("nbr_id")).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")))
       .select(col("query_id"), col("col.id").as("nbr_id"),

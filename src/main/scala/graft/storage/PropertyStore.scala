@@ -162,6 +162,19 @@ object PropertyStore {
   private def slotDigests(leafDf: DataFrame): DataFrame = {
     val sess = leafDf.sparkSession
     import sess.implicits._
+    // fast lowercase hex — "%02x".format costs ~3µs per BYTE through
+    // java.util.Formatter; a lookup table makes the digest fold free
+    val digits = "0123456789abcdef"
+    def hex(b: Array[Byte]): String = {
+      val out = new Array[Char](b.length * 2)
+      var i = 0
+      while (i < b.length) {
+        out(2 * i) = digits.charAt((b(i) >> 4) & 0xf)
+        out(2 * i + 1) = digits.charAt(b(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
     leafDf.select(col("slot").cast("long"), col("entity"), col("leaf_sha"))
       .as[(Long, String, String)]
       .repartition(col("slot"))
@@ -180,7 +193,7 @@ object PropertyStore {
               n += 1
               nextRow = if (it.hasNext) Some(it.next()) else None
             }
-            (slot, md.digest().map("%02x".format(_)).mkString, n)
+            (slot, hex(md.digest()), n)
           }
         }
       }
@@ -244,14 +257,24 @@ object PropertyStore {
   def repairPlan(logA: DataFrame, logB: DataFrame, idCol: String,
       revCol: String, deletedCol: String, payload: Seq[Column],
       slotCount: Int = 32): DataFrame = {
-    val diff = merkleDiff(logA, logB, idCol, revCol, deletedCol, payload,
-      slotCount)
-    def latestRevs(log: DataFrame, out: String): DataFrame =
-      graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
+    // BARRIER the divergence-bounded diff: it feeds the output and both
+    // rev lookups, and embedding the full tree-compare plan three times
+    // makes Catalyst's analysis cost grow combinatorially with reuse
+    // depth (measured: an applyRepair→diff round-trip spun analysis for
+    // minutes before this materialization)
+    val diff = graft.operators.Dedup.barrier(
+      merkleDiff(logA, logB, idCol, revCol, deletedCol, payload, slotCount))
+    // the diff set is bounded by actual divergence — broadcast it into
+    // both rev lookups BEFORE the latest-revision window, so only
+    // diverged entities' histories resolve (never the whole store)
+    def latestRevs(log: DataFrame, out: String): DataFrame = {
+      val restricted = log.join(
+        broadcast(diff.select(col("entity").as("__de"))),
+        col(idCol).cast("string") === col("__de"), "leftsemi")
+      graft.engine.Planners.propertyLatest(restricted, Seq(idCol), revCol)
         .select(col(idCol).cast("string").as("entity"),
           col(revCol).cast("long").as(out))
-    // the diff set is bounded by actual divergence — broadcast it into
-    // both rev lookups so only diverged entities' revisions are fetched
+    }
     diff.select("entity", "sha_a", "sha_b")
       .join(latestRevs(logA, "rev_a"), Seq("entity"), "left")
       .join(latestRevs(logB, "rev_b"), Seq("entity"), "left")

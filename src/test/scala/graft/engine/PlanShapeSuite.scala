@@ -228,6 +228,25 @@ class PlanShapeSuite extends SparkSpec {
       "span dedup must not globally sort the corpus")
   }
 
+  test("q81 unigram scoring: model join broadcasts, (doc,token) side never shuffles on the token") {
+    val p = plan("q81_unigram_logprob")
+    // the model is vocabulary-bounded by construction — the score join
+    // must be map-side; a token-keyed shuffle of the (doc, token) pairs
+    // was measured 8.5× the oracle at sf5
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "model join shuffled the (doc, token) side")
+  }
+
+  test("q100 funnel: one entity exchange, no per-step joins, no window") {
+    val p = plan("q100_funnel")
+    // the k-step recurrence folds in one sorted pass per entity — the
+    // earlier form paid k−1 entity-keyed shuffle joins
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), "funnel grew a per-step join")
+    assert(!p.contains("Window"), "funnel buffered entity history in a window")
+  }
+
   test("q86 token-budget cut: two-pass prefix sum, no corpus-wide single partition") {
     val p = plan("q86_token_budget_cut")
     // the SinglePartition exchange feeds only the ≤64-row bucket totals;

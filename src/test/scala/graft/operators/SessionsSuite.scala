@@ -97,6 +97,21 @@ class SessionsSuite extends SparkSpec {
       (2L, 10L, "d", -1L, -1L))) // other key's markers invisible
   }
 
+  test("asOfJoin carries whole right rows — a null payload value never tears") {
+    // right row at ts=20 has pv NULL: a left row after it must see THAT
+    // row's (p_ts=20, pv=null), never p_ts=20 paired with the OLDER row's
+    // pv=100 (the torn mix per-column carries produce)
+    val left = Seq((1L, 30L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, Some(100L)), (1L, 20L, None))
+      .toDF("k", "ts", "pv")
+      .select(col("k"), col("ts"), col("ts").as("p_ts"), col("pv"))
+    val got = Sessions.asOfJoin(left, right, "k", "ts", "ts", Seq("p_ts", "pv"))
+      .select("k", "ts", "p_ts", "pv").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set((1L, 30L, 20L, -1L)), s"got $got")
+  }
+
   test("counterRates: integer deltas, zero-dt pairs dropped, exact micros") {
     val df = Seq((1L, 0L, 10.0), (1L, 2000L, 15.9), (1L, 2000L, 15.9),
       (1L, 4000L, 11.0), (2L, 0L, 1.0))
