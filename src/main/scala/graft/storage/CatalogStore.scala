@@ -76,7 +76,12 @@ final case class CatalogEntry(
       * (test/cases/schema/tag_family_move.go: data written before the
       * move stays queryable by the moved tag afterwards). Empty map =
       * undeclared (single implicit family). */
-    tagFamilies: Map[String, Seq[String]] = Map.empty) {
+    tagFamilies: Map[String, Seq[String]] = Map.empty,
+    /** optional explicit shard key (ShardingKey, database/v1/schema.proto;
+      * validated ⊆ entity in order by [[LayoutSpec]]) — must survive
+      * save/open or a reopened resource would re-route writes by the
+      * default entity key and split series across shards. */
+    shardingKey: Seq[String] = Nil) {
 
   /** Null-guarded family layout (catalogs persisted before the field
     * existed deserialize it as null). */
@@ -86,7 +91,9 @@ final case class CatalogEntry(
   def revision: Long = modRevision.getOrElse(1L)
 
   def spec: LayoutSpec = LayoutSpec(group, name, entity, tsCol, tsIsNanos,
-    shardNum, segmentDays, analyzerColumns)
+    shardNum, segmentDays, analyzerColumns,
+    // null-guard: catalogs persisted before the field deserialize it null
+    shardingKey = Option(shardingKey).getOrElse(Nil))
 
   def tdef: graft.sources.TableDef = graft.sources.TableDef(name,
     entity = entity, tsCol = Some(tsCol), versionCol = versionCol,

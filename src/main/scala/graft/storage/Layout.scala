@@ -43,9 +43,33 @@ final case class LayoutSpec(
       * on such a column then filter the stored array instead of
       * re-running the analyzer over 100 TB of text per query
       * (CriteriaTranslator picks the materialized column up by name). */
-    analyzerColumns: Map[String, String] = Map.empty) {
+    analyzerColumns: Map[String, String] = Map.empty,
+    /** Optional explicit shard key, defaulting to the entity
+      * (docs/concept/storage-and-format.md:102; database/v1/schema.proto
+      * ShardingKey). Reference 0.11 validates every sharding-key tag
+      * exists in the entity IN THE SAME RELATIVE ORDER
+      * (api/validate/validate.go:226-255 CheckShardingKeySubset) so all
+      * rows of a series stay shard-local; a SINGLE entity tag is exempt
+      * (it may be a composite id already encoding the sharding fields,
+      * e.g. OAP's entity_id). */
+    shardingKey: Seq[String] = Nil) {
   require(entity.nonEmpty, "layout requires a non-empty entity")
   require(shardNum > 0 && segmentDays > 0, "shardNum and segmentDays must be positive")
+  if (shardingKey.nonEmpty && entity.length > 1) {
+    val pos = entity.zipWithIndex.toMap
+    shardingKey.foldLeft(-1) { (prev, tag) =>
+      val p = pos.getOrElse(tag, throw new IllegalArgumentException(
+        s"ShardingKey tag '$tag' is not present in Entity tags ${entity.mkString("[", ",", "]")}"))
+      if (p <= prev) throw new IllegalArgumentException(
+        s"ShardingKey ${shardingKey.mkString("[", ",", "]")} is not in the same " +
+          s"relative order as Entity tags ${entity.mkString("[", ",", "]")}")
+      p
+    }
+    ()
+  }
+  /** columns shard routing hashes: the sharding key when declared, else
+    * the entity. */
+  def routingKey: Seq[String] = if (shardingKey.nonEmpty) shardingKey else entity
 }
 
 object Layout {
@@ -72,17 +96,26 @@ object Layout {
     (days - pmod(days, lit(spec.segmentDays.toLong))).cast("int")
   }
 
-  /** Shard id = xxhash64(entity...) mod shardNum — same expression on the
-    * write path and (driver-evaluated) on the read path. */
+  /** Shard id = xxhash64(routing key...) mod shardNum — same expression on
+    * the write path and (driver-evaluated) on the read path. The routing
+    * key defaults to the entity; a declared sharding key is a validated
+    * SUBSET of it (same order), so series locality holds either way. */
   private def shardOf(spec: LayoutSpec): Column =
-    pmod(xxhash64(spec.entity.map(col): _*), lit(spec.shardNum.toLong)).cast("int")
+    pmod(xxhash64(spec.routingKey.map(col): _*), lit(spec.shardNum.toLong)).cast("int")
 
   /** Driver-side shard id for concrete entity values, via Spark's own
-    * XxHash64 so it can never drift from the written partition values. */
+    * XxHash64 so it can never drift from the written partition values.
+    * With a declared sharding key, the hashed values are the sharding-key
+    * POSITIONS of the given entity values (subset rule). */
   def shardFor(spec: LayoutSpec, entityValues: Seq[Any]): Int = {
     require(entityValues.length == spec.entity.length,
       s"expected ${spec.entity.length} entity values, got ${entityValues.length}")
-    val h = XxHash64(entityValues.map(Literal(_)), 42L)
+    val byTag = spec.entity.zip(entityValues).toMap
+    val routed = spec.routingKey.map(t => byTag.getOrElse(t,
+      throw new IllegalArgumentException(
+        s"sharding-key tag '$t' has no entity value — shard pruning needs " +
+          "the full routing key")))
+    val h = XxHash64(routed.map(Literal(_)), 42L)
       .eval(InternalRow.empty).asInstanceOf[Long]
     val m = h % spec.shardNum
     (if (m < 0) m + spec.shardNum else m).toInt
@@ -125,7 +158,8 @@ object Layout {
 
   /** df + derived (seg, shard) routing columns; null-entity rows rejected. */
   private[storage] def routed(df: DataFrame, spec: LayoutSpec): DataFrame = {
-    val missing = spec.entity.filterNot(df.columns.contains) ++
+    val missing = (spec.entity ++ spec.routingKey).distinct
+      .filterNot(df.columns.contains) ++
       (if (df.columns.contains(spec.tsCol)) Nil else Seq(spec.tsCol))
     require(missing.isEmpty, s"write missing required columns: ${missing.mkString(",")}")
     val fullEntity = spec.entity.map(col(_).isNotNull).reduce(_ && _)
@@ -186,13 +220,23 @@ object Layout {
    * file-listing and per-file open cost come to dominate the read path —
    * compaction is the maintenance op that keeps a layout scannable.
    *
-   * Mechanics mirror [[Stages]].migrate: the rewrite is a
-   * dynamic-partition OVERWRITE through Spark's commit protocol (staged
-   * under `_temporary`, committed by rename), so a crashed compaction
-   * leaves the old files in place, and a retry redoes the same
-   * idempotent rewrite. Row content is untouched — same data, fewer
-   * files — and like the reference's merger it assumes one maintainer
-   * per table (the CatalogStore single-writer rule).
+   * Crash safety — the rewrite never deletes a row's only copy: compacted
+   * output is staged to a sibling `.compact-staging` directory (a separate
+   * Spark job commit, so the victim directories are read-only inputs),
+   * then a `.compact-commit` manifest records the exact file moves and
+   * old-file deletes before any live directory is touched. A crash before
+   * the manifest exists leaves the old layout untouched (staging garbage
+   * is swept on the next run); a crash after it is completed by the next
+   * run's recovery (moves are rename-idempotent, deletes are
+   * existence-checked) — exactly-once via the manifest, the same
+   * generation-stamp discipline as [[Stages]].migrate. Like the
+   * reference's part merger this assumes one MAINTAINER per table (the
+   * CatalogStore single-writer rule); a concurrent READER can transiently
+   * observe a partition holding both old and new files between the move
+   * and delete steps — snapshot the file listing (or pause maintenance)
+   * for externally consistent reads, as with any non-transactional
+   * object-store layout. Row content is untouched — same data, fewer
+   * files.
    *
    * @return (seg, shard, filesBefore, filesAfter) per compacted directory
    */
@@ -203,6 +247,34 @@ object Layout {
     val table = new Path(path(root, spec))
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(table)) return Nil
+    val stagingRoot = new Path(table, ".compact-staging")
+    val marker = new Path(table, ".compact-commit")
+
+    // complete a crashed commit: every MOVE/DEL in the manifest is
+    // idempotent (a staged file already moved is absent; an old file
+    // already deleted is absent), so replaying the whole manifest
+    // finishes exactly the interrupted compaction
+    def applyManifest(): Unit = {
+      val in = fs.open(marker)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.foreach { line =>
+        line.split('\t') match {
+          case Array("MOVE", src, dst) =>
+            val s = new Path(src)
+            if (fs.exists(s)) { fs.rename(s, new Path(dst)); () }
+          case Array("DEL", p) =>
+            val f = new Path(p)
+            if (fs.exists(f)) { fs.delete(f, false); () }
+          case _ => ()
+        }
+      }
+      fs.delete(marker, false)
+      ()
+    }
+    if (fs.exists(marker)) applyManifest()
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+
     val victims = for {
       segSt <- fs.listStatus(table).toSeq
       if segSt.isDirectory && segSt.getPath.getName.startsWith(s"$SegCol=")
@@ -223,9 +295,9 @@ object Layout {
     // one job rewrites all victim directories: read ONLY those directories
     // (basePath keeps the partition columns), bin each directory's rows
     // into its own ceil(bytes/targetBytes) output files (broadcast bin
-    // counts, entity-hash binning keeps a series co-located), and
-    // dynamic-overwrite exactly those partitions. Non-victim directories
-    // are never read or touched.
+    // counts, entity-hash binning keeps a series co-located), and stage
+    // the result BESIDE the live tree. Non-victim directories are never
+    // read or touched; victim directories stay pure inputs of this job.
     import spark.implicits._
     val bins = victims.map(v => (v._1, v._2, v._5))
       .toDF(SegCol, ShardCol, "__nbins")
@@ -238,9 +310,31 @@ object Layout {
       .repartition(victims.map(_._5).sum, col(SegCol), col(ShardCol), col("__bin"))
       .drop("__nbins", "__bin")
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(SegCol, ShardCol)
-      .parquet(path(root, spec))
+      .parquet(stagingRoot.toString)
+    // manifest = the full commit, written atomically (tmp + rename) BEFORE
+    // any live-tree mutation: move every staged data file into its live
+    // directory (job-unique part names cannot clash with live files),
+    // then delete the superseded old files
+    def dataFiles(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map(_.getPath)
+    val manifest = new StringBuilder
+    victims.foreach { case (seg, shard, live, _, _) =>
+      val staged = new Path(stagingRoot, s"$SegCol=$seg/$ShardCol=$shard")
+      dataFiles(staged).foreach(f =>
+        manifest.append(s"MOVE\t$f\t$live/${f.getName}\n"))
+      dataFiles(new Path(live)).foreach(f =>
+        manifest.append(s"DEL\t$f\n"))
+    }
+    val markerTmp = new Path(table, ".compact-commit.tmp")
+    val out = fs.create(markerTmp, true)
+    try out.write(manifest.toString.getBytes("UTF-8")) finally out.close()
+    fs.rename(markerTmp, marker)
+    applyManifest()
+    fs.delete(stagingRoot, true)
     spark.catalog.refreshByPath(path(root, spec))
     victims.map { case (seg, shard, p, before, _) =>
       val after = fs.listStatus(new Path(p))

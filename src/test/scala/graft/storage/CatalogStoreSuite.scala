@@ -98,10 +98,17 @@ class CatalogStoreSuite extends SparkSpec {
       analyzerColumns = Map("event_type" -> "standard", "props" -> "url"),
       matchableTags = Some(Seq("event_type")),
       matchableWindowsMs = Map("event_type" -> Seq(1704067200000L, 4102444800000L)),
-      createdAtMs = Some(1704067200000L))
+      createdAtMs = Some(1704067200000L),
+      entity = Seq("user_id", "event_type"), shardingKey = Seq("user_id"))
     CatalogStore.save(spark, root, full)
     val back = CatalogStore.entries(spark, root)
     assert(back == Seq(full))
+    // a reopened resource keeps routing by its declared sharding key
+    assert(back.head.spec.routingKey == Seq("user_id"))
+    // an illegal sharding key is rejected when the spec materializes
+    intercept[IllegalArgumentException] {
+      full.copy(shardingKey = Seq("region")).spec
+    }
     // tokenization config reaches the layout spec (ADVICE: ingest-time
     // token columns must survive save/open) and createdAt reaches the
     // planner's clamp via tdef

@@ -214,4 +214,87 @@ class LayoutSuite extends SparkSpec {
     assert(rowsAfter == rowsBefore)
     assert(Layout.compactSegments(spark, root, spec).isEmpty)
   }
+
+  test("sharding key must be an in-order subset of the entity (reference 0.11 rule)") {
+    def spec2(sk: Seq[String]) = LayoutSpec("g", "m",
+      entity = Seq("svc", "inst"), tsCol = "ts_ns", shardingKey = sk)
+    // legal: subsets in entity order, or no sharding key at all
+    assert(spec2(Nil).routingKey == Seq("svc", "inst"))
+    assert(spec2(Seq("svc")).routingKey == Seq("svc"))
+    assert(spec2(Seq("svc", "inst")).routingKey == Seq("svc", "inst"))
+    // a tag outside the entity rejects
+    intercept[IllegalArgumentException] { spec2(Seq("region")) }
+    // order inversion rejects
+    intercept[IllegalArgumentException] { spec2(Seq("inst", "svc")) }
+    // single-entity-tag exemption: a composite id may already encode the
+    // sharding fields, so literal subset validation is skipped
+    val composite = LayoutSpec("g", "m", entity = Seq("entity_id"),
+      tsCol = "ts_ns", shardingKey = Seq("service_id"))
+    assert(composite.routingKey == Seq("service_id"))
+  }
+
+  test("declared sharding key routes shards by its columns; series stay co-located") {
+    val root = tmp("layout_sk")
+    val sk = spec.copy(entity = Seq("user_id", "event_type"),
+      shardingKey = Seq("user_id"))
+    Layout.append(events, root, sk, mode = "overwrite")
+    // every (user_id) lands in exactly one shard — locality by subset rule
+    val byUser = Layout.read(spark, root, sk)
+      .groupBy("user_id").agg(countDistinct(col("shard")).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(byUser == 1L, "a sharding-key series spread across shards")
+    // and the driver-side shard matches the written partition value
+    val one = Layout.read(spark, root, sk)
+      .select("user_id", "event_type", "shard").head()
+    assert(Layout.shardFor(sk, Seq(one.getLong(0), one.getString(1)))
+      == one.getInt(2))
+  }
+
+  test("compaction crash recovery: a pending commit manifest completes exactly once") {
+    val root = tmp("compact_crash")
+    val slice = events.limit(400)
+    (0 until 2).foreach { i =>
+      Layout.append(slice.filter(col("event_id") % 2 === i), root, spec)
+    }
+    val rowsBefore = Layout.read(spark, root, spec)
+      .orderBy("event_id", "ts_ns").collect().toSeq
+    val table = new java.io.File(Layout.path(root, spec))
+    val victim = (for {
+      seg <- table.listFiles().toSeq if seg.getName.startsWith("seg=")
+      sh <- seg.listFiles().toSeq if sh.getName.startsWith("shard=")
+      if sh.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) > 1
+    } yield sh).head
+    val old = victim.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
+    // simulate a compaction that CRASHED between writing its commit
+    // manifest and applying it: stage a merged copy of the victim beside
+    // the live tree, record the moves+deletes, and leave both in place
+    val rel = s"${victim.getParentFile.getName}/${victim.getName}"
+    val staged = new java.io.File(table, s".compact-staging/$rel")
+    val one = new java.io.File(table, ".compact-tmp-one")
+    spark.read.parquet(victim.toString).coalesce(1)
+      .write.mode("overwrite").parquet(one.toString)
+    staged.mkdirs()
+    val part = one.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val stagedPart = new java.io.File(staged, part.getName)
+    assert(part.renameTo(stagedPart))
+    val manifest = (s"MOVE\t$stagedPart\t$victim/${part.getName}" +:
+      old.map(f => s"DEL\t$f")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      new java.io.File(table, ".compact-commit").toPath,
+      manifest.getBytes("UTF-8"))
+    // the next maintenance pass completes the crashed commit first
+    Layout.compactSegments(spark, root, spec)
+    val live = victim.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
+    assert(live.map(_.getName) == Seq(part.getName),
+      s"expected only the staged file, got ${live.map(_.getName)}")
+    assert(!new java.io.File(table, ".compact-commit").exists())
+    assert(!new java.io.File(table, ".compact-staging").exists())
+    spark.catalog.refreshByPath(Layout.path(root, spec))
+    val rowsAfter = Layout.read(spark, root, spec)
+      .orderBy("event_id", "ts_ns").collect().toSeq
+    assert(rowsAfter == rowsBefore, "recovery lost or duplicated rows")
+  }
 }

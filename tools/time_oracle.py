@@ -15,6 +15,10 @@ oracle that cannot complete a query at a scale the engine handles is
 itself a scaling datapoint. Progress goes to stderr per query.
 
 Optional third arg: comma-separated query names to (re)time only those.
+A subset run MERGES into an existing results file when the optional
+fourth arg names one (other queries' timings are preserved and _total is
+recomputed over the merged map); without a merge target the subset output
+is labeled "_partial" so it cannot be mistaken for a full run.
 """
 import os, sys, json, time
 import multiprocessing as mp
@@ -78,10 +82,29 @@ def main():
             failed[name] = str(payload).splitlines()[0][:200]
             print(f"[oracle] {name} FAILED {failed[name]}",
                   file=sys.stderr, flush=True)
+    merge_target = sys.argv[4] if len(sys.argv) > 4 else None
+    if only is not None and merge_target and os.path.exists(merge_target):
+        prior = json.load(open(merge_target))
+        prior.pop("_total", None)
+        prior_failed = prior.pop("_failed", {})
+        prior_failed.update(failed)
+        for name in times:
+            prior_failed.pop(name, None)
+        failed = prior_failed
+        prior.update(times)
+        times = {k: v for k, v in prior.items() if not k.startswith("_")}
     times["_total"] = round(sum(v for k, v in times.items() if k != "_total"), 3)
+    if only is not None and not merge_target:
+        # a bare subset run is explicitly partial — its _total covers only
+        # the requested queries and must not overwrite a full run's file
+        times["_partial"] = sorted(only)
     if failed:
         times["_failed"] = failed
-    print(json.dumps(times))
+    out = json.dumps(times)
+    if merge_target:
+        with open(merge_target, "w") as f:
+            f.write(out)
+    print(out)
 
 
 if __name__ == "__main__":
