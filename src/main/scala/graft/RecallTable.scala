@@ -74,6 +74,10 @@ object RecallTable {
       meanL2(Similarity.pqTopKWith(e, queries, k, cbPrefix, nBlocks, cpb))}%.3f |")
     println(f"| PQ trained (vs L2) | 8x16 codes | ${
       meanL2(Similarity.pqTopKWith(e, queries, k, cbTrained, nBlocks, cpb))}%.3f |")
+    // the production knob (Jégou et al.): 256 codes = 1 byte per block
+    val cb256 = Similarity.trainPqCodebooks(e, dim, nBlocks, 256, iters = 5)
+    println(f"| PQ trained (vs L2) | 8x256 codes | ${
+      meanL2(Similarity.pqTopKWith(e, queries, k, cb256, nBlocks, 256))}%.3f |")
     for (nprobe <- Seq(1, 2, 4, 8)) {
       val r = meanL2(Similarity.ivfAdcTopKWith(e, queries, k, trained,
         cbTrained, nprobe, nBlocks, cpb))

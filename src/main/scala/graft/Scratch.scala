@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway profiling harness (not part of the library surface). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SCRATCH_CORES", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SCRATCH_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SCRATCH_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.prepare(spark, sfDir)
+    if (sys.env.contains("SCRATCH_ABLATE")) {
+      import org.apache.spark.sql.functions._
+      val df = graft.sources.Catalog.load(spark, sfDir, "events")
+        .withColumn("bucket_min", expr("ts_ns DIV 60000000000"))
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = for {
+              s <- si.submissionTime; e <- si.completionTime
+            } yield e - s
+            stages.add(s"stage${si.stageId} tasks=${si.numTasks} " +
+              s"dur=${dur.getOrElse(-1L)}ms " +
+              s"runTime=${si.taskMetrics.executorRunTime}ms " +
+              s"cpuTime=${si.taskMetrics.executorCpuTime / 1000000}ms " +
+              s"deserTime=${si.taskMetrics.executorDeserializeTime}ms " +
+              s"gc=${si.taskMetrics.jvmGCTime}ms " +
+              s"shufWrite=${si.taskMetrics.shuffleWriteMetrics.bytesWritten} " +
+              s"spill=${si.taskMetrics.diskBytesSpilled}")
+          }
+        })
+      def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
+        (1 to 4).foreach { i =>
+          stages.clear()
+          val t0 = System.nanoTime()
+          mk.queryExecution.toRdd.foreach(_ => ())
+          println(f"$tag run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          if (i == 4) {
+            Thread.sleep(300)
+            stages.forEach(s => println(s"  $s"))
+          }
+        }
+      val split8 = s"/tmp/scratch_events8"
+      if (!new java.io.File(split8).exists())
+        df.repartition(16).write.mode("overwrite").parquet(split8)
+      val df16 = spark.read.parquet(split8)
+      time("A16_count")(df16.groupBy("user_id", "bucket_min")
+        .agg(count(lit(1)).as("c")))
+      time("C16_minstruct")(df16.groupBy("user_id", "bucket_min")
+        .agg(graft.functions.MinStructAgg.minStruct(struct(
+          negate(col("event_id")).as("__negv"), col("value"))).as("__lv")))
+      time("A_count")(df.groupBy("user_id", "bucket_min")
+        .agg(count(lit(1)).as("c")))
+      time("B_maxby")(df.groupBy("user_id", "bucket_min")
+        .agg(max_by(col("value"), col("event_id")).as("value"),
+          max(col("event_id")).as("version")))
+      time("C_minstruct")(df.groupBy("user_id", "bucket_min")
+        .agg(graft.functions.MinStructAgg.minStruct(struct(
+          negate(col("event_id")).as("__negv"), col("value"))).as("__lv")))
+      time("D_scan")(df.select("user_id", "bucket_min", "event_id", "value"))
+      spark.stop(); return
+    }
+    val names = args.toSeq match {
+      case Nil => Seq("q15_version_dedup", "q14_element_dedup")
+      case xs  => xs
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = for { s <- si.submissionTime; e <- si.completionTime } yield e - s
+          stages.add(s"stage${si.stageId} tasks=${si.numTasks} " +
+            s"dur=${dur.getOrElse(-1L)}ms runTime=${si.taskMetrics.executorRunTime}ms " +
+            s"cpu=${si.taskMetrics.executorCpuTime / 1000000}ms " +
+            s"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten}")
+        }
+      })
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      (1 to 5).foreach { i =>
+        stages.clear()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        println(f"$n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        if (i == 5 && sys.env.contains("SCRATCH_STAGES")) {
+          Thread.sleep(300)
+          stages.forEach(s => println(s"  $s"))
+        }
+      }
+      if (sys.env.contains("SCRATCH_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

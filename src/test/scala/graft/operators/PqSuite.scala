@@ -86,6 +86,26 @@ class PqSuite extends SparkSpec {
     assert(recall(truth) == 1.0)
   }
 
+  test("production-precision PQ (8×256, 1 byte/block): deterministic retrain, recall beats 8×16") {
+    // the paper's production knob (Jégou et al. 2011: 256 codes = 1 byte
+    // per block). Same bit-identical-retraining contract as 8×16, and the
+    // extra precision must show up as recall against exact L2.
+    val cb1 = Similarity.trainPqCodebooks(emb, dim, nBlocks, 256, iters = 2)
+    val cb2 = Similarity.trainPqCodebooks(emb, dim, nBlocks, 256, iters = 2)
+    assert(cb1.sameElements(cb2), "two 8×256 trainings must be bit-identical")
+    val truth = Similarity.bruteForceTopKL2(emb, queries, 10).localCheckpoint()
+    def recall(approx: DataFrame): Double =
+      Similarity.recallAtK(approx, truth).agg(avg("recall")).head().getDouble(0)
+    val cb16 = Similarity.trainPqCodebooks(emb, dim, nBlocks, cpb, iters = 2)
+    val r256 = recall(Similarity.pqTopKWith(emb, queries, 10, cb1, nBlocks, 256))
+    val r16 = recall(Similarity.pqTopKWith(emb, queries, 10, cb16, nBlocks, cpb))
+    assert(r256 > r16,
+      s"8×256 recall $r256 should beat 8×16 recall $r16")
+    // measured 0.53 at sf0.001 (500-vector corpus, iters=2) vs 0.28 for
+    // 8×16 — the knob nearly doubles recall at 2× the code bytes
+    assert(r256 >= 0.45, s"production-precision recall@10 below floor: $r256")
+  }
+
   test("IVFADC at nprobe = nlist degenerates to exactly full PQ search") {
     // probing every cell removes the IVF pruning entirely — the ranked
     // output must be row-identical to pqTopKWith over the same codebook
