@@ -209,34 +209,106 @@ object PropertyStore {
    * repair runs between two replicas before shipping differing documents;
    * the transport is cluster infra, the comparison is this.
    *
-   * Scale shape: slot digests for both sides first (bounded, streaming);
-   * the ≤ slotCount differing slots broadcast back as a semi-join filter,
-   * so the entity-level full-outer compare shuffles ONLY leaves of slots
-   * that actually diverged — two replicas differing in one document
-   * compare one slot's leaves, not the store. Agreeing trees yield an
-   * empty differing-slot set and the leaf comparison prunes to nothing.
+   * Scale shape — Spark-first: the reference's root → slot → leaf
+   * NARROWING is a cross-replica TRANSFER optimization (each phase ships
+   * only digests of suspect subtrees over the gossip link). Here both
+   * logs are co-located frames of one engine, so the same OUTPUT — the
+   * leaf-level divergence set — computes in ONE exchange: both sides
+   * union with a side tag, hash-partition by slot, sort within
+   * partitions by (slot, entity, side, rev DESC), and a streaming pass
+   * resolves each side's latest revision per entity (first row of its
+   * run), digests it, and emits the entity iff the digests differ or a
+   * side is absent. Per-row state is two 32-char digests; nothing joins,
+   * nothing is store-sized in memory. The digest TREE itself (for the
+   * "do two stores agree" root handshake an external replica would run)
+   * remains [[merkleTree]], bit-identical to the SQL twin.
    *
    * @return (entity, slot, sha_a, sha_b) — null sha = absent on that side
    */
   def merkleDiff(logA: DataFrame, logB: DataFrame, idCol: String,
       revCol: String, deletedCol: String, payload: Seq[Column],
       slotCount: Int = 32): DataFrame = {
-    val la = leaves(logA, idCol, revCol, deletedCol, payload, slotCount)
-    val lb = leaves(logB, idCol, revCol, deletedCol, payload, slotCount)
-    val diffSlots = slotDigests(la).select(col("slot"), col("sha").as("__sa"))
-      .join(slotDigests(lb).select(col("slot"), col("sha").as("__sb")),
-        Seq("slot"), "full")
-      .filter(col("__sa").isNull || col("__sb").isNull ||
-        col("__sa") =!= col("__sb"))
-      .select("slot")
-    val a = la.join(broadcast(diffSlots), Seq("slot"))
-      .select(col("slot"), col("entity"), col("leaf_sha").as("sha_a"))
-    val b = lb.join(broadcast(diffSlots), Seq("slot"))
-      .select(col("slot"), col("entity"), col("leaf_sha").as("sha_b"))
-    a.join(b, Seq("slot", "entity"), "full")
-      .filter(col("sha_a").isNull || col("sha_b").isNull ||
-        col("sha_a") =!= col("sha_b"))
-      .select(col("entity"), col("slot"), col("sha_a"), col("sha_b"))
+    val sess = logA.sparkSession
+    import sess.implicits._
+    val nPay = payload.size
+    def rendered(log: DataFrame, side: Int): DataFrame = {
+      val entity = col(idCol).cast("string")
+      val pCols = payload.zipWithIndex.map { case (p, i) =>
+        coalesce(p, lit("")).cast("string").as(s"__p$i")
+      }
+      log.select(
+        entity.as("entity") +:
+          col(revCol).cast("long").as("__rev") +:
+          coalesce(col(deletedCol), lit(false)).as("__del") +:
+          (conv(substring(md5(entity), 1, 15), 16, 10).cast("long")
+            % slotCount).as("slot") +:
+          lit(side).as("__side") +:
+          pCols: _*)
+    }
+    val digits = "0123456789abcdef"
+    def hex(b: Array[Byte]): String = {
+      val out = new Array[Char](b.length * 2)
+      var i = 0
+      while (i < b.length) {
+        out(2 * i) = digits.charAt((b(i) >> 4) & 0xf)
+        out(2 * i + 1) = digits.charAt(b(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+    rendered(logA, 0).unionByName(rendered(logB, 1))
+      // explicit width: a user repartition(N) is exempt from AQE
+      // post-shuffle coalescing, keeping slot parallelism
+      .repartition(slotCount, col("slot"))
+      .sortWithinPartitions(col("slot"), col("entity"),
+        col("__side"), col("__rev").desc)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // row layout: entity(0) __rev(1) __del(2) slot(3) __side(4) __p*(5+)
+        def leafShaOf(r: org.apache.spark.sql.Row): String = {
+          val sb = new java.lang.StringBuilder(r.getString(0))
+          sb.append('|').append(r.getLong(1))
+          sb.append('|').append(r.getBoolean(2))
+          var i = 0
+          while (i < nPay) { sb.append('|').append(r.getString(5 + i)); i += 1 }
+          md.reset()
+          hex(md.digest(sb.toString.getBytes("UTF-8")))
+        }
+        new Iterator[(String, Long, String, String)] {
+          private var nextRow: org.apache.spark.sql.Row =
+            if (it.hasNext) it.next() else null
+          private var out: (String, Long, String, String) = null
+          private def scanEntity(): Unit = {
+            // consume one whole entity run; emit iff the sides diverge
+            val entity = nextRow.getString(0)
+            val slot = nextRow.getLong(3)
+            var shaA: String = null
+            var shaB: String = null
+            var seenSide = -1
+            while (nextRow != null && nextRow.getString(0) == entity &&
+              nextRow.getLong(3) == slot) {
+              val side = nextRow.getInt(4)
+              if (side != seenSide) { // first row per side = latest rev
+                seenSide = side
+                if (side == 0) shaA = leafShaOf(nextRow)
+                else shaB = leafShaOf(nextRow)
+              }
+              nextRow = if (it.hasNext) it.next() else null
+            }
+            if (shaA == null || shaB == null || shaA != shaB)
+              out = (entity, slot, shaA, shaB)
+          }
+          def hasNext: Boolean = {
+            while (out == null && nextRow != null) scanEntity()
+            out != null
+          }
+          def next(): (String, Long, String, String) = {
+            if (!hasNext) throw new NoSuchElementException("diff pass")
+            val r = out; out = null; r
+          }
+        }
+      }
+      .toDF("entity", "slot", "sha_a", "sha_b")
   }
 
   /**
