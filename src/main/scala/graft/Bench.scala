@@ -22,6 +22,15 @@ object Bench {
       // ~100 MB file.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+      // Post-shuffle advisory size gets the same local-scale treatment as
+      // the scan split above: the 64m default folds every toy-scale
+      // aggregation onto ONE reduce task (measured: q81's two ~16 MB
+      // aggregations ran single-threaded, 0.7 s each at sf1; 4m runs them
+      // 4-way and halves the query). A 100 TB deployment keeps the
+      // default — this knob, like maxPartitionBytes, is sized to the SF
+      // the local bench actually runs.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "4m"))
       // NOTE: spark.sql.objectHashAggregate.sortBased.fallbackThreshold
       // stays at its default (128): raising it to 1M was measured 23%
       // SLOWER on this surface at sf1 — with nearly-unique keys partial

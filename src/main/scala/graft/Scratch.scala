@@ -13,6 +13,8 @@ object Scratch {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SCRATCH_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SCRATCH_ADVISORY", "64m"))
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
