@@ -140,6 +140,12 @@ object SparkEntry {
       graft.storage.Layout.append(spans.filter(late), dir, q102Spec)
       graft.storage.Finalize.finalizeSegments(s, dir, q102Spec, sampler,
         now = sweepNow, graceDays = 1)
+      // maintenance composition: the sweep leaves one survivor file per
+      // round per directory — compaction folds them (rows untouched;
+      // compacted files count as un-finalized by the gen-state rule, and
+      // re-sampling kept spans is idempotent because verdicts are
+      // deterministic per trace)
+      graft.storage.Layout.compactSegments(s, dir, q102Spec)
       ()
     }
 

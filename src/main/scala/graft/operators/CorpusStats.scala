@@ -111,8 +111,12 @@ object CorpusStats {
       samplePpm: Long = 100000L, salt: String = ""): DataFrame = {
     require(samplePpm > 0 && samplePpm <= 1000000L, "samplePpm is 1..1000000")
     import org.apache.spark.sql.expressions.Window
-    val scored = unigramLogProb(df, idCol, textCol)
-      .withColumn("surprisal_micros", expr("(-lp_micros) div n_tokens"))
+    // barrier: the scored frame feeds the sample-rank subtree AND the
+    // final tier assignment — unbarriered, the whole two-shuffle scoring
+    // pipeline ran twice (it is id+two-int64s per document, far smaller
+    // than the text it came from)
+    val scored = Dedup.barrier(unigramLogProb(df, idCol, textCol)
+      .withColumn("surprisal_micros", expr("(-lp_micros) div n_tokens")))
     val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15),
       16, 10).cast("long")
     val sample = scored.filter(h % 1000000L < samplePpm)
