@@ -14,7 +14,7 @@ object Scratch {
         sys.env.getOrElse("SCRATCH_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SCRATCH_ADVISORY", "64m"))
+        sys.env.getOrElse("SCRATCH_ADVISORY", "4m")) // match Bench
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -329,19 +329,27 @@ object SparkEntry {
       val src = new java.io.File(s"$d/$t.parquet")
       // a directory source is already a multi-file layout — read as-is
       if (src.isFile) {
-        val fp = s"${src.length()}:${src.lastModified()}"
+        // fingerprint carries the split policy: changing perFile below
+        // must rebuild the layout, not serve the stale file count
+        val fp = s"${src.length()}:${src.lastModified()}:" +
+          s"pf${if (t == "documents") 128L << 10 else 4L << 20}"
         val dir = materialized(s"tbl_$t", d, fp) { out =>
           val df = Catalog.readParquet(s, d, t)
           // one ~4 MiB file per split, capped at the core budget: each
           // written file is one row group, the unit parquet scans can
           // byte-range split on, so a 100 MB+ table fans out to ~32 scan
-          // tasks. Small tables land in ONE file on purpose — splitting a
-          // toy table was measured strictly worse (16 × ~6k-row tasks pay
-          // ~90 ms fixed cost EACH — reader init + codegen fetch — vs one
-          // ~90 ms task; same wall, 8× the CPU). The sf0.1 per-query floor
-          // is Spark's per-job constant, not this layout: re-measured with
-          // the ingest bypassed, the floor queries time within noise.
-          val parts = math.max(1, math.min(32, src.length() / (4 << 20))).toInt
+          // tasks. Small NUMERIC tables land in ONE file on purpose —
+          // splitting a toy table was measured strictly worse (16 × ~6k-row
+          // tasks pay ~90 ms fixed cost EACH — reader init + codegen fetch —
+          // vs one ~90 ms task; same wall, 8× the CPU). The sf0.1 per-query
+          // floor is Spark's per-job constant, not this layout: re-measured
+          // with the ingest bypassed, the floor queries time within noise.
+          // TEXT tables split 32× finer: their operators are CPU-bound per
+          // byte (shingling/tokenizing ~1 µs/char), so a 600 KB documents
+          // file that scans in one task serializes ~0.5 s of kernel CPU
+          // that 4 tasks finish in a quarter (measured on q66/q53).
+          val perFile = if (t == "documents") 128L << 10 else 4L << 20
+          val parts = math.max(1, math.min(32, src.length() / perFile)).toInt
           df.repartition(parts).write.mode("overwrite").parquet(s"$out/data")
         }
         Catalog.register(s, d, t, s.read.parquet(s"$dir/data"))
