@@ -1288,6 +1288,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("span_count"))
     }),
 
+    // --- model-based quality filter (the DCLM/FineWeb-Edu classifier-cut
+    // stage as a transparent linear model over the engine's own quality
+    // features; integer-micros logit, exact threshold)
+    "q104_quality_model" -> ((s, d) =>
+      TextAnalysis.qualityModelScore(docs(s, d).select("doc_id", "text"),
+        "doc_id", col("text"),
+        weights = Seq("stopword_ratio" -> 4.0, "mean_token_len" -> 0.25,
+          "punct_ratio" -> -3.0, "n_tokens" -> 0.01),
+        bias = -2.0, threshold = 0.5)
+        .select("doc_id", "logit_micros", "keep")),
+
+    // --- per-domain document cap (crawl curation: ≤30 docs per source,
+    // deterministic md5-rank selection)
+    "q105_domain_cap" -> ((s, d) =>
+      TextAnalysis.domainCap(docs(s, d).select("doc_id", "source"),
+        "doc_id", "source", cap = 30)),
+
+    // --- per-document contamination fraction (graded companion of q66's
+    // binary decontamination cut — the threshold-calibration signal)
+    "q106_contamination_frac" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Dedup.contaminationFraction(
+        all.filter(col("doc_id") >= 20), "doc_id", "text",
+        all.filter(col("doc_id") < 20), "text", w = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // --- PQ at the PRODUCTION precision of Jégou et al. 2011: 256 codes
     // per block = 1 byte/block (8-byte codes at 8 blocks). Same recall
     // report as q94; the 4-bit 8×16 setting caps recall well below what
@@ -2798,5 +2825,62 @@ object SparkEntry {
         |  FROM segged GROUP BY seg, trace_id, late)
         |SELECT s.seg, s.trace_id, COUNT(*) AS span_count
         |FROM segged s JOIN verdict v USING (seg, trace_id, late)
-        |WHERE v.keep GROUP BY 1, 2""".stripMargin)
+        |WHERE v.keep GROUP BY 1, 2""".stripMargin,
+
+    // linear-model logit as the integer sum of per-term micros (each
+    // w·f rounds BEFORE the sum — the engine's determinism contract)
+    "q104_quality_model" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |         len(toks) AS n_tokens,
+        |         round(CASE WHEN len(toks) > 0
+        |               THEN length(array_to_string(toks, '')) * 1.0 / len(toks) ELSE 0 END, 6) AS mean_token_len,
+        |         round(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 1.0
+        |               / greatest(length(text), 1), 6) AS punct_ratio,
+        |         round(len(list_filter(toks, t -> list_contains(
+        |               ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], t))) * 1.0
+        |               / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM f)
+        |, z AS (
+        |  SELECT doc_id,
+        |         -2000000
+        |           + CAST(round(4.0 * stopword_ratio * 1000000.0) AS BIGINT)
+        |           + CAST(round(0.25 * mean_token_len * 1000000.0) AS BIGINT)
+        |           + CAST(round(-3.0 * punct_ratio * 1000000.0) AS BIGINT)
+        |           + CAST(round(0.01 * n_tokens * 1000000.0) AS BIGINT)
+        |           AS logit_micros
+        |  FROM feat)
+        |SELECT doc_id, logit_micros, logit_micros >= 500000 AS keep
+        |FROM z""".stripMargin,
+
+    "q105_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS INTEGER)
+        |           AS domain_rank
+        |  FROM h)
+        |SELECT doc_id, source, domain_rank FROM r WHERE domain_rank <= 30""".stripMargin,
+
+    "q106_contamination_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                 i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 20),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 20)
+        |SELECT e.doc_id, COUNT(*) AS n_shingles, COUNT(b.shingle) AS n_shared,
+        |       COUNT(b.shingle) * 1000000 // COUNT(*) AS contam_ppm
+        |FROM ex e LEFT JOIN bench b USING (shingle)
+        |GROUP BY e.doc_id""".stripMargin)
 }

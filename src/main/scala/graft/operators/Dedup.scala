@@ -305,6 +305,42 @@ object Dedup {
   }
 
   /**
+   * Per-document contamination FRACTION — the graded companion of
+   * [[contaminationFlags]]' binary cut: what share of a document's
+   * distinct shingles appear in the benchmark set. This is how a
+   * pipeline CALIBRATES its decontamination threshold (the flag op then
+   * enforces it): the ppm distribution over a corpus shows where true
+   * leakage separates from boilerplate collisions.
+   *
+   * Scale shape: identical to the flag op — benchmark shingles broadcast
+   * as 8-byte hashes, the corpus side is one map-side LEFT join marking
+   * hits plus one partial-aggregated count per document; corpus text
+   * never shuffles. `contam_ppm` is an exact integer
+   * (`n_shared·1e6 div n_shingles`). Documents below `w` tokens carry no
+   * shingles and are absent, like every tokenized path.
+   *
+   * @return (id, n_shingles, n_shared, contam_ppm)
+   */
+  def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, w: Int = 5): DataFrame = {
+    def hashed(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val docSh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), w)).as("__sht"))
+      .select(col("id"), hashed(col("__sht")).as("shingle"))
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), w)).as("__sht"))
+      .select(hashed(col("__sht")).as("shingle")).distinct()
+      .withColumn("__hit", lit(1L))
+    docSh.join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("contam_ppm",
+        expr("n_shared * 1000000 div n_shingles"))
+  }
+
+  /**
    * Transitive near-dup clusters from a pair list: connected components
    * over the pair graph, each labeled by its minimum member id (the
    * canonical keeper a dedup pass retains). The step between pair

@@ -60,6 +60,69 @@ object TextAnalysis {
       .drop("__qstats")
   }
 
+  /**
+   * Model-based quality filter — the classifier-filter stage of modern
+   * curation pipelines (the DCLM / FineWeb-Edu pattern: a lightweight
+   * model scores every document and a threshold cuts), reduced to a
+   * transparent linear model over the engine's OWN quality features so
+   * the whole decision is engine-portable. Determinism contract (same
+   * as the corpus-stats scores): each term `wᵢ·fᵢ` rounds to integer
+   * MICROS before the sum, so `logit_micros` is an exact int64 — a
+   * 4-term double dot product summed before rounding was measured
+   * drifting one ulp between engines, flipping the final digit. `keep`
+   * compares the integer logit to the integer-micros threshold, so the
+   * cut is exact across engines.
+   *
+   * Scale: map-only — [[qualityFeatures]]' single-pass kernel plus one
+   * projection; the model is a handful of plan-time literals (a real
+   * fastText-style classifier slots in as a broadcast weight vector over
+   * hashed n-grams with the same output contract).
+   *
+   * @param weights (feature column → weight), applied in sequence order;
+   *                names must be [[qualityFeatures]] outputs
+   * @return input + (logit_micros, keep)
+   */
+  def qualityModelScore(df: DataFrame, idCol: String, text: Column,
+      weights: Seq[(String, Double)], bias: Double,
+      threshold: Double): DataFrame = {
+    require(weights.nonEmpty, "the model needs at least one feature weight")
+    val feats = qualityFeatures(df, text)
+    val z = weights.foldLeft(lit(math.round(bias * 1e6)): Column) {
+      case (acc, (f, w)) =>
+        acc + round(lit(w) * col(f).cast("double") * lit(1e6)).cast("long")
+    }
+    feats
+      .withColumn("logit_micros", z)
+      .withColumn("keep",
+        col("logit_micros") >= lit(math.round(threshold * 1e6)))
+  }
+
+  /**
+   * Per-domain document cap — the crawl-curation guard against any one
+   * domain dominating the training mix (the "no more than N pages per
+   * site" rule every web-scale pipeline applies after dedup): keep at
+   * most `cap` documents per domain, selected by a deterministic md5
+   * rank (`md5(id || salt)`, same rule as [[sampleByHash]]) with the id
+   * as tiebreak, so reruns and engines agree document-for-document.
+   *
+   * Scale: one hash-partitioned window over the HIGH-cardinality domain
+   * column — parallel by construction, per-group state is the rank
+   * counter; no collect, no skew (a pathological mega-domain costs one
+   * partition's sort of its own rows).
+   *
+   * @return kept rows + `domain_rank` (1-based within the domain)
+   */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int, salt: String = ""): DataFrame = {
+    require(cap >= 1, "cap must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+      1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col(domainCol)).orderBy(h, col(idCol))
+    df.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= cap)
+  }
+
   /** Per-language marker words for the n-gram/stopword language-id
     * heuristic (deterministic, dictionary-based). */
   val langMarkers: Map[String, Seq[String]] = Map(

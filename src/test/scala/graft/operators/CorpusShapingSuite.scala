@@ -375,4 +375,48 @@ class CorpusShapingSuite extends SparkSpec {
     // the shared boiler dominates both docs → high normalized similarity
     assert(pairs.head._4 >= 0.25 && pairs.head._4 <= 1.0)
   }
+
+  test("qualityModelScore: exact integer logit, threshold cut matches by hand") {
+    // one token "the": n_tokens=1, mean_token_len=3, punct_ratio=0,
+    // stopword_ratio=1 → z = -2 + 4·1 + 0.25·3 + (-3)·0 + 0.01·1 = 2.76
+    val docs = docsOf(Seq(1L -> "the", 2L -> "!!!!"))
+    val got = TextAnalysis.qualityModelScore(docs, "doc_id", col("text"),
+      weights = Seq("stopword_ratio" -> 4.0, "mean_token_len" -> 0.25,
+        "punct_ratio" -> -3.0, "n_tokens" -> 0.01),
+      bias = -2.0, threshold = 0.5)
+      .select("doc_id", "logit_micros", "keep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ((2760000L, true)), s"got ${got(1L)}")
+    // all-punct doc: no tokens, punct_ratio 1 → z = -2 - 3 = -5 → dropped
+    assert(got(2L) == ((-5000000L, false)), s"got ${got(2L)}")
+  }
+
+  test("domainCap keeps exactly cap docs per domain, deterministically") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
+    val got = TextAnalysis.domainCap(docs, "doc_id", "source", cap = 3)
+    val byDom = got.collect().groupBy(_.getString(1))
+    assert(byDom.size == 4 && byDom.values.forall(_.length == 3))
+    assert(got.collect().forall(_.getInt(2) <= 3))
+    // rerun selects the SAME documents (md5 rank, no RNG)
+    val again = TextAnalysis.domainCap(docs, "doc_id", "source", cap = 3)
+    assert(got.collect().map(_.getLong(0)).toSet ==
+      again.collect().map(_.getLong(0)).toSet)
+    // a different salt rotates the per-domain selection
+    val salted = TextAnalysis.domainCap(docs, "doc_id", "source", cap = 3, salt = "s1")
+    assert(salted.collect().map(_.getLong(0)).toSet !=
+      got.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("contaminationFraction: exact ppm for a hand-built overlap") {
+    // bench doc = "a b c d"; its 3-shingles: {a b c, b c d}
+    // doc 10 = "a b c d e" → shingles {a b c, b c d, c d e}: 2/3 shared
+    // doc 11 = "x y z w"   → shingles {x y z, y z w}: 0/2 shared
+    val all = docsOf(Seq(1L -> "a b c d", 10L -> "a b c d e", 11L -> "x y z w"))
+    val got = Dedup.contaminationFraction(
+      all.filter(col("doc_id") >= 10), "doc_id", "text",
+      all.filter(col("doc_id") < 10), "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((10L, 3L, 2L, 666666L), (11L, 2L, 0L, 0L)), s"got $got")
+  }
 }
