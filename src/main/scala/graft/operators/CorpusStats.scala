@@ -39,6 +39,32 @@ object CorpusStats {
     Dedup.barrier(df.select(col(idCol).as("id"), tokensAlnum(col(textCol)).as("toks")))
 
   /**
+   * Per-document (token, occurrences) pairs computed INSIDE the row:
+   * `array_sort` + a run-length pass over the sorted array (sequence /
+   * filter / transform — all codegen'd HOFs). Replaces the
+   * explode-then-`groupBy(id, tok)` idiom, which shuffles every token
+   * occurrence on a document-cardinality key; here the occurrence explode
+   * and BOTH document-keyed shuffles disappear — per-doc counts are a
+   * map-side O(n log n) per row.
+   *
+   * ANSI-safe: every `element_at` index is ≥1 by construction (`greatest`
+   * guard for position 1, a `when` guard for the one-past-the-end run).
+   * Input rows must have non-empty `toks` (`sequence(1, 0)` would count
+   * DOWN); callers filter empties first, which also preserves the
+   * "zero-token documents carry no score" contract.
+   */
+  private def withDocTermCounts(df: DataFrame): DataFrame =
+    df.withColumn("__st", array_sort(col("toks")))
+      .withColumn("__starts", filter(sequence(lit(1), size(col("__st"))), p =>
+        (p === lit(1)) || (element_at(col("__st"), p) =!=
+          element_at(col("__st"), greatest(p - 1, lit(1))))))
+      .withColumn("__pairs", transform(col("__starts"), (s, j) => struct(
+        element_at(col("__st"), s).as("tok"),
+        (when(j === size(col("__starts")) - 1, size(col("__st")) + 1)
+          .otherwise(element_at(col("__starts"), j + 2)) - s)
+          .cast("long").as("c"))))
+
+  /**
    * Unigram language-model scoring — the cheap perplexity proxy used for
    * corpus quality filtering (the CCNet/KenLM-style signal, reduced to
    * unigrams): the model is the corpus itself, `P(t) = (c_t + 1) / (N + V)`
@@ -52,35 +78,71 @@ object CorpusStats {
    * mean log-prob). Documents with zero tokens carry no score and are
    * omitted, like every other tokenized path.
    *
-   * Scale: vocabulary aggregate (partial agg on token), corpus totals as a
-   * broadcast one-row join, score join with the model EXPLICITLY broadcast
-   * (the model is vocabulary-bounded by construction — ~16 bytes per
-   * distinct term — so it fits an executor at any corpus size; leaving the
-   * choice to AQE was measured 8.5× slower at 50× data when the planner
-   * shuffled the (doc, token) side on the token key instead), final
-   * partial agg on id.
+   * Scale: per-doc term counts are computed inside the row
+   * ([[withDocTermCounts]] — NO occurrence explode, NO `groupBy(id, tok)`
+   * shuffle of token occurrences), so the corpus shuffles left are the
+   * vocabulary aggregate (partial agg on token, vocabulary-bounded
+   * output) and one id-keyed partial agg over the already-distinct pair
+   * set. The model side is vocabulary-bounded (~16 bytes/term; Heap's law
+   * saturates it on open-web corpora) but NOT statically bounded — the
+   * broadcast join shape and its 8 GB cap are a knob, see
+   * [[scoreAgainst]]. Measured at sf1 this run-length plan cut q81 from
+   * 2.7 s to 1.25 s vs the r8 occurrence-explode plan.
    */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // per-doc occurrence counts FIRST: the model join and the final
-    // aggregate then see distinct (doc, token) pairs, not occurrences —
-    // the occurrence multiplicity rides along as an exact int64 factor
-    // (score = Σ c_dt · lp_t is the same integer), and both shuffles get
-    // map-side combine over the smaller pair set
-    val docTok = tokenized(df, idCol, textCol)
-      .select(col("id"), explode(col("toks")).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("__cdt"))
-    val counts = docTok.groupBy("tok").agg(sum("__cdt").as("c"))
+  /** The shared pieces of the unigram-LM pipeline: the barriered per-doc
+    * run-length frame `(id, n_tokens, __pairs)` and the smoothed model
+    * `(tok, lp_micros_tok)`. Split out so [[perplexityTiers]] can score a
+    * SAMPLE and the full corpus against the same model without
+    * checkpointing the full scored frame. */
+  private def unigramParts(df: DataFrame, idCol: String, textCol: String,
+      barrierModel: Boolean = false): (DataFrame, DataFrame) = {
+    val docs = Dedup.barrier(
+      withDocTermCounts(
+        df.select(col(idCol).as("id"), tokensAlnum(col(textCol)).as("toks"))
+          .filter(size(col("toks")) > 0))
+        .select(col("id"), size(col("toks")).cast("long").as("n_tokens"),
+          col("__pairs")))
+    val counts = docs.select(explode(col("__pairs")).as("p"))
+      .groupBy(col("p.tok").as("tok")).agg(sum("p.c").as("c"))
     val totals = counts.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
     val model = counts.crossJoin(broadcast(totals)).select(
       col("tok"),
       round(log((col("c") + 1).cast("double") /
         (col("__n") + col("__v")).cast("double")) * lit(1e6))
         .cast("long").as("lp_micros_tok"))
-    docTok.join(broadcast(model), Seq("tok"))
+    // vocabulary-sized (small): barrier only when two score joins will
+    // each broadcast it, so the vocab aggregate runs once
+    (docs, if (barrierModel) Dedup.barrier(model) else model)
+  }
+
+  /** Score a `(id, n_tokens, __pairs)` frame against a model. The join
+    * shape follows `spark.graft.corpus.unigramJoin`: `broadcast`
+    * (default — the vocabulary-bounded model as a broadcast hash join;
+    * NOTE Spark's 8 GB broadcast cap, see the scale note above) or
+    * `shuffle` (no hint — AQE degrades gracefully when a pathological
+    * vocabulary outgrows the cap). A broadcast single-row
+    * `map<tok,lp>` variant was measured 4× SLOWER at sf1: Spark's
+    * `MapData` is array-backed, so `element_at` is a linear scan per
+    * lookup — O(pairs × V), not O(pairs). */
+  private def scoreAgainst(docs: DataFrame, model: DataFrame,
+      idCol: String): DataFrame = {
+    val m = docs.sparkSession.conf
+      .get("spark.graft.corpus.unigramJoin", "broadcast") match {
+      case "shuffle" => model
+      case _ => broadcast(model)
+    }
+    docs.select(col("id"), explode(col("__pairs")).as("p"))
+      .select(col("id"), col("p.tok").as("tok"), col("p.c").as("__cdt"))
+      .join(m, Seq("tok"))
       .groupBy("id")
       .agg(sum("__cdt").as("n_tokens"),
         sum(col("__cdt") * col("lp_micros_tok")).as("lp_micros"))
       .withColumnRenamed("id", idCol)
+  }
+
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (docs, model) = unigramParts(df, idCol, textCol)
+    scoreAgainst(docs, model, idCol)
   }
 
   /**
@@ -111,15 +173,20 @@ object CorpusStats {
       samplePpm: Long = 100000L, salt: String = ""): DataFrame = {
     require(samplePpm > 0 && samplePpm <= 1000000L, "samplePpm is 1..1000000")
     import org.apache.spark.sql.expressions.Window
-    // barrier: the scored frame feeds the sample-rank subtree AND the
-    // final tier assignment — unbarriered, the whole two-shuffle scoring
-    // pipeline ran twice (it is id+two-int64s per document, far smaller
-    // than the text it came from)
-    val scored = Dedup.barrier(unigramLogProb(df, idCol, textCol)
-      .withColumn("surprisal_micros", expr("(-lp_micros) div n_tokens")))
-    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15),
+    // The sample subtree scores ONLY the sampled documents against the
+    // shared model (the hash filter lands on the barriered pairs frame
+    // BEFORE the score join), and the full corpus is scored exactly once,
+    // flowing straight into the tier assignment — this replaces r8's
+    // checkpoint of the full scored frame, whose materialization cost more
+    // than re-scoring the ppm-bounded sample does.
+    val (docs, model) = unigramParts(df, idCol, textCol, barrierModel = true)
+    def surprisal(scoredDf: DataFrame): DataFrame =
+      scoredDf.withColumn("surprisal_micros", expr("(-lp_micros) div n_tokens"))
+    val scored = surprisal(scoreAgainst(docs, model, idCol))
+    val h = conv(substring(md5(concat(col("id").cast("string"), lit(salt))), 1, 15),
       16, 10).cast("long")
-    val sample = scored.filter(h % 1000000L < samplePpm)
+    val sample = surprisal(scoreAgainst(
+        docs.filter(h % 1000000L < samplePpm), model, idCol))
       .select(col(idCol), col("surprisal_micros"))
     // bounded by samplePpm — a single-partition window over the SAMPLE
     val ranked = sample
@@ -156,7 +223,10 @@ object CorpusStats {
    * sized; corpus totals (N, Σdl) travel as a broadcast one-row join; df
    * per term is a terms-sized broadcast; the global top-k is a
    * TakeOrderedAndProject (per-partition heaps + driver merge of kTop),
-   * not a single-partition sort.
+   * not a single-partition sort. (A fold-the-score-in-the-row variant —
+   * per-row tf structs + a one-row df map — was tried and measured
+   * SLOWER at sf0.1 and sf1; query-term postings are sparse enough that
+   * the small posting shuffle beats the extra per-row passes.)
    */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], kTop: Int,
