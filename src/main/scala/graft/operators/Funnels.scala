@@ -91,7 +91,12 @@ object Funnels {
             var i = 0; while (i < k) { f(i) = Long.MinValue; i += 1 }
           }
           val t = r.getLong(1)
-          val idxs = stepsOf(r.getString(2))
+          // getOrElse: the isin filter matches via native type coercion,
+          // but the map is keyed on the caller's step strings — a
+          // non-string stepCol can pass the filter yet render differently
+          // (double 1.0 matches step "1", renders "1.0"). Such rows
+          // advance no step rather than crash the fold.
+          val idxs = stepsOf.getOrElse(r.getString(2), Array.emptyIntArray)
           var j = 0
           while (j < idxs.length) {
             val i = idxs(j)

@@ -35,16 +35,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * rewrite) — the sampler NEVER re-runs over rows a committed round
  * already decided.
  *
- * Composition with [[Layout.compactSegments]]: compaction rewrites file
- * sets, so compacted output is absent from the generation state and
- * counts as un-finalized — the analogue of the reference min-propagating
- * `finalizeGen` across ordinary merges (a merge containing any
- * un-finalized input yields an un-finalized part). That makes already-
- * sampled rows flow through the sampler again, which is safe for the
- * same reason it is in the reference: sampler verdicts must be
- * DETERMINISTIC per trace (the reference's first-party samplers hash the
- * trace id with FNV-1a exactly so "a trace is never half-kept" across
- * the merge and finalize passes) — kept spans stay kept.
+ * Composition with [[Layout.compactSegments]]: compaction rewrites the
+ * state file set through [[compactedStateContent]] — a directory whose
+ * inputs were ALL finalized stays finalized (its compacted output holds
+ * exactly the committed survivors), and a directory with any
+ * un-finalized input re-enters the sweep whole, the analogue of the
+ * reference min-propagating `finalizeGen` across ordinary merges. Only
+ * that second, mixed case re-offers already-kept rows to the sampler,
+ * and THE invariant a sampler must satisfy for it is keep-stability on
+ * survivors: re-sampling a batch made of previously-kept whole traces
+ * (possibly merged with new ones) must keep them again. Per-trace
+ * determinism (the reference's FNV-1a trace-id hash; "a trace is never
+ * half-kept") is the usual way to get that, and evidence-aggregating
+ * samplers like [[graft.operators.TracePipeline.latencyStatusSample]]
+ * qualify because a kept trace retains ALL its spans, so its keep
+ * evidence re-derives. A batch-RATE sampler ("keep 1% of healthy
+ * traces") is NOT keep-stable and may only be used if finalized rows
+ * never co-mingle with un-finalized ones in a directory (e.g. compact
+ * before the first finalize sweep, or never after).
  *
  * Coverage is best-effort, like the reference: a segment TTL-deleted
  * before its sweep is a miss, not an error.
@@ -55,12 +63,50 @@ object Finalize {
   final case class Report(seg: Int, shard: Int, gen: Long,
       filesSampled: Int, rowsBefore: Long, rowsAfter: Long)
 
-  private val StateName = ".finalize.state"
+  private[storage] val StateName = ".finalize.state"
   private val CommitName = ".finalize-commit"
   private val StagingName = ".finalize-staging"
 
   /** generation state: (gen, rounds, finalized file names). */
   private final case class State(gen: Long, rounds: Int, files: Set[String])
+
+  /**
+   * Post-compaction state maintenance, called by
+   * [[Layout.compactSegments]] inside ITS commit manifest (crash-safe via
+   * the same replay): when every pre-compaction data file of `dir` was
+   * finalized, the compacted output holds exactly the rows a committed
+   * sampling round already decided, so the rewritten state names the new
+   * files and the directory STAYS finalized — the sampler never re-runs
+   * over committed survivors, even one that is only keep-stable on whole
+   * batches (a healthy-rate sampler re-offered its own survivors would
+   * silently re-drop them). When any input was un-finalized the output
+   * file set re-enters the sweep (min-propagating `finalizeGen`, like the
+   * reference's merges) — the state keeps its gen/rounds but drops the
+   * now-deleted file names so they cannot accrete forever.
+   *
+   * @return the escaped state content to write, or None when the
+   *         directory has no finalize state at all
+   */
+  private[storage] def compactedStateContent(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      oldNames: Set[String], newNames: Seq[String]): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, StateName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.split('\n').toList match {
+        case g :: r :: rest =>
+          val files = rest.filter(_.nonEmpty).toSet
+          val kept =
+            if (oldNames.subsetOf(files)) newNames.toList.sorted
+            else Nil
+          Some((g :: r :: kept).mkString("\\n"))
+        case _ => None
+      }
+    }
+  }
 
   /**
    * Sweep every cooled (seg, shard) directory of the layout whose data

@@ -107,18 +107,31 @@ object Layout {
     * XxHash64 so it can never drift from the written partition values.
     * With a declared sharding key, the hashed values are the sharding-key
     * POSITIONS of the given entity values (subset rule). */
-  def shardFor(spec: LayoutSpec, entityValues: Seq[Any]): Int = {
+  def shardFor(spec: LayoutSpec, entityValues: Seq[Any]): Int =
+    shardForOpt(spec, entityValues).getOrElse(throw new IllegalArgumentException(
+      s"sharding key ${spec.shardingKey.mkString("[", ",", "]")} is not " +
+        s"derivable from entity tags ${spec.entity.mkString("[", ",", "]")} — " +
+        "shard pruning needs the full routing key"))
+
+  /** [[shardFor]] that reports non-derivability instead of throwing.
+    * `None` arises only under the single-entity-tag sharding-key
+    * EXEMPTION (validate.go:226-255 skips the subset check when
+    * `len(entity) == 1`): a spec like entity=[entity_id],
+    * shardingKey=[service_id] is legal, but an entity-EQ query supplies
+    * no service_id value, so the row's shard cannot be computed —
+    * callers must fall back to an unpruned scan. */
+  def shardForOpt(spec: LayoutSpec, entityValues: Seq[Any]): Option[Int] = {
     require(entityValues.length == spec.entity.length,
       s"expected ${spec.entity.length} entity values, got ${entityValues.length}")
     val byTag = spec.entity.zip(entityValues).toMap
-    val routed = spec.routingKey.map(t => byTag.getOrElse(t,
-      throw new IllegalArgumentException(
-        s"sharding-key tag '$t' has no entity value — shard pruning needs " +
-          "the full routing key")))
-    val h = XxHash64(routed.map(Literal(_)), 42L)
-      .eval(InternalRow.empty).asInstanceOf[Long]
-    val m = h % spec.shardNum
-    (if (m < 0) m + spec.shardNum else m).toInt
+    val routed = spec.routingKey.map(byTag.get)
+    if (routed.exists(_.isEmpty)) None
+    else {
+      val h = XxHash64(routed.map(v => Literal(v.get)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      val m = h % spec.shardNum
+      Some((if (m < 0) m + spec.shardNum else m).toInt)
+    }
   }
 
   /** Column form of the segment bucket for callers outside the write path
@@ -266,6 +279,12 @@ object Layout {
           case Array("DEL", p) =>
             val f = new Path(p)
             if (fs.exists(f)) { fs.delete(f, false); () }
+          case Array("FSTATE", d, content) =>
+            // finalize-state rewrite (see Finalize.compactedStateContent);
+            // a plain rewrite, idempotent under manifest replay
+            val out = fs.create(new Path(new Path(d), Finalize.StateName), true)
+            try out.write(content.replace("\\n", "\n").getBytes("UTF-8"))
+            finally out.close()
           case _ => ()
         }
       }
@@ -324,10 +343,17 @@ object Layout {
     val manifest = new StringBuilder
     victims.foreach { case (seg, shard, live, _, _) =>
       val staged = new Path(stagingRoot, s"$SegCol=$seg/$ShardCol=$shard")
-      dataFiles(staged).foreach(f =>
+      val stagedFiles = dataFiles(staged)
+      val oldFiles = dataFiles(new Path(live))
+      stagedFiles.foreach(f =>
         manifest.append(s"MOVE\t$f\t$live/${f.getName}\n"))
-      dataFiles(new Path(live)).foreach(f =>
+      oldFiles.foreach(f =>
         manifest.append(s"DEL\t$f\n"))
+      // fully-finalized directories stay finalized across the rewrite
+      // (mixed ones re-enter the sweep); committed with the same manifest
+      Finalize.compactedStateContent(fs, new Path(live),
+          oldFiles.map(_.getName).toSet, stagedFiles.map(_.getName))
+        .foreach(c => manifest.append(s"FSTATE\t$live\t$c\n"))
     }
     val markerTmp = new Path(table, ".compact-commit.tmp")
     val out = fs.create(markerTmp, true)
@@ -372,8 +398,12 @@ object Layout {
   def entityScan(spark: SparkSession, root: String, spec: LayoutSpec,
       entityValues: Seq[Any],
       timeRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
-    var df = read(spark, root, spec)
-      .filter(col(ShardCol) === lit(shardFor(spec, entityValues)))
+    // Shard pruning when the routing key is derivable from the entity
+    // values; under the single-entity-tag sharding-key exemption it is
+    // not (see [[shardForOpt]]) — scan all shards and let the residual
+    // entity predicate below select the series.
+    var df = shardForOpt(spec, entityValues).fold(read(spark, root, spec))(sh =>
+      read(spark, root, spec).filter(col(ShardCol) === lit(sh)))
     // residual exact-entity predicate (other series can share the shard)
     df = df.filter(spec.entity.zip(entityValues)
       .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))

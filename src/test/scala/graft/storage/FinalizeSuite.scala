@@ -124,6 +124,38 @@ class FinalizeSuite extends SparkSpec {
       "committed rows were re-sampled after the crash")
   }
 
+  test("compaction preserves finalized state: committed survivors never re-enter the sampler") {
+    val root = tmp("finalize_compact")
+    // many small appends → multi-file directories worth compacting
+    (0 until 3).foreach { i =>
+      Layout.append(spans.filter(pmod(col("event_id"), lit(3L)) === i), root, spec)
+    }
+    val r1 = Finalize.finalizeSegments(spark, root, spec, sampler,
+      now = sweepNow, graceDays = 1)
+    assert(r1.nonEmpty)
+    val afterSweep = rows(root)
+    // compact the fully-finalized layout, then sweep with a DROP-ALL
+    // sampler: if compaction lost the finalized state, the committed
+    // survivors would all vanish here
+    assert(Layout.compactSegments(spark, root, spec).nonEmpty)
+    val dropAll = (df: DataFrame) => df.filter(lit(false))
+    assert(Finalize.finalizeSegments(spark, root, spec, dropAll,
+      now = sweepNow, graceDays = 1).isEmpty,
+      "compacted fully-finalized directories re-entered the sweep")
+    assert(rows(root) == afterSweep, "compaction+sweep mutated committed rows")
+
+    // mixed case: new un-finalized rows land, then compaction merges them
+    // with finalized files — min-propagation makes the whole directory
+    // re-enter the sweep (and the keep-stable sampler keeps survivors)
+    Layout.append(spans.limit(50), root, spec)
+    assert(Layout.compactSegments(spark, root, spec).nonEmpty)
+    val r2 = Finalize.finalizeSegments(spark, root, spec, sampler,
+      now = sweepNow, graceDays = 1)
+    assert(r2.nonEmpty, "mixed directory must re-enter the sweep")
+    assert(afterSweep.subsetOf(rows(root)),
+      "keep-stable sampler dropped previously committed rows in the mixed re-sweep")
+  }
+
   test("segments inside the grace window are left alone") {
     val root = tmp("finalize_grace")
     Layout.append(spans, root, spec, mode = "overwrite")

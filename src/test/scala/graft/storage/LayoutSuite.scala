@@ -250,6 +250,23 @@ class LayoutSuite extends SparkSpec {
       == one.getInt(2))
   }
 
+  test("single-entity-tag sharding-key exemption: entityScan falls back to an unpruned scan") {
+    val root = tmp("layout_sk_exempt")
+    // legal per the reference's CheckShardingKeySubset exemption: one
+    // entity tag, sharding key outside it. Writes route by event_type;
+    // an entity-EQ query supplies only user_id, so the shard is not
+    // derivable and the scan must fall back instead of throwing.
+    val sk = spec.copy(entity = Seq("user_id"), shardingKey = Seq("event_type"))
+    Layout.append(events, root, sk, mode = "overwrite")
+    assert(Layout.shardForOpt(sk, Seq(7L)).isEmpty)
+    intercept[IllegalArgumentException] { Layout.shardFor(sk, Seq(7L)) }
+    val got = Layout.entityScan(spark, root, sk, Seq(7L))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = events.filter(col("user_id") === 7L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("compaction crash recovery: a pending commit manifest completes exactly once") {
     val root = tmp("compact_crash")
     val slice = events.limit(400)

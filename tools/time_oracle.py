@@ -83,9 +83,15 @@ def main():
             print(f"[oracle] {name} FAILED {failed[name]}",
                   file=sys.stderr, flush=True)
     merge_target = sys.argv[4] if len(sys.argv) > 4 else None
+    partial = sorted(only) if only is not None else []
     if only is not None and merge_target and os.path.exists(merge_target):
         prior = json.load(open(merge_target))
         prior.pop("_total", None)
+        # merging into a file that was itself partial must PRESERVE its
+        # partial marker: the union of covered queries decides whether the
+        # result is still incomplete — otherwise a subset-into-subset merge
+        # silently labels an incomplete set as a full run
+        prior_partial = prior.pop("_partial", None)
         prior_failed = prior.pop("_failed", {})
         prior_failed.update(failed)
         for name in times:
@@ -93,11 +99,19 @@ def main():
         failed = prior_failed
         prior.update(times)
         times = {k: v for k, v in prior.items() if not k.startswith("_")}
+        if prior_partial is not None:
+            covered = set(prior_partial) | set(only)
+            partial = sorted(covered)
+            if covered | set(failed) >= set(oracle):
+                partial = []  # every oracle query now present → a full run
+        else:
+            partial = []  # prior file was a full run; the merge stays full
     times["_total"] = round(sum(v for k, v in times.items() if k != "_total"), 3)
-    if only is not None and not merge_target:
-        # a bare subset run is explicitly partial — its _total covers only
-        # the requested queries and must not overwrite a full run's file
-        times["_partial"] = sorted(only)
+    if partial:
+        # a subset run (or a merge that has not yet covered the full oracle
+        # set) is explicitly partial — its _total covers only those queries
+        # and must not be read as a full run's
+        times["_partial"] = partial
     if failed:
         times["_failed"] = failed
     out = json.dumps(times)
