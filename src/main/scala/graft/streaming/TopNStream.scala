@@ -22,6 +22,17 @@ final case class TopNResultRow(bucket_ms: Long, group_key: String,
 /** Per-window state: bounded entity→sum counters + flush counter. */
 final case class TopNWindowState(counters: Map[String, Long], flushSeq: Long)
 
+/** One live window snapshot inside the count-based LRU state. */
+final case class LruWindow(bucket_ms: Long, counters: Map[String, Long])
+
+/** Count-based mode state for ONE flow key (the group key): the LRU of
+  * live window snapshots in recency order (head = least recently used,
+  * last = most), the flow's own event-time watermark (max element ts
+  * seen), and the monotone flush counter. Size is bounded by
+  * `lruSize × countersNumber` entries by construction. */
+final case class TopNLruState(windows: Seq[LruWindow], watermark_ms: Long,
+    flushSeq: Long)
+
 /**
  * Streaming TopNAggregation pre-compute (SURVEY §2.7, ST1–ST5) — the
  * Spark Structured Streaming counterpart of the reference's flow job
@@ -35,13 +46,27 @@ final case class TopNWindowState(counters: Map[String, Long], flushSeq: Long)
  * incremental flush, topn.go dirty-window set), and an event-time timeout
  * emits the final snapshot and drops the state.
  *
- * Lateness (ST2): the reference bounds live windows by COUNT (`lru_size`
- * newest window snapshots, sliding_window.go:66-74); Spark's watermark is
- * time-based, so we use `lru_size × intervalMs` of allowed lateness — the
- * exact analogue when event time advances roughly uniformly, and the delta
- * is documented here rather than hidden. Rows older than the watermark are
- * dropped before reaching the state function, like the reference's
- * late-window check (sliding_window.go:240-243).
+ * Lateness (ST2): the reference bounds live windows by COUNT — an LRU
+ * cache of at most `lru_size` window snapshots (sliding_window.go:66-74,
+ * 104-124), where an element is late-dropped only when its window's max
+ * timestamp is at or before the flow's watermark AND the cache is full
+ * AND the window is not cached (isWindowLate, sliding_window.go:236-243);
+ * inserting a window into a full cache evicts the least-recently-used one
+ * with an eviction flush. `latenessMode = "count"` (default) replicates
+ * that exactly: state is keyed by the FLOW identity (the group key — the
+ * reference's window operator is one single-threaded component per flow),
+ * each state holds the LRU of live windows, and each micro-batch's rows
+ * fold in event-time order (the deterministic stand-in for the
+ * reference's single-stream arrival order; the watermark is the max
+ * element timestamp seen, updated after each element like receive()'s
+ * loop). `latenessMode = "time"` keeps the earlier approximation —
+ * windows keyed individually with `lru_size × intervalMs` of allowed
+ * lateness — which partitions state by (bucket, group) and therefore
+ * scales the stateful shuffle over buckets too; equivalent for streams
+ * whose event time advances roughly uniformly, divergent under bursty
+ * event-time skew (count mode accepts arbitrarily old windows while the
+ * cache has room and protects recently-updated ones; time mode uses a
+ * fixed horizon).
  *
  * Counter eviction: when a window already tracks `countersNumber` entities,
  * a new entity evicts the current minimum counter (topn heap overflow,
@@ -58,9 +83,12 @@ final case class TopNStreamConfig(
     n: Int,
     countersNumber: Int = 1000,
     lruSize: Int = 2,
-    desc: Boolean = true) {
+    desc: Boolean = true,
+    latenessMode: String = "count") {
   require(intervalMs > 0 && n > 0 && countersNumber > 0 && lruSize > 0,
     "all TopNStreamConfig parameters must be positive")
+  require(latenessMode == "count" || latenessMode == "time",
+    "latenessMode is 'count' (reference-exact LRU) or 'time' (watermark)")
 }
 
 object TopNStream {
@@ -71,28 +99,111 @@ object TopNStream {
   def topNAggregate(points: DataFrame, cfg: TopNStreamConfig): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val lateness = cfg.lruSize * cfg.intervalMs
     // group_by_tag_names (topn.proto): rank entities WITHIN each group key
     // per window; a missing column means one global ranking per window
     val hasGroup = points.columns.contains("group_key")
     val groupKeyCol = if (hasGroup) col("group_key") else lit("")
-    val bucketed = points
-      .withWatermark("ts", s"$lateness milliseconds")
-      .select(
+    def bucketed(df: DataFrame) = df.select(
         (expr(s"unix_millis(ts) DIV ${cfg.intervalMs}") * cfg.intervalMs)
           .cast("long").as("bucket_ms"),
         groupKeyCol.as("group_key"),
         col("ts"), col("entity"), col("value").cast("long").as("value"))
       .as[BucketedPoint]
-
-    val out = bucketed
-      .groupByKey(p => (p.bucket_ms, p.group_key))
-      .flatMapGroupsWithState[TopNWindowState, TopNResultRow](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key, rows, state) => updateWindow(key, rows, state, cfg, lateness)
+    val out =
+      if (cfg.latenessMode == "count")
+        bucketed(points)
+          .groupByKey(_.group_key)
+          .flatMapGroupsWithState[TopNLruState, TopNResultRow](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (key, rows, state) => updateLruGroup(key, rows, state, cfg)
+          }
+          .toDF()
+      else {
+        val lateness = cfg.lruSize * cfg.intervalMs
+        bucketed(points.withWatermark("ts", s"$lateness milliseconds"))
+          .groupByKey(p => (p.bucket_ms, p.group_key))
+          .flatMapGroupsWithState[TopNWindowState, TopNResultRow](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (key, rows, state) => updateWindow(key, rows, state, cfg, lateness)
+          }
+          .toDF()
       }
-      .toDF()
     if (hasGroup) out else out.drop("group_key")
+  }
+
+  /** Per-window bounded counters with the sort-direction-aware overflow
+    * eviction (topn_heap.go): an ordered (value, entity) set beside the
+    * map makes eviction O(log n). */
+  private final class WinCounters(init: Map[String, Long], cfg: TopNStreamConfig) {
+    private val m = scala.collection.mutable.Map.empty[String, Long] ++= init
+    private val heap = scala.collection.mutable.TreeSet.empty[(Long, String)]
+    m.foreach { case (e, v) => heap += ((v, e)) }
+    def add(entity: String, value: Long): Unit = m.get(entity) match {
+      case Some(c) =>
+        heap -= ((c, entity)); m(entity) = c + value; heap += ((c + value, entity))
+      case None if m.size < cfg.countersNumber =>
+        m(entity) = value; heap += ((value, entity))
+      case None =>
+        val evict = if (cfg.desc) heap.head else heap.last
+        heap -= evict; m -= evict._2
+        m(entity) = value; heap += ((value, entity))
+    }
+    def toMap: Map[String, Long] = m.toMap
+  }
+
+  /** Count-based ST2: one state per flow key holding the reference's LRU
+    * of live window snapshots. Rows fold in event-time order (ties by
+    * entity then value) — the deterministic analogue of arrival order;
+    * the watermark advances to each element's timestamp AFTER it is
+    * processed, exactly like receive()'s loop, so an element is judged
+    * against the watermark its predecessors established. */
+  private def updateLruGroup(groupKey: String, rows: Iterator[BucketedPoint],
+      state: GroupState[TopNLruState],
+      cfg: TopNStreamConfig): Iterator[TopNResultRow] = {
+    val st = state.getOption.getOrElse(TopNLruState(Nil, Long.MinValue, 0L))
+    // recency order: index 0 = LRU, last = MRU (stored that way too)
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val wins = scala.collection.mutable.Map.empty[Long, WinCounters]
+    st.windows.foreach { w =>
+      order += w.bucket_ms; wins(w.bucket_ms) = new WinCounters(w.counters, cfg)
+    }
+    var wm = st.watermark_ms
+    val touched = scala.collection.mutable.Set.empty[Long]
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, Long])]
+    val sorted = rows.toArray.sortBy(p => (p.ts.getTime, p.entity, p.value))
+    sorted.foreach { p =>
+      val bucket = p.bucket_ms
+      val windowMaxTs = bucket + cfg.intervalMs - 1
+      val present = wins.contains(bucket)
+      // isWindowLate (sliding_window.go:236-243): late ⟺ window closed by
+      // the watermark AND the cache is full AND the window is not cached
+      val late = windowMaxTs <= wm && wins.size >= cfg.lruSize && !present
+      if (!late) {
+        if (present) { order -= bucket; order += bucket } // LRU touch
+        else {
+          if (wins.size >= cfg.lruSize) {
+            val lru = order.remove(0)
+            evicted += ((lru, wins.remove(lru).get.toMap)) // eviction flush
+          }
+          wins(bucket) = new WinCounters(Map.empty, cfg)
+          order += bucket
+        }
+        wins(bucket).add(p.entity, p.value)
+        touched += bucket
+      }
+      if (p.ts.getTime > wm) wm = p.ts.getTime
+    }
+    val seq = st.flushSeq + 1
+    state.update(TopNLruState(
+      order.toSeq.map(b => LruWindow(b, wins(b).toMap)), wm, seq))
+    // an evicted-then-readded bucket reports only its LIVE (fresh) content
+    // at this seq — the re-created window supersedes the eviction flush,
+    // as the reference's latest-flush read semantic would resolve it too
+    val evictedOut = evicted.filter { case (b, _) => !wins.contains(b) }
+      .flatMap { case (b, c) => snapshotRows(b, groupKey, c, seq, cfg) }
+    val liveOut = touched.toSeq.sorted.filter(wins.contains)
+      .flatMap(b => snapshotRows(b, groupKey, wins(b).toMap, seq, cfg))
+    (evictedOut ++ liveOut).iterator
   }
 
   private def updateWindow(key: (Long, String), rows: Iterator[BucketedPoint],
@@ -109,32 +220,12 @@ object TopNStream {
       return out
     }
     var st = state.getOption.getOrElse(TopNWindowState(Map.empty, 0L))
-    // Heap-backed eviction (topn_heap.go): an ordered (value, entity) set
-    // beside the counters map makes overflow eviction O(log n) instead of a
-    // full map scan per insert. Eviction is SORT-DIRECTION-AWARE: a top-N
-    // (desc) evicts the minimum counter, a bottom-N (asc) evicts the
-    // MAXIMUM — evicting the minimum there would discard exactly the
-    // entities the ranking cares about.
-    val counters = scala.collection.mutable.Map.empty[String, Long] ++= st.counters
-    val heap = scala.collection.mutable.TreeSet.empty[(Long, String)]
-    counters.foreach { case (e, v) => heap += ((v, e)) }
-    rows.foreach { p =>
-      counters.get(p.entity) match {
-        case Some(c) =>
-          heap -= ((c, p.entity))
-          counters(p.entity) = c + p.value
-          heap += ((c + p.value, p.entity))
-        case None if counters.size < cfg.countersNumber =>
-          counters(p.entity) = p.value
-          heap += ((p.value, p.entity))
-        case None =>
-          val evict = if (cfg.desc) heap.head else heap.last
-          heap -= evict
-          counters -= evict._2
-          counters(p.entity) = p.value
-          heap += ((p.value, p.entity))
-      }
-    }
+    // Heap-backed eviction (topn_heap.go) via WinCounters. Eviction is
+    // SORT-DIRECTION-AWARE: a top-N (desc) evicts the minimum counter, a
+    // bottom-N (asc) evicts the MAXIMUM — evicting the minimum there
+    // would discard exactly the entities the ranking cares about.
+    val counters = new WinCounters(st.counters, cfg)
+    rows.foreach(p => counters.add(p.entity, p.value))
     st = TopNWindowState(counters.toMap, st.flushSeq + 1)
     state.update(st)
     // window expires `lateness` past its end; keep strictly above watermark
@@ -145,15 +236,20 @@ object TopNStream {
   }
 
   /** Current top-n of a window, ranked (value desc|asc, entity asc). */
-  private def snapshot(key: (Long, String), st: TopNWindowState,
-      cfg: TopNStreamConfig): Iterator[TopNResultRow] = {
-    val ordered = st.counters.toSeq.sortBy { case (e, v) =>
+  private def snapshotRows(bucket: Long, groupKey: String,
+      counters: Map[String, Long], flushSeq: Long,
+      cfg: TopNStreamConfig): Seq[TopNResultRow] = {
+    val ordered = counters.toSeq.sortBy { case (e, v) =>
       (if (cfg.desc) -v else v, e)
     }.take(cfg.n)
-    ordered.iterator.zipWithIndex.map { case ((e, v), i) =>
-      TopNResultRow(key._1, key._2, e, v, i + 1L, st.flushSeq)
+    ordered.zipWithIndex.map { case ((e, v), i) =>
+      TopNResultRow(bucket, groupKey, e, v, i + 1L, flushSeq)
     }
   }
+
+  private def snapshot(key: (Long, String), st: TopNWindowState,
+      cfg: TopNStreamConfig): Iterator[TopNResultRow] =
+    snapshotRows(key._1, key._2, st.counters, st.flushSeq, cfg).iterator
 
   /** ST4 sink: append snapshots to the `_top_n_result`-shaped parquet table
     * via the exactly-once file sink. */

@@ -109,6 +109,41 @@ class TopNStreamSuite extends SparkSpec {
     assert(bucket0.toSeq == Seq(("a", 1L)))
   }
 
+  test("ST2 exactly: count-based LRU accepts old windows while the cache " +
+      "has room and drops closed ones when full — provably different from " +
+      "the time-based horizon under bursty event-time skew") {
+    val base = TopNStreamConfig(intervalMs = HOUR, n = 5, countersNumber = 100,
+      lruSize = 2)
+    val batches = Seq(
+      Seq(TopNPoint(ts(10 * HOUR), "a", 1)),
+      // 4.5h behind the watermark — far outside the time horizon
+      // (lruSize × interval = 2h) but the cache has room, so the
+      // reference ACCEPTS it (isWindowLate requires a full cache)
+      Seq(TopNPoint(ts(5 * HOUR + 1800000L), "old", 7)),
+      // new window on a full cache evicts the LEAST RECENTLY USED —
+      // that is bucket 10h (bucket 5h was touched later), even though
+      // 10h is the more recent in event time
+      Seq(TopNPoint(ts(11 * HOUR), "b", 1)),
+      // bucket 10h is now closed-by-watermark + cache full + absent →
+      // the reference DROPS it; the 2h time horizon would accept it
+      Seq(TopNPoint(ts(10 * HOUR + 1800000L), "late", 3)))
+
+    val cnt = TopNStream.latestSnapshot(
+      runBatches(base, batches)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cnt == Set(
+      (5 * HOUR, "old", 7L), (10 * HOUR, "a", 1L), (11 * HOUR, "b", 1L)),
+      s"count-based (reference) behavior violated: $cnt")
+
+    val tim = TopNStream.latestSnapshot(
+      runBatches(base.copy(latenessMode = "time"), batches)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tim == Set(
+      (10 * HOUR, "a", 1L), (10 * HOUR, "late", 3L), (11 * HOUR, "b", 1L)),
+      s"time-based approximation changed: $tim")
+    assert(cnt != tim, "the two lateness modes must provably differ here")
+  }
+
   test("parquet `_top_n_result` sink + topNRead round trip (ST4 + §3.3)") {
     val cfg = TopNStreamConfig(intervalMs = HOUR, n = 2, countersNumber = 100)
     implicit val sqlCtx = spark.sqlContext
