@@ -312,6 +312,60 @@ object PropertyStore {
   }
 
   /**
+   * Measured transfer cost of the digest-tree repair protocol vs a direct
+   * full-leaf compare — the DESIGN CLAIM behind keeping [[merkleTree]]'s
+   * root → slot → leaf narrowing (each gossip phase ships only digests of
+   * suspect subtrees) made checkable with numbers instead of argument.
+   *
+   * Bytes model (digest payloads only; framing is identical either way):
+   *   - tree protocol: 32 B root handshake, + `slotCount × 40` B of slot
+   *     digests when the roots differ, + (entity + 32 B) leaf digests for
+   *     ONLY the diverged slots — the rounds of property-repair.md's
+   *     "Repair" flow before any document ships;
+   *   - direct compare: (entity + 32 B) for EVERY leaf, shipped
+   *     unconditionally.
+   *
+   * Everything after the leaf aggregation is ≤ `slotCount + 1` rows, so
+   * the driver-side fold here is a bounded reference-object read, like
+   * the ANN codebook collects.
+   *
+   * @return one row: (entities, slots_diverged, leaves_in_diverged_slots,
+   *         direct_bytes, tree_bytes, reduction)
+   */
+  def merkleTransferStats(logA: DataFrame, logB: DataFrame, idCol: String,
+      revCol: String, deletedCol: String, payload: Seq[Column],
+      slotCount: Int = 32): DataFrame = {
+    val sess = logA.sparkSession
+    import sess.implicits._
+    val bytesBySlot = leaves(logA, idCol, revCol, deletedCol, payload, slotCount)
+      .groupBy("slot").agg(
+        count(lit(1)).as("n_leaves"),
+        sum(length(col("entity")) + lit(32)).as("leaf_bytes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def digests(log: DataFrame): Map[Long, String] =
+      merkleTree(log, idCol, revCol, deletedCol, payload, slotCount)
+        .select(col("slot"), col("sha"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dA = digests(logA)
+    val dB = digests(logB)
+    val rootDiffers = dA.get(-1L) != dB.get(-1L)
+    val slotIds = (dA.keySet ++ dB.keySet) - (-1L)
+    val diverged = slotIds.filter(s => dA.get(s) != dB.get(s))
+    val entities = bytesBySlot.values.map(_._1).sum
+    val directBytes = bytesBySlot.values.map(_._2).sum
+    val leavesInDiverged = diverged.toSeq.map(s =>
+      bytesBySlot.get(s).fold(0L)(_._1)).sum
+    val treeBytes = 32L +
+      (if (rootDiffers) 40L * slotIds.size +
+        diverged.toSeq.map(s => bytesBySlot.get(s).fold(0L)(_._2)).sum
+      else 0L)
+    Seq((entities, diverged.size.toLong, leavesInDiverged, directBytes,
+      treeBytes, directBytes.toDouble / treeBytes))
+      .toDF("entities", "slots_diverged", "leaves_in_diverged_slots",
+        "direct_bytes", "tree_bytes", "reduction")
+  }
+
+  /**
    * Two-replica repair plan (docs/concept/property-repair.md "Property
    * Synchronize between Two Nodes", steps 7-8): for every entity
    * [[merkleDiff]] finds diverged, decide which side's live document

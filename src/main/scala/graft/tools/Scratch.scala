@@ -15,44 +15,21 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.Similarity
-    val e = graft.sources.Catalog.load(spark, sfDir, "embeddings")
-    e.count()
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
-    }
-    val cents: Array[(Long, Array[Double])] = time("cents-collect") {
-      e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    }
-    val cb = time("cb-collect") {
-      Similarity.pqCodebookFromPrefix(e, dim = 64, nBlocks = 8, codesPerBlock = 16)
-    }
-    val queries = e.filter(col("vec_id") < 10)
-    // warm run of the plain IVFADC (q96 shape)
-    time("ivfadc-warm") {
-      Similarity.ivfAdcTopKWith(e, queries, 5, cents, cb, 2, 8, 16)
-        .queryExecution.toRdd.foreach(_ => ())
-    }
-    time("ivfadc-again") {
-      Similarity.ivfAdcTopKWith(e, queries, 5, cents, cb, 2, 8, 16)
-        .queryExecution.toRdd.foreach(_ => ())
-    }
-    time("shortlist20") {
-      Similarity.ivfAdcTopKWith(e, queries, 20, cents, cb, 2, 8, 16)
-        .queryExecution.toRdd.foreach(_ => ())
-    }
-    time("rerank-full") {
-      Similarity.ivfAdcRerankTopK(e, queries, k = 5, kShort = 20, cents, cb,
-        nprobe = 2, nBlocks = 8, codesPerBlock = 16)
-        .queryExecution.toRdd.foreach(_ => ())
-    }
-    time("rerank-full-again") {
-      Similarity.ivfAdcRerankTopK(e, queries, k = 5, kShort = 20, cents, cb,
-        nprobe = 2, nBlocks = 8, codesPerBlock = 16)
-        .queryExecution.toRdd.foreach(_ => ())
+    // the q70 replica pair, as the bench materializes it
+    graft.SparkEntry.prepare(spark, sfDir)
+    val ioBase = sys.env.getOrElse("SPARK_GRAFT_IO", "/root/repo/target/graft-io")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val a = spark.read.parquet(s"$ioBase/proplog_$tag/log")
+    val b = spark.read.parquet(s"$ioBase/proplogb_$tag/log")
+    for (slots <- Seq(32, 1024)) {
+      val st = graft.storage.PropertyStore.merkleTransferStats(a, b,
+        "id", "rev", "deleted",
+        payload = Seq(round(col("price") * 100).cast("long").cast("string")),
+        slotCount = slots).head()
+      println(s"MERKLE sf=$sfDir slots=$slots entities=${st.getLong(0)} " +
+        s"diverged_slots=${st.getLong(1)} leaves_in_diverged=${st.getLong(2)} " +
+        s"direct_bytes=${st.getLong(3)} tree_bytes=${st.getLong(4)} " +
+        f"reduction=${st.getDouble(5)}%.1f")
     }
     spark.stop()
   }

@@ -141,6 +141,27 @@ class PropertyStoreSuite extends SparkSpec {
       payload = Seq(col("v").cast("string")), slotCount = 8).isEmpty)
   }
 
+  test("merkleTransferStats: the digest tree ships a fraction of the direct full-leaf compare") {
+    val pay = Seq(col("v").cast("string"))
+    val base = (1 to 4000).map(i => (i.toString, 1L, i * 10, false))
+      .toDF("id", "rev", "v", "deleted")
+    val b = PropertyStore.apply(base,
+      Seq(("7", 999)).toDF("id", "v"), "id", "rev", "deleted")
+    val st = PropertyStore.merkleTransferStats(base, b, "id", "rev",
+      "deleted", pay, slotCount = 32).head()
+    assert(st.getLong(0) == 4000L, "entities")
+    assert(st.getLong(1) == 1L, "exactly one diverged slot")
+    // one slot's leaves (~1/32 of the store) + the fixed digest rounds vs
+    // every leaf: the reduction must be substantial and exactly accounted
+    val direct = st.getLong(3); val tree = st.getLong(4)
+    assert(tree < direct / 5, s"tree=$tree direct=$direct")
+    assert(st.getDouble(5) == direct.toDouble / tree)
+    // identical replicas: the 32-byte root handshake settles it
+    val same = PropertyStore.merkleTransferStats(base, base, "id", "rev",
+      "deleted", pay, slotCount = 32).head()
+    assert(same.getLong(4) == 32L && same.getLong(1) == 0L)
+  }
+
   test("repairPlan decides winners per the two-node sync rules; applyRepair converges both replicas") {
     val pay = Seq(col("v").cast("string"))
     val base = (1 to 40).map(i => (i.toString, 1L, i * 10, false))
