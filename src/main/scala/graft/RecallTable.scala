@@ -83,6 +83,18 @@ object RecallTable {
         cbTrained, nprobe, nBlocks, cpb))
       println(f"| IVFADC trained (vs L2) | nprobe=$nprobe/$nlist | $r%.3f |")
     }
+    // end-to-end production stack: IVFADC shortlist → exact rerank.
+    // Rerank recall ≥ the ADC-ranked recall at the same nprobe by
+    // construction (every truth hit the shortlist contains survives an
+    // exact rerank — fewer than k items can beat it); the sweep measures
+    // how fast kShort converts shortlist recall into result recall.
+    for (nprobe <- Seq(2, 4); kShort <- Seq(20, 50, 100)) {
+      val adc = meanL2(Similarity.ivfAdcTopKWith(e, queries, k, trained,
+        cbTrained, nprobe, nBlocks, cpb))
+      val r = meanL2(Similarity.ivfAdcRerankTopK(e, queries, k, kShort,
+        trained, cbTrained, nprobe, nBlocks, cpb))
+      println(f"| IVFADC→rerank (vs L2) | nprobe=$nprobe kShort=$kShort | $r%.3f (ADC $adc%.3f) |")
+    }
     spark.stop()
   }
 }

@@ -1427,6 +1427,23 @@ object SparkEntry {
       Similarity.ivfAdcRerankTopK(e, e.filter(col("vec_id") < 10), k = 5,
         kShort = 20, cents, cb,
         nprobe = 2, nBlocks = 8, codesPerBlock = 16)
+    }),
+
+    // --- recall report of the PRODUCTION retrieval composition (trained
+    // IVF cells + trained PQ codes, shortlist → exact rerank) against the
+    // exact-L2 truth — rows-only like q69/q94/q103 (k-means quantizers
+    // are not SQL-expressible). Rerank recall ≥ pure-ADC recall at the
+    // same nprobe by construction (AnnRecallSuite pins the sweep).
+    "q107_rerank_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = readTrainedCentroids(s, d)
+      val cb = readTrainedPqCodebook(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfAdcRerankTopK(e, q, k = 5, kShort = 50, cents, cb,
+          nprobe = 2, nBlocks = 8, codesPerBlock = 16),
+        Similarity.bruteForceTopKL2(e, q, k = 5))
+        .withColumnRenamed("query_id", "vec_id")
     }))
 
   // =========================================================================

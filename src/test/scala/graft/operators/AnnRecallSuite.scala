@@ -88,4 +88,33 @@ class AnnRecallSuite extends SparkSpec {
     val mean = rows.map(_.getDouble(3)).sum / rows.length
     assert(mean >= 0.3, s"q69 mean recall below stated floor: $mean")
   }
+
+  test("rerank recall dominates ADC ranking at every (kShort, nprobe) point") {
+    // every truth hit the shortlist contains survives an exact rerank
+    // (fewer than k candidates can beat it in exact L2), and the ADC
+    // top-k is a subset of every kShort ≥ k shortlist — so the reranked
+    // recall can never fall below the pure-ADC recall, and is monotone
+    // nondecreasing in kShort at fixed nprobe
+    val cents = Similarity.trainIvfCentroids(emb, nlist, iters = 3)
+    val cb = Similarity.trainPqCodebooks(emb, dim, nBlocks = 8,
+      codesPerBlock = 16, iters = 3)
+    val truthL2 = Similarity.bruteForceTopKL2(emb, queries, k).localCheckpoint()
+    def recallL2(df: DataFrame): Double =
+      Similarity.recallAtK(df, truthL2).agg(avg(col("recall"))).head().getDouble(0)
+    for (nprobe <- Seq(2, 4)) {
+      val adc = recallL2(
+        Similarity.ivfAdcTopKWith(emb, queries, k, cents, cb, nprobe, 8, 16))
+      val sweep = Seq(20, 50, 100).map(kShort => kShort -> recallL2(
+        Similarity.ivfAdcRerankTopK(emb, queries, k, kShort, cents, cb,
+          nprobe, 8, 16)))
+      sweep.foreach { case (kShort, r) =>
+        assert(r >= adc - 1e-9,
+          s"rerank (kShort=$kShort, nprobe=$nprobe) recall $r < ADC $adc")
+      }
+      sweep.sliding(2).foreach { case Seq((kA, rA), (kB, rB)) =>
+        assert(rA <= rB + 1e-9,
+          s"rerank recall fell from kShort=$kA ($rA) to $kB ($rB)")
+      }
+    }
+  }
 }
