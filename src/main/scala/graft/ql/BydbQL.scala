@@ -105,21 +105,79 @@ object BydbQL {
     }
   }
 
+  /** A key-value annotation on a query span (common/v1/trace.proto Tag). */
+  final case class QuerySpanTag(key: String, value: String)
+
+  /** One timed node of the execution trace (common/v1/trace.proto Span):
+    * `message` is the physical operator name, `duration_ms` its largest
+    * timing metric, `tags` every SQL metric the operator reported, and
+    * `children` the operator's inputs. */
+  final case class QuerySpan(message: String, duration_ms: Long,
+      tags: Seq[QuerySpanTag], children: Seq[QuerySpan]) {
+    def render(indent: Int = 0): String = {
+      val pad = "  " * indent
+      val tagStr = tags.map(t => s"${t.key}=${t.value}").mkString(", ")
+      s"$pad$message (${duration_ms}ms)${if (tagStr.isEmpty) "" else s" [$tagStr]"}\n" +
+        children.map(_.render(indent + 1)).mkString
+    }
+  }
+
+  /** The whole execution trace (common/v1/trace.proto Trace). */
+  final case class QueryTrace(trace_id: String, spans: Seq[QuerySpan],
+      error: Boolean) {
+    def render: String = spans.map(_.render()).mkString
+  }
+
+  /** Span tree of an EXECUTED physical plan: per-operator SQL metrics
+    * become span tags, the largest timing metric the span duration.
+    * Adaptive wrappers (AQE plan, query stages, reused stages) are
+    * traversed into their materialized plans so the tree reflects what
+    * actually ran. */
+  private def spanOf(p: org.apache.spark.sql.execution.SparkPlan): QuerySpan = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val tags = p.metrics.toSeq.sortBy(_._1)
+      .map { case (name, m) => QuerySpanTag(name, m.value.toString) }
+    val duration = p.metrics.values.collect {
+      case m if m.metricType == "timing" => m.value
+      case m if m.metricType == "nsTiming" => m.value / 1000000L
+    }.foldLeft(0L)(math.max)
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    QuerySpan(p.nodeName, duration, tags, kids.map(spanOf))
+  }
+
   /**
-   * Like [[run]], but also returns the execution trace when the statement
-   * carries `WITH QUERY_TRACE` (the reference returns a span tree of its
-   * plan execution, banyand/liaison/grpc/bydbql.go; the Spark analogue of
-   * that trace is the formatted physical plan).
+   * Like [[run]], but when the statement carries `WITH QUERY_TRACE` the
+   * query is EXECUTED and a per-stage timed span tree is returned
+   * alongside the frame — the shape of the reference's
+   * `common.v1.Trace` (banyand/liaison/grpc/bydbql.go attaches the span
+   * tree of actual execution, not a plan rendering). The root span is
+   * the statement itself with its wall-clock; children are the executed
+   * physical operators with their `executedPlan.metrics` as tags.
    */
   def runTraced(ql: String, resources: Map[String, Resource],
-      params: Seq[Any] = Nil, now: Instant = Instant.now()): (DataFrame, Option[String]) = {
+      params: Seq[Any] = Nil, now: Instant = Instant.now()): (DataFrame, Option[QueryTrace]) = {
     val df = run(ql, resources, params, now)
     val wantsTrace = parse(ql) match {
       case s: QlSelect => s.withQueryTrace
       case _ => false
     }
-    (df, if (wantsTrace) Some(df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))) else None)
+    if (!wantsTrace) (df, None)
+    else {
+      val t0 = System.nanoTime()
+      val error =
+        try { df.queryExecution.toRdd.foreach(_ => ()); false }
+        catch { case _: Throwable => true }
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val root = QuerySpan("bydbql: " + ql.trim, wallMs,
+        Seq(QuerySpanTag("statement", ql)),
+        if (error) Nil else Seq(spanOf(df.queryExecution.executedPlan)))
+      (df, Some(QueryTrace(java.util.UUID.randomUUID().toString,
+        Seq(root), error)))
+    }
   }
 
   /** Parse/bind/transform/execute one statement. `now` anchors relative

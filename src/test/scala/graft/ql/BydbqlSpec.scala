@@ -247,4 +247,39 @@ class BydbqlSpec extends SparkSpec {
       groupByTags = Seq("event_type"), agg = Some((AggFn.Sum, "value"))))
     assert(viaQl.collect().toSet == direct.collect().toSet)
   }
+
+  test("WITH QUERY_TRACE returns a timed span tree of the executed plan " +
+      "(common.v1.Trace shape)") {
+    val df = Catalog.load(spark, sf0001, "events")
+    val res = Map("events" -> BydbQL.Resource(df, Catalog.defs("events"),
+      fields = Set("value")))
+    val (_, traced) = BydbQL.runTraced(
+      """SELECT event_type, SUM(value) FROM MEASURE events IN testdata
+        |TIME > '-365d' GROUP BY event_type, value WITH QUERY_TRACE""".stripMargin,
+      res, now = now)
+    val trace = traced.getOrElse(fail("trace missing"))
+    assert(trace.trace_id.nonEmpty && !trace.error)
+    // root span: the statement with wall-clock and a statement tag
+    val root = trace.spans match {
+      case Seq(r) => r
+      case other => fail(s"expected one root span, got ${other.length}")
+    }
+    assert(root.message.startsWith("bydbql:"))
+    assert(root.tags.exists(_.key == "statement"))
+    // the tree reflects EXECUTION: some descendant carries an output-rows
+    // metric with a positive value, and an aggregate operator appears
+    def flatten(s: BydbQL.QuerySpan): Seq[BydbQL.QuerySpan] =
+      s +: s.children.flatMap(flatten)
+    val all = flatten(root)
+    assert(all.length > 3, s"span tree too shallow: ${all.map(_.message)}")
+    assert(all.exists(_.message.toLowerCase.contains("aggregate")),
+      s"no aggregate span in ${all.map(_.message)}")
+    assert(all.exists(_.tags.exists(t =>
+      t.key == "numOutputRows" && t.value.toLong > 0)),
+      "no populated output-rows metric — the trace did not reflect execution")
+    assert(all.exists(s => s.message.startsWith("Scan") && s.duration_ms >= 0 &&
+      s.tags.exists(_.key == "numFiles")), "no scan span with file metrics")
+    // renderable for transport/debugging
+    assert(trace.render.contains("ms)"))
+  }
 }
