@@ -223,9 +223,11 @@ object Finalize {
             unfinalized.map(f => s"DEL\t$f") ++
             Seq(s"STATE\t${stateContent.replace("\n", "\\n")}"))
             .mkString("", "\n", "\n")
+        Failpoints.hit("finalize.staged")
         val tmp = new Path(dir, s"$CommitName.tmp")
         writeFile(tmp, manifest)
         fs.rename(tmp, new Path(dir, CommitName))
+        Failpoints.hit("finalize.committed")
         // the committed round is now durable — apply it
         applyManifest(dir)
         fs.delete(staging, true)

@@ -355,10 +355,12 @@ object Layout {
           oldFiles.map(_.getName).toSet, stagedFiles.map(_.getName))
         .foreach(c => manifest.append(s"FSTATE\t$live\t$c\n"))
     }
+    Failpoints.hit("compact.staged")
     val markerTmp = new Path(table, ".compact-commit.tmp")
     val out = fs.create(markerTmp, true)
     try out.write(manifest.toString.getBytes("UTF-8")) finally out.close()
     fs.rename(markerTmp, marker)
+    Failpoints.hit("compact.committed")
     applyManifest()
     fs.delete(stagingRoot, true)
     spark.catalog.refreshByPath(path(root, spec))

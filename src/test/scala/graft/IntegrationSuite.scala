@@ -130,4 +130,96 @@ class IntegrationSuite extends SparkSpec {
       java.time.Instant.parse("2030-01-01T00:00:00Z"))
     assert(droppedWarm.nonEmpty)
   }
+
+  test("chaos: crashes mid-finalization and mid-compaction on the sf0.1 " +
+      "layout replay their manifests exactly once; finalizeGen stays monotone") {
+    import graft.storage.{Failpoints, Finalize}
+    import org.apache.spark.sql.DataFrame
+    val spans = Catalog.load(spark, "/root/testdata/sf0.1", "events")
+      .withColumn("trace_id", pmod(col("event_id"), lit(997L)))
+      .withColumn("status",
+        when(col("event_type") === "error", "error").otherwise("success"))
+    val spec = LayoutSpec("chaos", "spans", entity = Seq("trace_id"),
+      tsCol = "ts_ns", tsIsNanos = true, shardNum = 2, segmentDays = 7)
+    val sampler = (df: DataFrame) => graft.operators.TracePipeline
+      .latencyStatusSample(df, "trace_id", "value", "status", thresholdMs = 400)
+    val sweepNow = java.time.Instant.parse("2030-01-01T00:00:00Z")
+    def rows(root: String) = Layout.read(spark, root, spec)
+      .select("seg", "shard", "trace_id", "event_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // drive TWO roots through the identical op sequence — one with a crash
+    // injected at every commit window and recovered, one clean — and
+    // require byte-for-byte-equal row sets and the same gen progression
+    val chaos = tmp("chaos_sf01")
+    val clean = tmp("clean_sf01")
+    Seq(chaos, clean).foreach { root =>
+      (0 until 3).foreach { i =>
+        Layout.append(spans.filter(pmod(col("event_id"), lit(3L)) === i),
+          root, spec)
+      }
+    }
+
+    // --- sweep 1 with a kill right after the first commit manifest lands
+    Failpoints.active = "finalize.committed"
+    intercept[IllegalStateException] {
+      Finalize.finalizeSegments(spark, chaos, spec, sampler,
+        now = sweepNow, graceDays = 1)
+    }
+    Failpoints.active = ""
+    // recovery: the committed round replays, the remaining dirs sweep
+    val r1 = Finalize.finalizeSegments(spark, chaos, spec, sampler,
+      now = sweepNow, graceDays = 1)
+    val r1c = Finalize.finalizeSegments(spark, clean, spec, sampler,
+      now = sweepNow, graceDays = 1)
+    assert(rows(chaos) == rows(clean), "crash+recovery diverged from clean run")
+    // the crashed-and-replayed dir is absent from r1 (its round was already
+    // committed); every swept dir reports gen 1 on both roots
+    assert((r1 ++ r1c).forall(_.gen == 1L))
+    val gen1 = r1c.map(r => (r.seg, r.shard) -> r.gen).toMap
+
+    // --- late batch, then compaction killed in BOTH crash windows
+    Seq(chaos, clean).foreach { root =>
+      Layout.append(spans.limit(5000), root, spec)
+    }
+    Failpoints.active = "compact.staged" // staging written, NO manifest yet
+    intercept[IllegalStateException] { Layout.compactSegments(spark, chaos, spec) }
+    Failpoints.active = "compact.committed" // manifest durable, NOT applied
+    intercept[IllegalStateException] { Layout.compactSegments(spark, chaos, spec) }
+    Failpoints.active = ""
+    val before = rows(chaos)
+    def dataFiles(root: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))
+      walk(new java.io.File(Layout.path(root, spec))).count(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val filesBefore = dataFiles(chaos)
+    // recovery completes the durable manifest at entry — by the time the
+    // call surveys for victims the work is done, so an empty report here
+    // IS the exactly-once outcome
+    Layout.compactSegments(spark, chaos, spec)
+    assert(dataFiles(chaos) < filesBefore,
+      "recovery did not complete the committed compaction")
+    assert(Layout.compactSegments(spark, clean, spec).nonEmpty)
+    assert(rows(chaos) == before, "compaction recovery changed row content")
+    assert(rows(chaos) == rows(clean))
+
+    // --- sweep 2: compacted mixed dirs re-enter whole; gens stay monotone
+    val r2 = Finalize.finalizeSegments(spark, chaos, spec, sampler,
+      now = sweepNow, graceDays = 1)
+    assert(r2.nonEmpty)
+    r2.foreach { r =>
+      val prev = gen1.getOrElse((r.seg, r.shard), 0L)
+      assert(r.gen > prev, s"finalizeGen regressed at (${r.seg},${r.shard}): " +
+        s"$prev -> ${r.gen}")
+    }
+    val r2c = Finalize.finalizeSegments(spark, clean, spec, sampler,
+      now = sweepNow, graceDays = 1)
+    assert(r2.map(r => (r.seg, r.shard, r.gen)).toSet ==
+      r2c.map(r => (r.seg, r.shard, r.gen)).toSet,
+      "gen progression diverged between crashed and clean roots")
+    assert(rows(chaos) == rows(clean), "final composition diverged")
+  }
 }
