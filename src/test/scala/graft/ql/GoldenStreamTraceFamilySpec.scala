@@ -478,10 +478,23 @@ class GoldenStreamTraceFamilySpec extends SparkSpec {
   }
 
   test("gen_err_ne_service_id.ql / gen_err_not_in_service_id.ql (WantErr)") {
-    // completes the state-side matrix already covered: gen_err_ne_state,
-    // gen_err_lt_state, gen_err_gt_state, gen_err_le_state, gen_err_ge_state,
-    // gen_err_not_in_state (stream.go:113-123, all WantErr)
     for (p <- Seq("event_type != 'webapp_id'", "event_type NOT IN ('webapp_id')")) {
+      val e = intercept[IllegalArgumentException] {
+        runSw(s"SELECT event_id FROM STREAM sw IN default TIME > '-30d' WHERE $p", svcRes)
+      }
+      assert(e.getMessage.contains("only EQ and IN"), p)
+    }
+  }
+
+  // cases: gen_err_ne_state.ql · gen_err_lt_state.ql · gen_err_gt_state.ql ·
+  // gen_err_le_state.ql · gen_err_ge_state.ql · gen_err_not_in_state.ql
+  test("gen_err_{ne,lt,gt,le,ge,not_in}_state.ql: every non-EQ/IN op on the " +
+      "second entity tag rejects (stream.go:113-123, all WantErr)") {
+    // state is the sw stream's SECOND entity tag (user_id here) — the
+    // range ops exercise a different validator branch than string NE on
+    // the first tag, so each statement runs verbatim-modulo-binding
+    for (p <- Seq("user_id != 1", "user_id < 1", "user_id > 1",
+        "user_id <= 1", "user_id >= 1", "user_id NOT IN (1, 2)")) {
       val e = intercept[IllegalArgumentException] {
         runSw(s"SELECT event_id FROM STREAM sw IN default TIME > '-30d' WHERE $p", svcRes)
       }
