@@ -157,6 +157,36 @@ object SketchImpl {
     new GenericArrayData(sig)
   }
 
+  /** Fused tokenize → per-document term counts: one hash-map pass over
+    * the token stream, emitting (token, occurrences) structs in
+    * first-seen order. THE kernel for corpus-model scoring
+    * ([[graft.operators.CorpusStats]]): the same computation as
+    * `array_sort` + run-length HOFs, but those evaluate INTERPRETED and
+    * Catalyst's projection collapse inlines each intermediate array into
+    * the downstream lambdas — the sort re-ran per element (measured
+    * catastrophically super-linear per document at sf5); this is one
+    * compiled O(n) pass. */
+  def termCounts(text: UTF8String): ArrayData = {
+    val t = tokens(text)
+    val m = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < t.length) {
+      val prev = m.get(t(i))
+      m.put(t(i), if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** first 60 bits of md5(token) as a non-negative long — matches
     * `('0x' || substr(md5(t),1,15))::BIGINT` in the SQL oracle. */
   def md5hash60(t: String): Long = {
@@ -241,6 +271,19 @@ case class MinHashSigLongsExpr(child: Expression, k: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** termCounts(text) → array<struct<tok:string, c:long>> (first-seen order). */
+case class TermCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.termCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.termCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** simhash60(text) → long. */
 case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -263,4 +306,6 @@ object SketchFunctions {
     Bridge.column(MinHashSigLongsExpr(Bridge.expression(hashArr), k))
   def simhash60(text: Column): Column =
     Bridge.column(SimHash60Expr(Bridge.expression(text)))
+  def termCounts(text: Column): Column =
+    Bridge.column(TermCountsExpr(Bridge.expression(text)))
 }

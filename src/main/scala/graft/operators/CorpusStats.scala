@@ -38,31 +38,6 @@ object CorpusStats {
   private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.barrier(df.select(col(idCol).as("id"), tokensAlnum(col(textCol)).as("toks")))
 
-  /**
-   * Per-document (token, occurrences) pairs computed INSIDE the row:
-   * `array_sort` + a run-length pass over the sorted array (sequence /
-   * filter / transform — all codegen'd HOFs). Replaces the
-   * explode-then-`groupBy(id, tok)` idiom, which shuffles every token
-   * occurrence on a document-cardinality key; here the occurrence explode
-   * and BOTH document-keyed shuffles disappear — per-doc counts are a
-   * map-side O(n log n) per row.
-   *
-   * ANSI-safe: every `element_at` index is ≥1 by construction (`greatest`
-   * guard for position 1, a `when` guard for the one-past-the-end run).
-   * Input rows must have non-empty `toks` (`sequence(1, 0)` would count
-   * DOWN); callers filter empties first, which also preserves the
-   * "zero-token documents carry no score" contract.
-   */
-  private def withDocTermCounts(df: DataFrame): DataFrame =
-    df.withColumn("__st", array_sort(col("toks")))
-      .withColumn("__starts", filter(sequence(lit(1), size(col("__st"))), p =>
-        (p === lit(1)) || (element_at(col("__st"), p) =!=
-          element_at(col("__st"), greatest(p - 1, lit(1))))))
-      .withColumn("__pairs", transform(col("__starts"), (s, j) => struct(
-        element_at(col("__st"), s).as("tok"),
-        (when(j === size(col("__starts")) - 1, size(col("__st")) + 1)
-          .otherwise(element_at(col("__starts"), j + 2)) - s)
-          .cast("long").as("c"))))
 
   /**
    * Unigram language-model scoring — the cheap perplexity proxy used for
@@ -78,16 +53,21 @@ object CorpusStats {
    * mean log-prob). Documents with zero tokens carry no score and are
    * omitted, like every other tokenized path.
    *
-   * Scale: per-doc term counts are computed inside the row
-   * ([[withDocTermCounts]] — NO occurrence explode, NO `groupBy(id, tok)`
-   * shuffle of token occurrences), so the corpus shuffles left are the
-   * vocabulary aggregate (partial agg on token, vocabulary-bounded
-   * output) and one id-keyed partial agg over the already-distinct pair
-   * set. The model side is vocabulary-bounded (~16 bytes/term; Heap's law
-   * saturates it on open-web corpora) but NOT statically bounded — the
-   * broadcast join shape and its 8 GB cap are a knob, see
-   * [[scoreAgainst]]. Measured at sf1 this run-length plan cut q81 from
-   * 2.7 s to 1.25 s vs the r8 occurrence-explode plan.
+   * Scale: per-doc term counts are computed INSIDE the row by the native
+   * [[graft.functions.SketchImpl.termCounts]] kernel (one compiled
+   * tokenize + hash-map pass — NO occurrence explode, NO `groupBy(id,
+   * tok)` shuffle of token occurrences; an `array_sort`+run-length HOF
+   * formulation of the same idea was measured catastrophically slower:
+   * HOFs evaluate interpreted and projection collapse re-ran the sort
+   * per array element). The corpus shuffles left are the vocabulary
+   * aggregate (partial agg on token, vocabulary-bounded output) and one
+   * id-keyed partial agg over the already-distinct pair set. The pairs
+   * frame is NOT barriered: re-running the kernel per consumer costs one
+   * tokenize pass, measured well under the localCheckpoint
+   * materialization it would replace. The model side is
+   * vocabulary-bounded (~16 bytes/term; Heap's law saturates it on
+   * open-web corpora) but NOT statically bounded — the broadcast join
+   * shape and its 8 GB cap are a knob, see [[scoreAgainst]].
    */
   /** The shared pieces of the unigram-LM pipeline: the barriered per-doc
     * run-length frame `(id, n_tokens, __pairs)` and the smoothed model
@@ -96,12 +76,9 @@ object CorpusStats {
     * checkpointing the full scored frame. */
   private def unigramParts(df: DataFrame, idCol: String, textCol: String,
       barrierModel: Boolean = false): (DataFrame, DataFrame) = {
-    val docs = Dedup.barrier(
-      withDocTermCounts(
-        df.select(col(idCol).as("id"), tokensAlnum(col(textCol)).as("toks"))
-          .filter(size(col("toks")) > 0))
-        .select(col("id"), size(col("toks")).cast("long").as("n_tokens"),
-          col("__pairs")))
+    val docs = df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.termCounts(col(textCol)).as("__pairs"))
+      .filter(size(col("__pairs")) > 0)
     val counts = docs.select(explode(col("__pairs")).as("p"))
       .groupBy(col("p.tok").as("tok")).agg(sum("p.c").as("c"))
     val totals = counts.agg(sum("c").as("__n"), count(lit(1)).as("__v"))

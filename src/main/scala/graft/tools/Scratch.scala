@@ -1,10 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Throwaway diagnostic main for stage-level timing — not part of the
-  * library surface; never invoked by the driver. */
+/** Throwaway diagnostic main for stage-level timing ablations — not part
+  * of the library surface; never invoked by the driver. Edit locally to
+  * time a suspect plan stage-by-stage (see BASELINE.md "floor analysis"
+  * for measurements this produced), run with
+  * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.Scratch"`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,21 +17,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the q70 replica pair, as the bench materializes it
-    graft.SparkEntry.prepare(spark, sfDir)
-    val ioBase = sys.env.getOrElse("SPARK_GRAFT_IO", "/root/repo/target/graft-io")
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    val a = spark.read.parquet(s"$ioBase/proplog_$tag/log")
-    val b = spark.read.parquet(s"$ioBase/proplogb_$tag/log")
-    for (slots <- Seq(32, 1024)) {
-      val st = graft.storage.PropertyStore.merkleTransferStats(a, b,
-        "id", "rev", "deleted",
-        payload = Seq(round(col("price") * 100).cast("long").cast("string")),
-        slotCount = slots).head()
-      println(s"MERKLE sf=$sfDir slots=$slots entities=${st.getLong(0)} " +
-        s"diverged_slots=${st.getLong(1)} leaves_in_diverged=${st.getLong(2)} " +
-        s"direct_bytes=${st.getLong(3)} tree_bytes=${st.getLong(4)} " +
-        f"reduction=${st.getDouble(5)}%.1f")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    time("count-documents") {
+      println(graft.sources.Catalog.load(spark, sfDir, "documents").count())
     }
     spark.stop()
   }
