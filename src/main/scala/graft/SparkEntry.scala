@@ -1444,7 +1444,25 @@ object SparkEntry {
           nprobe = 2, nBlocks = 8, codesPerBlock = 16),
         Similarity.bruteForceTopKL2(e, q, k = 5))
         .withColumnRenamed("query_id", "vec_id")
-    }))
+    }),
+
+    // --- pipeline: GPT-style training sequence packing — per hash-shard,
+    // docs concatenate in id order into a token stream chopped every 1024
+    // tokens; each doc gets its offset and the sequence range it spans.
+    // One window per shard, no corpus-wide sort
+    "q108_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
+        seqTokens = 1024, shards = 64)),
+
+    // --- pipeline: leakage-safe split — documents assign to train/val/
+    // test by the hash of their near-dup CLUSTER, so near-duplicates
+    // never straddle a split boundary (the eval-contamination guard a
+    // per-document hash split lacks)
+    "q109_leakage_safe_split" -> ((s, d) =>
+      Dedup.leakageSafeSplit(docs(s, d), "doc_id",
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          w = 5, threshold = 0.15),
+        valPpm = 100000L, testPpm = 100000L)))
 
   // =========================================================================
   def oracleSql: Map[String, String] = Map(
@@ -2931,5 +2949,63 @@ object SparkEntry {
         |SELECT e.doc_id, COUNT(*) AS n_shingles, COUNT(b.shingle) AS n_shared,
         |       COUNT(b.shingle) * 1000000 // COUNT(*) AS contam_ppm
         |FROM ex e LEFT JOIN bench b USING (shingle)
-        |GROUP BY e.doc_id""".stripMargin)
+        |GROUP BY e.doc_id""".stripMargin,
+
+    "q108_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 64 AS pack_shard
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, pack_shard, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id) AS BIGINT) AS end_off
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, pack_shard, n_tokens,
+        |       end_off - n_tokens AS start_off,
+        |       (end_off - n_tokens) // 1024 AS seq_first,
+        |       (end_off - 1) // 1024 AS seq_last
+        |FROM p""".stripMargin,
+
+    "q109_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-4),
+        |                 i -> array_to_string(t[i:i+4], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |szs AS (SELECT doc_id, len(s) AS set_size FROM sh),
+        |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM ex a JOIN keep USING (shingle) JOIN ex b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |good AS (
+        |  SELECT id_a, id_b FROM pr
+        |  JOIN szs sa ON sa.doc_id = id_a
+        |  JOIN szs sb ON sb.doc_id = id_b
+        |  WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= 0.15),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+        |          UNION ALL SELECT id_b, id_a FROM good),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clus AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |keyed AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(c.cluster_id, d.doc_id)::VARCHAR AS split_key
+        |  FROM documents d LEFT JOIN clus c USING (doc_id)),
+        |hashed AS (
+        |  SELECT doc_id, split_key,
+        |         ('0x' || substr(md5(split_key), 1, 15))::BIGINT % 1000000 AS h
+        |  FROM keyed)
+        |SELECT doc_id, split_key,
+        |       CASE WHEN h < 100000 THEN 'test'
+        |            WHEN h < 200000 THEN 'validation'
+        |            ELSE 'train' END AS split
+        |FROM hashed""".stripMargin)
 }

@@ -592,4 +592,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_matches"),
         round(max(col("jaccard_raw")), 6).as("best_jaccard"))
   }
+
+  /**
+   * Leakage-safe train/validation/test split: every document assigns to
+   * a split by the md5-hash of its near-dup CLUSTER (not its own id), so
+   * a cluster of near-duplicates lands wholly in one split — the
+   * eval-contamination guard a plain per-document hash split lacks
+   * (a near-copy of a validation document in train is leakage a dedup
+   * pass upstream may have intentionally kept, e.g. under a
+   * keep-k-per-cluster policy). Singletons key on their own id, so with
+   * an empty pair list this degrades to the plain hash split.
+   *
+   * Determinism: cluster identity is [[dedupClusters]]' min-id label;
+   * the split hash is the engine-portable md5 % 1e6 rule every sampling
+   * operator here uses, salted so re-splits are independent.
+   *
+   * Scale: clusters are pair-bounded ([[dedupClusters]]' log-rounds
+   * propagation); the only other work is one id-keyed left join of the
+   * corpus against the (far smaller) clustered subset.
+   *
+   * @return (id, split_key, split) — split ∈ train | validation | test
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      valPpm: Long, testPpm: Long, salt: String = ""): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      "valPpm and testPpm are nonnegative ppm with sum <= 1000000")
+    val clusters = dedupClusters(pairs)
+      .withColumnRenamed("id", idCol).withColumnRenamed("cluster_id", "__cl")
+    val key = coalesce(col("__cl"), col(idCol)).cast("string")
+    val h = conv(substring(md5(concat(key, lit(salt))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    df.select(col(idCol)).join(clusters, Seq(idCol), "left")
+      .select(col(idCol), key.as("split_key"),
+        when(h < testPpm, lit("test"))
+          .when(h < testPpm + valPpm, lit("validation"))
+          .otherwise(lit("train")).as("split"))
+  }
 }

@@ -597,4 +597,40 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))
   }
+
+  /**
+   * Training sequence packing (the GPT-style dataloader layout): per
+   * hash-shard, documents concatenate in deterministic id order into one
+   * token stream chopped every `seqTokens` tokens — each document gets
+   * its byte-offset-equivalent in tokens and the range of fixed-length
+   * training sequences it lands in (documents crossing a boundary span
+   * several, exactly as a pre-training dataloader packs them). The
+   * assignment a packing job materializes before writing shards.
+   *
+   * Determinism: shard = md5-hash of the id, order within a shard =
+   * id — any engine reproduces the identical layout.
+   *
+   * Scale: ONE window per shard (`partitionBy(pack_shard)` cumulative
+   * sum) — parallelism is the shard count and no corpus-wide sort or
+   * single-partition pass exists. Token counts are the whitespace
+   * tokenizer's ([[tokenCountWs]]), computed in-row.
+   *
+   * @return (id, pack_shard, n_tokens, start_off, seq_first, seq_last)
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqTokens: Int, shards: Int = 64): DataFrame = {
+    require(seqTokens >= 1 && shards >= 1, "seqTokens and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % shards)
+    val w = Window.partitionBy(col("pack_shard")).orderBy(col(idCol))
+    df.select(col(idCol), shard.as("pack_shard"),
+        tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col(idCol), col("pack_shard"), col("n_tokens"), col("start_off"),
+        expr(s"start_off DIV $seqTokens").as("seq_first"),
+        expr(s"(end_off - 1) DIV $seqTokens").as("seq_last"))
+  }
 }

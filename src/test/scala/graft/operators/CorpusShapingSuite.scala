@@ -408,6 +408,63 @@ class CorpusShapingSuite extends SparkSpec {
       got.collect().map(_.getLong(0)).toSet)
   }
 
+  test("packSequences: offsets and sequence ranges match hand packing per shard") {
+    val docs = docsOf(Seq(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "),  // 10 tokens
+      2L -> (1 to 7).map(i => s"u$i").mkString(" "),   // 7 tokens
+      3L -> "",                                        // dropped (0 tokens)
+      4L -> (1 to 20).map(i => s"v$i").mkString(" ")))  // 20 tokens
+    val got = TextAnalysis.packSequences(docs, "doc_id", "text",
+      seqTokens = 8, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // one shard, id order: doc1 [0,10) seqs 0..1, doc2 [10,17) seqs 1..2,
+    // doc4 [17,37) seqs 2..4; doc3 absent
+    assert(got.toSeq == Seq(
+      (1L, 10L, 0L, 0L, 1L),
+      (2L, 7L, 10L, 1L, 2L),
+      (4L, 20L, 17L, 2L, 4L)), got.toSeq)
+    // invariant at any shard count: per shard, offsets tile the stream
+    // exactly (no gaps, no overlaps) and sequence ranges cover them
+    val sharded = TextAnalysis.packSequences(docs, "doc_id", "text",
+      seqTokens = 8, shards = 4).collect()
+    sharded.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getLong(3) == expect, "offset gap/overlap in a shard")
+        assert(r.getLong(4) == r.getLong(3) / 8 &&
+          r.getLong(5) == (r.getLong(3) + r.getLong(2) - 1) / 8)
+        r.getLong(3) + r.getLong(2)
+      }
+    }
+  }
+
+  test("leakageSafeSplit: near-dup clusters never straddle a split; " +
+      "singletons degrade to the plain hash split") {
+    import spark.implicits._
+    // two planted near-dup pairs + singletons
+    val pairs = Seq((1L, 2L), (5L, 9L)).toDF("id_a", "id_b")
+    val docs = (1L to 20L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+      valPpm = 300000L, testPpm = 300000L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.size == 20)
+    // cluster members share key AND split
+    assert(got(1L) == got(2L) && got(5L) == got(9L))
+    assert(got(1L)._1 == "1" && got(5L)._1 == "5", "cluster key is the min id")
+    // a singleton keys on its own id
+    assert(got(3L)._1 == "3")
+    // deterministic: rerun identical; salt rotates assignments
+    val again = Dedup.leakageSafeSplit(docs, "doc_id", pairs, 300000L, 300000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.map { case (k, v) => k -> v._2 } == again)
+    val salted = Dedup.leakageSafeSplit(docs, "doc_id", pairs, 300000L, 300000L,
+      salt = "s1").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(salted != again, "salt must rotate the split")
+    // all three splits present at these rates over 19 keys w.h.p.
+    assert(got.values.map(_._2).toSet == Set("train", "validation", "test"))
+  }
+
   test("contaminationFraction: exact ppm for a hand-built overlap") {
     // bench doc = "a b c d"; its 3-shingles: {a b c, b c d}
     // doc 10 = "a b c d e" → shingles {a b c, b c d, c d e}: 2/3 shared
