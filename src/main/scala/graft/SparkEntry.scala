@@ -153,8 +153,9 @@ object SparkEntry {
     intervalMs = 3600000L, n = 3, countersNumber = 1 << 20)
 
   /** Replays the events table through the Structured Streaming TopN job —
-    * tumbling event-time windows, bounded per-window counters, watermark
-    * eviction — into the `_top_n_result` parquet sink (ST1-ST5). */
+    * tumbling event-time windows, bounded per-window counters, the
+    * reference's count-based window LRU — into the `_top_n_result`
+    * parquet sink (ST1-ST5). */
   private def ensureTopnSnapshot(s: SparkSession, d: String): String =
     materialized("topnsnap", d, s"${fileSig(d, "events")}|$q41Cfg") { dir =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -30,6 +30,24 @@ class FunnelsSuite extends SparkSpec {
       (3L, 10L, -1L, -1L, 1L)), s"got $got")
   }
 
+  test("funnel with a non-string step column: coerced isin matches do " +
+      "not crash the fold (rendering mismatch advances no step)") {
+    // steps are the STRINGS "1"/"2"; a double column matches isin via
+    // native coercion (1.0 == "1") but renders "1.0" — the fold must
+    // treat such rows as advancing no step, never throw
+    val df = Seq((1L, 10L * 1000000L, 1.0), (1L, 20L * 1000000L, 2.0))
+      .toDF("user_id", "ts_ns", "step")
+    val got = Funnels.funnel(df, "user_id", "ts_ns", "step", Seq("1", "2"))
+      .collect()
+    assert(got.isEmpty, "no row should enter the funnel under a rendering mismatch")
+    // a STRING step column with the same values funnels normally
+    val ok = Funnels.funnel(
+      Seq((1L, 10L * 1000000L, "1"), (1L, 20L * 1000000L, "2"))
+        .toDF("user_id", "ts_ns", "step"),
+      "user_id", "ts_ns", "step", Seq("1", "2")).collect()
+    assert(ok.length == 1 && ok.head.getLong(ok.head.length - 1) == 2L)
+  }
+
   test("funnelCounts: monotone nonincreasing stage populations") {
     val df = ev((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "a"))
     val f = Funnels.funnel(df, "user_id", "ts_ns", "event_type", Seq("a", "b"))
