@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AnalyzerImpl, AnalyzerTokensExpr, CosineSimilarity, DotProduct, LshBucketExpr, MinHashSigExpr, ShinglesExpr, SimHash60Expr, WinnowFingerprintsExpr}
+import graft.functions.{AnalyzerImpl, AnalyzerTokensExpr, CosineSimilarity, DotProduct, LshBucketExpr, MinHashSigExpr, ShinglesExpr, SimHash60Expr, TermCountsExpr, WinnowFingerprintsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -57,6 +57,10 @@ object GraftExtensions {
     },
     fn("graft_simhash", "graft_simhash(text) - 60-bit simhash of the token stream") {
       args => SimHash60Expr(args(0))
+    },
+    fn("graft_term_counts",
+      "graft_term_counts(text) - per-document (token, occurrences) structs, first-seen order") {
+      args => TermCountsExpr(args(0))
     },
     fn("graft_tokens", "graft_tokens(text, 'standard'|'simple'|'keyword'|'url') - analyzer token array") {
       args =>

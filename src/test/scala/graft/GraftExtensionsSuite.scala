@@ -18,6 +18,10 @@ class GraftExtensionsSuite extends SparkSpec {
     // deterministic engine-portable hash — same value every run
     assert(r.getLong(3) == spark.sql("SELECT graft_simhash('hello world')")
       .head().getLong(0))
+    val tc = spark.sql("SELECT graft_term_counts('A b a, B b!') AS tc").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(tc == Seq(("a", 2L), ("b", 3L)), s"got $tc")
   }
 
   test("minhash signature over shingles matches the Column-API kernel") {
