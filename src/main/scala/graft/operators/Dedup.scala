@@ -192,11 +192,12 @@ object Dedup {
     // every downstream stage (df groupBy, keep join, self-join) shuffles
     // an int64 instead of a ~w·6-byte string — the key only ever feeds
     // equality, so results are identical up to a 2^-61-per-vocab-pair
-    // collision (the same negligible contract as the minhash lanes)
+    // collision (the same negligible contract as the minhash lanes).
+    // The fused shingleHashes kernel emits the hashes directly, so the
+    // shingle STRINGS are never materialized as exploded rows.
     val sh = barrier(df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), w)).as("__sht"))
-      .select(col("id"),
-        conv(substring(md5(col("__sht")), 1, 15), 16, 10).cast("long").as("shingle")))
+      explode(graft.functions.SketchFunctions.shingleHashes(col(textCol), w))
+        .as("shingle")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val filtered = barrier(sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
@@ -562,15 +563,14 @@ object Dedup {
       corpusTextCol: String, w: Int = 5, threshold: Double = 0.15,
       maxCorpusDocFreq: Int = 1000): DataFrame = {
     // hashed posting keys, like ngramJaccardPairs: both sides of the
-    // candidate join and the df-cap aggregation shuffle int64s
-    def hashedSh(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // candidate join and the df-cap aggregation shuffle int64s, emitted
+    // by the fused kernel without materializing shingle strings
     val bSh = barrier(batch.select(col(batchIdCol).as("bid"),
-      explode(shingles(col(batchTextCol), w)).as("__sht"))
-      .select(col("bid"), hashedSh(col("__sht")).as("shingle")))
+      explode(graft.functions.SketchFunctions.shingleHashes(col(batchTextCol), w))
+        .as("shingle")))
     val cSh = barrier(corpus.select(col(corpusIdCol).as("cid"),
-      explode(shingles(col(corpusTextCol), w)).as("__sht"))
-      .select(col("cid"), hashedSh(col("__sht")).as("shingle")))
+      explode(graft.functions.SketchFunctions.shingleHashes(col(corpusTextCol), w))
+        .as("shingle")))
     val bSizes = bSh.groupBy("bid").agg(count(lit(1)).as("bsize"))
     val cSizes = cSh.groupBy("cid").agg(count(lit(1)).as("csize"))
     // df cap as a broadcast ANTI-join against the HOT-shingle list: the
