@@ -1463,7 +1463,15 @@ object SparkEntry {
       Dedup.leakageSafeSplit(docs(s, d), "doc_id",
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
           w = 5, threshold = 0.15),
-        valPpm = 100000L, testPpm = 100000L)))
+        valPpm = 100000L, testPpm = 100000L)),
+
+    // --- pipeline: BPE merge-table induction (Sennrich et al. 2016) —
+    // tokenizer training from the corpus: one distributed word-frequency
+    // aggregation, then the merge loop over the vocab-bounded dict.
+    // Rows-only (the loop rewrites its own input — not SQL-expressible),
+    // determinism pinned by CorpusStatsSuite's textbook example
+    "q110_bpe_merges" -> ((s, d) =>
+      CorpusStats.bpeMerges(docs(s, d), "doc_id", "text", numMerges = 64)))
 
   // =========================================================================
   def oracleSql: Map[String, String] = Map(

@@ -279,6 +279,86 @@ object CorpusStats {
    *
    * @return (bigram, c_ab, pmi_micros) — top `topN` by PMI desc, bigram asc
    */
+  /**
+   * BPE merge-table induction (Sennrich et al. 2016, "Neural Machine
+   * Translation of Rare Words with Subword Units"): learn `numMerges`
+   * byte-pair merges from the corpus — the tokenizer-training step of a
+   * pre-training pipeline, the operator that turns PMI-style vocabulary
+   * signals into an actual subword vocabulary.
+   *
+   * Shape: ONE distributed aggregation builds the word-frequency dict
+   * (vocabulary-bounded output with map-side combine), capped to the
+   * `maxWords` most frequent words (ties broken by word ascending — the
+   * usual min-frequency cut, TakeOrdered not a global sort); the merge
+   * loop then runs on the DRIVER over that dict, exactly as production
+   * BPE trainers do — the dict, not the corpus, is the training input,
+   * and it is a bounded reference object like the ANN codebooks. Words
+   * start as character sequences with a `</w>` end marker; each round
+   * merges the globally most frequent adjacent symbol pair (ties to the
+   * lexicographically smallest pair) and records it.
+   *
+   * Deterministic by construction: counts are exact longs, the cut and
+   * every tie-break are total orders. Not SQL-expressible (the loop
+   * rewrites its own input), so the driver gate records this one
+   * rows-only, like the recall reports.
+   *
+   * @return (rank, left, right, merged, freq) — rank is 1-based merge order
+   */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, maxWords: Int = 100000): DataFrame = {
+    require(numMerges >= 1 && maxWords >= 1, "numMerges and maxWords must be positive")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val dict: Array[(String, Long)] =
+      df.select(explode(tokensAlnum(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(maxWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    // words as mutable symbol sequences (chars + end marker)
+    val words: Array[(Array[String], Long)] = dict.map { case (w, c) =>
+      ((w.map(_.toString) :+ "</w>").toArray, c)
+    }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var syms: Array[Array[String]] = words.map(_._1)
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i); val c = words(i)._2
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((l, r), freq) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, l, r, l + r, freq))
+        syms = syms.map { s =>
+          if (s.length < 2) s
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+                out += l + r; j += 2
+              } else { out += s(j); j += 1 }
+            }
+            out.toArray
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "freq")
+  }
+
   def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L, topN: Int = 50): DataFrame = {
     require(minCount >= 1 && topN >= 1, "minCount and topN must be positive")

@@ -211,4 +211,32 @@ class CorpusStatsSuite extends SparkSpec {
       ("the cat", 5L, pmi(5, 7, 5))))
     assert(out(0)._3 > out(1)._3, "the engineered collocation must rank first")
   }
+
+  test("bpeMerges: the textbook low/lower/newest corpus learns the expected merges") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example shape: {low×5, lower×2, newest×6,
+    // widest×3}. Highest pair counts: (e,s)=9 then (es,t)=9 → "est" forms
+    // first; later "lo" (7) then "low" (7).
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val got = CorpusStats.bpeMerges(docs, "doc_id", "text", numMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got(0) == ((1, "e", "s", "es", 9L)), got.toSeq)
+    assert(got(1) == ((2, "es", "t", "est", 9L)), got.toSeq)
+    assert(got(2) == ((3, "est", "</w>", "est</w>", 9L)), got.toSeq)
+    assert(got(3) == ((4, "l", "o", "lo", 7L)), got.toSeq)
+    // deterministic: identical rerun
+    val again = CorpusStats.bpeMerges(docs, "doc_id", "text", numMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == again.toSeq)
+    // merge exhaustion stops early instead of looping
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = CorpusStats.bpeMerges(tiny, "doc_id", "text", numMerges = 10)
+    assert(ex.count() == 2, "a 2-char word admits exactly 2 merges (ab, ab</w>)")
+  }
 }
