@@ -331,6 +331,22 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/cb")
     }
 
+  /** The learned BPE merge table, materialized once per documents
+    * fingerprint — tokenizer training is an offline job like the ANN
+    * index builds; queries READ the artifact. */
+  private def ensureBpeTable(s: SparkSession, d: String): String =
+    materialized("bpe", d, s"${fileSig(d, "documents")}|m64.v1") { dir =>
+      graft.operators.CorpusStats.bpeMerges(docs(s, d), "doc_id", "text",
+        numMerges = 64).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/merges")
+    }
+
+  private def readBpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    s.read.parquet(s"${ensureBpeTable(s, d)}/merges")
+      .select("rank", "left", "right").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+
   private def readPrefixIndex(s: SparkSession, d: String)
       : (Array[(Long, Array[Double])], Array[Double]) = {
     val root = ensurePrefixIndex(s, d)
@@ -403,6 +419,7 @@ object SparkEntry {
     ensureTrainedPqCodebook(s, d)
     ensureTrainedPqCodebook(s, d, codesPerBlock = 256)
     ensurePrefixIndex(s, d)
+    ensureBpeTable(s, d)
     ensureFinalizedLayout(s, d)
     ()
   }
@@ -1471,7 +1488,15 @@ object SparkEntry {
     // Rows-only (the loop rewrites its own input — not SQL-expressible),
     // determinism pinned by CorpusStatsSuite's textbook example
     "q110_bpe_merges" -> ((s, d) =>
-      CorpusStats.bpeMerges(docs(s, d), "doc_id", "text", numMerges = 64)))
+      CorpusStats.bpeMerges(docs(s, d), "doc_id", "text", numMerges = 64)),
+
+    // --- pipeline: token counts under the LEARNED tokenizer — the
+    // trained merge table is read from the materialized artifact (an
+    // index build, like the ANN quantizers) and applied per document by
+    // the native kernel. Rows-only (depends on the learned table)
+    "q111_bpe_token_counts" -> ((s, d) =>
+      CorpusStats.bpeTokenCounts(docs(s, d), "doc_id", "text",
+        readBpeMerges(s, d))))
 
   // =========================================================================
   def oracleSql: Map[String, String] = Map(

@@ -187,6 +187,67 @@ object SketchImpl {
     new GenericArrayData(out)
   }
 
+  /** BPE encode of one word (symbols start as chars + `</w>`): repeatedly
+    * merge the LOWEST-RANK adjacent pair present in the table, all its
+    * occurrences left to right — the standard greedy BPE encode; returns
+    * the resulting symbol count. */
+  private[functions] def bpeEncodeCount(word: String, table: BpeTable): Int = {
+    var syms = new java.util.ArrayList[String](word.length + 1)
+    var i = 0
+    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size > 1) {
+      var best = Integer.MAX_VALUE
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = table.ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < best) best = r
+        j += 1
+      }
+      if (best == Integer.MAX_VALUE) done = true
+      else {
+        val next = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && {
+            val r = table.ranks.get(syms.get(k) + " " + syms.get(k + 1))
+            r != null && r.intValue == best
+          }) { next.add(syms.get(k) + syms.get(k + 1)); k += 2 }
+          else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+      }
+    }
+    syms.size
+  }
+
+  private val bpeMemo = ThreadLocal.withInitial[java.util.HashMap[(Int, String), Int]](
+    () => new java.util.HashMap[(Int, String), Int]())
+
+  /** Token count of a text under a learned BPE merge table: tokenize
+    * (the pipeline-wide lowercase-alnum rule), encode each word with
+    * [[bpeEncodeCount]], sum. Word encodes memoize per thread (natural
+    * text repeats words heavily); the memo is capped and keyed by the
+    * table's identity so two tables never cross-pollute. */
+  def bpeTokenCount(text: UTF8String, table: BpeTable): Long = {
+    val t = tokens(text)
+    val memo = bpeMemo.get()
+    if (memo.size > 65536) memo.clear()
+    val tid = System.identityHashCode(table)
+    var total = 0L
+    var i = 0
+    while (i < t.length) {
+      val key = (tid, t(i))
+      var c = 0
+      if (memo.containsKey(key)) c = memo.get(key)
+      else { c = bpeEncodeCount(t(i), table); memo.put(key, c) }
+      total += c
+      i += 1
+    }
+    total
+  }
+
   /** first 60 bits of md5(token) as a non-negative long — matches
     * `('0x' || substr(md5(t),1,15))::BIGINT` in the SQL oracle. */
   def md5hash60(t: String): Long = {
@@ -271,6 +332,32 @@ case class MinHashSigLongsExpr(child: Expression, k: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** A learned BPE merge table as a plan-time reference object (the same
+  * altitude as the PQ codebooks): pair "l r" → merge rank. Built once on
+  * the driver from the ordered merge list, shipped to executors inside
+  * the expression. */
+final class BpeTable(mergesInOrder: Seq[(String, String)]) extends Serializable {
+  val ranks = new java.util.HashMap[String, Integer]()
+  mergesInOrder.zipWithIndex.foreach { case ((l, r), i) =>
+    ranks.put(l + " " + r, i)
+  }
+  override def toString: String = s"BpeTable(${ranks.size} merges)"
+}
+
+/** bpeTokenCount(text) → long under a learned merge table. */
+case class BpeTokenCountExpr(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.bpeTokenCount(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.bpeTokenCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** termCounts(text) → array<struct<tok:string, c:long>> (first-seen order). */
 case class TermCountsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -308,4 +395,6 @@ object SketchFunctions {
     Bridge.column(SimHash60Expr(Bridge.expression(text)))
   def termCounts(text: Column): Column =
     Bridge.column(TermCountsExpr(Bridge.expression(text)))
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokenCountExpr(Bridge.expression(text), new BpeTable(merges)))
 }

@@ -359,6 +359,18 @@ object CorpusStats {
     merges.result().toDF("rank", "left", "right", "merged", "freq")
   }
 
+  /** Token counts under a LEARNED tokenizer: apply a [[bpeMerges]] table
+    * per document — the real-token-budget companion of the whitespace /
+    * BPE-ish regex counters in [[TextAnalysis]]. Entirely map-side: the
+    * merge table rides inside the native kernel as a plan-time reference
+    * object (codebook discipline) and word encodes memoize per thread.
+    * @return (id, n_bpe_tokens) */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SketchFunctions.bpeTokenCount(col(textCol), merges)
+        .as("n_bpe_tokens"))
+
   def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L, topN: Int = 50): DataFrame = {
     require(minCount >= 1 && topN >= 1, "minCount and topN must be positive")

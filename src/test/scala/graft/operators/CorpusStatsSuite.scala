@@ -239,4 +239,29 @@ class CorpusStatsSuite extends SparkSpec {
     val ex = CorpusStats.bpeMerges(tiny, "doc_id", "text", numMerges = 10)
     assert(ex.count() == 2, "a 2-char word admits exactly 2 merges (ab, ab</w>)")
   }
+
+  test("bpeTokenCounts: the learned table compresses trained words, leaves others atomic") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = CorpusStats.bpeMerges(train, "doc_id", "text", numMerges = 4)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // merges: (e,s) (es,t) (est,</w>) (l,o)
+    val probe = Seq(
+      (10L, "lowest"),   // l o w e s t</w> → est</w>, lo → [lo, w, est</w>] = 3
+      (11L, "low"),      // lo w </w> = 3 (no (lo,w) or (w,</w>) merge learned)
+      (12L, "xyz"),      // untouched: x y z </w> = 4
+      (13L, "lowest lowest xyz")) // 3 + 3 + 4 = 10
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bpeTokenCounts(probe, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 3L, 11L -> 3L, 12L -> 4L, 13L -> 10L), got)
+    // empty merge table = character count + end marker per word
+    val atomic = CorpusStats.bpeTokenCounts(probe, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atomic(10L) == 7L && atomic(12L) == 4L)
+  }
 }
