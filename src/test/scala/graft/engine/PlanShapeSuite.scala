@@ -247,6 +247,28 @@ class PlanShapeSuite extends SparkSpec {
     assert(!p.contains("Window"), "funnel buffered entity history in a window")
   }
 
+  test("q108 sequence packing: shard-partitioned window, never a single partition") {
+    val p = plan("q108_pack_sequences")
+    // the cumulative token sum runs per pack_shard — a corpus-wide
+    // single-partition window here would serialize the whole packing job
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"),
+      "packing window degenerated to a single partition")
+    assert(!p.contains("rangepartitioning"), "packing must not globally sort")
+  }
+
+  test("q81 unigram scoring: kernel pairs, broadcast model, one id-keyed exchange") {
+    val p = plan("q81_unigram_logprob")
+    // the model join must broadcast (vocabulary-bounded build side); the
+    // only document-keyed shuffle is the final partial-agg on id
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "model join shuffled the document side on the token key")
+    assert(p.toLowerCase.contains("termcounts"),
+      "per-doc term counts lost the native kernel")
+    assert(!p.contains("Window") && !p.contains("rangepartitioning"))
+  }
+
   test("q86 token-budget cut: two-pass prefix sum, no corpus-wide single partition") {
     val p = plan("q86_token_budget_cut")
     // the SinglePartition exchange feeds only the ≤64-row bucket totals;
