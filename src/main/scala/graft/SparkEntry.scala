@@ -1496,7 +1496,16 @@ object SparkEntry {
     // the native kernel. Rows-only (depends on the learned table)
     "q111_bpe_token_counts" -> ((s, d) =>
       CorpusStats.bpeTokenCounts(docs(s, d), "doc_id", "text",
-        readBpeMerges(s, d))))
+        readBpeMerges(s, d))),
+
+    // --- pipeline: exact BINARY dedup over media payloads — byte-identical
+    // re-crawled assets collapse by payload digest within each kind; the
+    // payload bytes never shuffle, only their digests
+    "q112_binary_dedup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.exactBinaryDedup(
+        Multimodal.blobsFromText(docs(s, d), "doc_id", "text"))
+    }))
 
   // =========================================================================
   def oracleSql: Map[String, String] = Map(
@@ -3041,5 +3050,15 @@ object SparkEntry {
         |       CASE WHEN h < 100000 THEN 'test'
         |            WHEN h < 200000 THEN 'validation'
         |            ELSE 'train' END AS split
-        |FROM hashed""".stripMargin)
+        |FROM hashed""".stripMargin,
+
+    "q112_binary_dedup" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       md5(text) AS payload_md5,
+        |       MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -92,4 +92,16 @@ object Multimodal {
         encode(col(textCol), "UTF-8").as("payload"))
       .as[MediaBlob]
   }
+
+  /** Exact BINARY dedup over the opaque payloads — the byte-identical
+    * media counterpart of [[Dedup.exact]]'s text dedup (re-crawled or
+    * re-encoded-identically assets): group on md5 of the payload bytes
+    * within each media kind, keep the min id as the survivor. Hash
+    * groupBy with map-side combine — the payload bytes never shuffle,
+    * only their 16-byte digests. */
+  def exactBinaryDedup(blobs: Dataset[MediaBlob]): DataFrame =
+    blobs.toDF()
+      .groupBy(col("kind"), md5(col("payload")).as("payload_md5"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("dup_count"))
 }
