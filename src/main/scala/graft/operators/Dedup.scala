@@ -289,17 +289,15 @@ object Dedup {
       bench: DataFrame, benchTextCol: String, w: Int = 5,
       minShared: Int = 1): DataFrame = {
     // join keys are the 60-bit shingle hashes (equality-only use, same
-    // contract as ngramJaccardPairs): the broadcast benchmark set ships
-    // 8-byte longs and the corpus-side probe hashes instead of comparing
-    // w-token strings
-    def hashed(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // contract as ngramJaccardPairs), emitted by the fused kernel — the
+    // broadcast benchmark set ships 8-byte longs and neither side ever
+    // materializes w-token strings as exploded rows
     val docSh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), w)).as("__sht"))
-      .select(col("id"), hashed(col("__sht")).as("shingle"))
+      explode(graft.functions.SketchFunctions.shingleHashes(col(textCol), w))
+        .as("shingle"))
     val benchSh = bench
-      .select(explode(shingles(col(benchTextCol), w)).as("__sht"))
-      .select(hashed(col("__sht")).as("shingle")).distinct()
+      .select(explode(graft.functions.SketchFunctions.shingleHashes(col(benchTextCol), w))
+        .as("shingle")).distinct()
     docSh.join(broadcast(benchSh), Seq("shingle"))
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -324,14 +322,12 @@ object Dedup {
    */
   def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, w: Int = 5): DataFrame = {
-    def hashed(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val docSh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), w)).as("__sht"))
-      .select(col("id"), hashed(col("__sht")).as("shingle"))
+      explode(graft.functions.SketchFunctions.shingleHashes(col(textCol), w))
+        .as("shingle"))
     val benchSh = bench
-      .select(explode(shingles(col(benchTextCol), w)).as("__sht"))
-      .select(hashed(col("__sht")).as("shingle")).distinct()
+      .select(explode(graft.functions.SketchFunctions.shingleHashes(col(benchTextCol), w))
+        .as("shingle")).distinct()
       .withColumn("__hit", lit(1L))
     docSh.join(broadcast(benchSh), Seq("shingle"), "left")
       .groupBy("id").agg(
