@@ -1505,6 +1505,49 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.exactBinaryDedup(
         Multimodal.blobsFromText(docs(s, d), "doc_id", "text"))
+    }),
+
+    // --- pipeline: ENCODE documents to token-id sequences under the
+    // LEARNED tokenizer — the stage between the trained merge table
+    // (q110) and a dataloader: each doc's words greedy-merge and map
+    // through the deterministic vocab. Rows-only (depends on the learned
+    // table); determinism pinned id-by-id in CorpusStatsSuite
+    "q113_bpe_encode" -> ((s, d) =>
+      CorpusStats.bpeEncode(docs(s, d), "doc_id", "text",
+        readBpeMerges(s, d))),
+
+    // --- pipeline: MATERIALIZED training shards under the learned
+    // tokenizer — per hash-shard, token-id encodes concatenate in id
+    // order and chop every 256 ids; each row is one fixed-length
+    // training sequence (final partial padded with the pad id). The
+    // closed loop q108 stopped short of: real token ids, not whitespace
+    // counts. Rows-only (depends on the learned table); stream-rebuild
+    // equivalence asserted in CorpusStatsSuite
+    "q114_pack_token_ids" -> ((s, d) =>
+      CorpusStats.packTokenIds(docs(s, d), "doc_id", "text",
+        readBpeMerges(s, d), seqTokens = 256, shards = 64)),
+
+    // --- pipeline: perceptual NEAR-dup over media payloads — same-kind
+    // assets within 3 Hamming bits of the byte-4-gram SimHash signature,
+    // via 4×15-bit banded LSH with EXACT recall (pigeonhole) + popcount
+    // verify. Input includes deterministic "re-encoded" variants (2-byte
+    // encoder tail) that exact binary dedup (q112) provably misses
+    "q115_media_near_dup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.perceptualNearDupPairs(
+        Multimodal.blobsWithReencodes(docs(s, d), "doc_id", "text",
+          everyK = 5), maxDist = 3)
+    }),
+
+    // --- pipeline: media dedup SURVIVORS — connected components over the
+    // perceptual pair graph, keep the highest-fidelity copy per cluster
+    // (largest payload, ties → min id); singletons pass through. The
+    // media twin of q72's text survivor rule
+    "q116_media_dedup_survivors" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.perceptualDedupSurvivors(
+        Multimodal.blobsWithReencodes(docs(s, d), "doc_id", "text",
+          everyK = 5), maxDist = 3)
     }))
 
   // =========================================================================
@@ -3060,5 +3103,76 @@ object SparkEntry {
         |       MIN(doc_id) AS keep_id,
         |       COUNT(*) AS dup_count
         |FROM documents
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q115_media_near_dup" ->
+      """WITH m0 AS (SELECT doc_id::BIGINT AS media_id, text FROM documents),
+        |m AS (
+        |  SELECT media_id, text FROM m0
+        |  UNION ALL
+        |  SELECT media_id + 3000000000, text || ' .' FROM m0 WHERE media_id % 5 = 0),
+        |g AS (
+        |  SELECT media_id,
+        |         CASE WHEN media_id % 3 = 0 THEN 'image'
+        |              WHEN media_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         list_transform(generate_series(1, length(text) - 3), p ->
+        |           ('0x' || substr(md5(substr(text, p, 4)), 1, 15))::BIGINT) AS hs
+        |  FROM m),
+        |sig AS (
+        |  SELECT media_id, kind,
+        |    CAST(list_sum(list_transform(generate_series(0,59), i ->
+        |      CASE WHEN 2 * len(list_filter(hs, x -> ((x >> i) & 1) = 1)) > len(hs)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM g)
+        |SELECT a.kind, a.media_id AS id_a, b.media_id AS id_b,
+        |       bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sig a JOIN sig b ON a.kind = b.kind AND a.media_id < b.media_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+    "q116_media_dedup_survivors" ->
+      """WITH RECURSIVE m0 AS (SELECT doc_id::BIGINT AS media_id, text FROM documents),
+        |m AS (
+        |  SELECT media_id, text FROM m0
+        |  UNION ALL
+        |  SELECT media_id + 3000000000, text || ' .' FROM m0 WHERE media_id % 5 = 0),
+        |g AS (
+        |  SELECT media_id,
+        |         CASE WHEN media_id % 3 = 0 THEN 'image'
+        |              WHEN media_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         octet_length(encode(text))::BIGINT AS byte_len,
+        |         list_transform(generate_series(1, length(text) - 3), p ->
+        |           ('0x' || substr(md5(substr(text, p, 4)), 1, 15))::BIGINT) AS hs
+        |  FROM m),
+        |sig AS (
+        |  SELECT media_id, kind, byte_len,
+        |    CAST(list_sum(list_transform(generate_series(0,59), i ->
+        |      CASE WHEN 2 * len(list_filter(hs, x -> ((x >> i) & 1) = 1)) > len(hs)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM g),
+        |good AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM sig a JOIN sig b ON a.kind = b.kind AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+        |          UNION ALL SELECT id_b, id_a FROM good),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clu AS (SELECT src AS media_id, LEAST(src, MIN(dst)) AS cluster_id
+        |        FROM reach GROUP BY src),
+        |lab AS (SELECT s.media_id, s.kind, s.byte_len, c.cluster_id
+        |        FROM sig s LEFT JOIN clu c USING (media_id)),
+        |best AS (SELECT cluster_id, media_id FROM (
+        |    SELECT cluster_id, media_id,
+        |           row_number() OVER (PARTITION BY cluster_id
+        |             ORDER BY byte_len DESC, media_id ASC) AS rn
+        |    FROM lab WHERE cluster_id IS NOT NULL)
+        |  WHERE rn = 1)
+        |SELECT l.media_id, l.kind, l.byte_len, l.cluster_id FROM lab l
+        |WHERE l.cluster_id IS NULL
+        |   OR EXISTS (SELECT 1 FROM best b
+        |              WHERE b.cluster_id = l.cluster_id AND b.media_id = l.media_id)""".stripMargin)
 }

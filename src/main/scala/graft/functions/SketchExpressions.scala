@@ -191,7 +191,13 @@ object SketchImpl {
     * merge the LOWEST-RANK adjacent pair present in the table, all its
     * occurrences left to right — the standard greedy BPE encode; returns
     * the resulting symbol count. */
-  private[functions] def bpeEncodeCount(word: String, table: BpeTable): Int = {
+  private[functions] def bpeEncodeCount(word: String, table: BpeTable): Int =
+    bpeEncodeSyms(word, table).size
+
+  /** The greedy merge loop itself, returning the final symbol sequence
+    * (shared by the count and the id-encode kernels). */
+  private[functions] def bpeEncodeSyms(word: String, table: BpeTable)
+      : java.util.ArrayList[String] = {
     var syms = new java.util.ArrayList[String](word.length + 1)
     var i = 0
     while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
@@ -219,22 +225,29 @@ object SketchImpl {
         syms = next
       }
     }
-    syms.size
+    syms
   }
 
-  private val bpeMemo = ThreadLocal.withInitial[java.util.HashMap[(Int, String), Int]](
-    () => new java.util.HashMap[(Int, String), Int]())
+  // word-encode memos, per thread, keyed by (table.uid, word) — uid is a
+  // process-unique monotonic id, NOT an identity hash (identity hashes
+  // can collide between live tables or recycle after GC, which would let
+  // a stale entry from a DIFFERENT merge table answer — ADVICE r9)
+  private val bpeMemo = ThreadLocal.withInitial[java.util.HashMap[(Long, String), Int]](
+    () => new java.util.HashMap[(Long, String), Int]())
+  private val bpeIdMemo =
+    ThreadLocal.withInitial[java.util.HashMap[(Long, String), Array[Int]]](
+      () => new java.util.HashMap[(Long, String), Array[Int]]())
 
   /** Token count of a text under a learned BPE merge table: tokenize
     * (the pipeline-wide lowercase-alnum rule), encode each word with
     * [[bpeEncodeCount]], sum. Word encodes memoize per thread (natural
     * text repeats words heavily); the memo is capped and keyed by the
-    * table's identity so two tables never cross-pollute. */
+    * table's process-unique uid so two tables never cross-pollute. */
   def bpeTokenCount(text: UTF8String, table: BpeTable): Long = {
     val t = tokens(text)
     val memo = bpeMemo.get()
     if (memo.size > 65536) memo.clear()
-    val tid = System.identityHashCode(table)
+    val tid = table.uid
     var total = 0L
     var i = 0
     while (i < t.length) {
@@ -248,6 +261,51 @@ object SketchImpl {
     total
   }
 
+  /** Token-ID encode of a text under a learned BPE table — the stage a
+    * dataloader export actually needs (a count alone cannot feed a
+    * training shard): tokenize, greedy-merge each word, map every final
+    * symbol through the table's deterministic vocab. Unknown symbols
+    * (impossible under the pipeline tokenizer, whose output alphabet is
+    * exactly `[a-z0-9]`) map to id 0 = `<unk>`. Per-thread capped memo
+    * of word → id-array, keyed like [[bpeTokenCount]]'s. */
+  def bpeEncodeIds(text: UTF8String, table: BpeTable): ArrayData = {
+    val t = tokens(text)
+    val memo = bpeIdMemo.get()
+    if (memo.size > 65536) memo.clear()
+    val tid = table.uid
+    val parts = new Array[Array[Int]](t.length)
+    var n = 0
+    var i = 0
+    while (i < t.length) {
+      val key = (tid, t(i))
+      var ids = memo.get(key)
+      if (ids == null) {
+        val syms = bpeEncodeSyms(t(i), table)
+        ids = new Array[Int](syms.size)
+        var j = 0
+        while (j < ids.length) {
+          val v = table.vocab.get(syms.get(j))
+          ids(j) = if (v == null) 0 else v.intValue
+          j += 1
+        }
+        memo.put(key, ids)
+      }
+      parts(i) = ids
+      n += ids.length
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var k = 0
+    i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      var j = 0
+      while (j < p.length) { out(k) = p(j); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** first 60 bits of md5(token) as a non-negative long — matches
     * `('0x' || substr(md5(t),1,15))::BIGINT` in the SQL oracle. */
   def md5hash60(t: String): Long = {
@@ -259,6 +317,46 @@ object SketchImpl {
     var i = 0
     while (i < 7) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
     (v << 4) | ((b(7) & 0xF0L) >>> 4)
+  }
+
+  /** 60-bit SimHash over the byte w-gram stream of a BINARY payload —
+    * the perceptual signature of the media-dedup path. Position-
+    * independent by construction (each w-byte window votes, nothing is
+    * keyed to absolute offsets), so trims, appends, and localized edits
+    * move only the few grams they touch and the signature's Hamming
+    * distance stays small — unlike any fixed-grid chunk hash, whose
+    * every bucket boundary shifts when the length changes. Gram hash =
+    * first 60 bits of md5 over the raw bytes (engine-portable: equals
+    * `('0x' || substr(md5(s),1,15))::BIGINT` of the same byte string in
+    * SQL). Payloads shorter than w → signature 0. */
+  def byteGramSimhash60(payload: Array[Byte], w: Int): Long = {
+    val n = payload.length
+    if (n < w) return 0L
+    val votes = new Array[Int](60)
+    val d = md5tl.get()
+    var p = 0
+    while (p <= n - w) {
+      d.reset()
+      d.update(payload, p, w)
+      val b = d.digest()
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (b(i) & 0xFFL); i += 1 }
+      h = (h << 4) | ((b(7) & 0xF0L) >>> 4)
+      var bit = 0
+      while (bit < 60) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      p += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
   }
 
   /** 60-bit SimHash: per bit, strict majority vote (ties → 0) over the
@@ -332,16 +430,40 @@ case class MinHashSigLongsExpr(child: Expression, k: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+object BpeTable {
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[functions] def nextUid(): Long = ids.incrementAndGet()
+  /** The fixed base alphabet of the pipeline tokenizer (`[a-z0-9]`) plus
+    * the end-of-word marker — id 0 is reserved for `<unk>`. */
+  val baseSymbols: IndexedSeq[String] =
+    (('0' to '9') ++ ('a' to 'z')).map(_.toString) :+ "</w>"
+}
+
 /** A learned BPE merge table as a plan-time reference object (the same
-  * altitude as the PQ codebooks): pair "l r" → merge rank. Built once on
-  * the driver from the ordered merge list, shipped to executors inside
-  * the expression. */
+  * altitude as the PQ codebooks): pair "l r" → merge rank, plus the
+  * DETERMINISTIC vocab the id-encode path maps through — id 0 `<unk>`,
+  * ids 1..37 the base alphabet in listed order, then one id per merge
+  * OUTPUT in rank order (first-writer wins when two merges produce the
+  * same string, e.g. a+bc and ab+c). `vocabSize` is the next free id —
+  * the conventional pad-token slot. Built once on the driver from the
+  * ordered merge list, shipped to executors inside the expression. */
 final class BpeTable(mergesInOrder: Seq[(String, String)]) extends Serializable {
   val ranks = new java.util.HashMap[String, Integer]()
+  val vocab = new java.util.HashMap[String, Integer]()
+  vocab.put("<unk>", 0)
+  BpeTable.baseSymbols.zipWithIndex.foreach { case (s, i) =>
+    vocab.put(s, i + 1)
+  }
   mergesInOrder.zipWithIndex.foreach { case ((l, r), i) =>
     ranks.put(l + " " + r, i)
+    vocab.putIfAbsent(l + r, vocab.size)
   }
-  override def toString: String = s"BpeTable(${ranks.size} merges)"
+  val vocabSize: Int = vocab.size
+  /** process-unique memo key; `@transient lazy` so every deserialized
+    * executor-side copy draws a fresh uid from ITS process's counter. */
+  @transient lazy val uid: Long = BpeTable.nextUid()
+  override def toString: String =
+    s"BpeTable(${ranks.size} merges, vocab $vocabSize)"
 }
 
 /** bpeTokenCount(text) → long under a learned merge table. */
@@ -358,6 +480,20 @@ case class BpeTokenCountExpr(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** bpeEncodeIds(text) → array<int> token ids under a learned merge table. */
+case class BpeEncodeIdsExpr(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.bpeEncodeIds(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.bpeEncodeIds($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** termCounts(text) → array<struct<tok:string, c:long>> (first-seen order). */
 case class TermCountsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -367,6 +503,18 @@ case class TermCountsExpr(child: Expression) extends UnaryExpression {
     SketchImpl.termCounts(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.termCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** byteGramSimhash60(payload, w) → long — perceptual media signature. */
+case class ByteGramSimHash60Expr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.byteGramSimhash60(input.asInstanceOf[Array[Byte]], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.byteGramSimhash60($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -393,8 +541,12 @@ object SketchFunctions {
     Bridge.column(MinHashSigLongsExpr(Bridge.expression(hashArr), k))
   def simhash60(text: Column): Column =
     Bridge.column(SimHash60Expr(Bridge.expression(text)))
+  def byteGramSimhash60(payload: Column, w: Int): Column =
+    Bridge.column(ByteGramSimHash60Expr(Bridge.expression(payload), w))
   def termCounts(text: Column): Column =
     Bridge.column(TermCountsExpr(Bridge.expression(text)))
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokenCountExpr(Bridge.expression(text), new BpeTable(merges)))
+  def bpeEncodeIds(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeIdsExpr(Bridge.expression(text), new BpeTable(merges)))
 }

@@ -371,6 +371,82 @@ object CorpusStats {
       graft.functions.SketchFunctions.bpeTokenCount(col(textCol), merges)
         .as("n_bpe_tokens"))
 
+  /** Token-ID SEQUENCES under the learned tokenizer — the encode stage
+    * itself (what a count alone cannot provide): each document becomes
+    * the concatenation of its words' greedy-merge encodes, mapped
+    * through the table's deterministic vocab. Entirely map-side, one
+    * native-kernel call per row; the merge table rides as a plan-time
+    * reference object. @return (id, token_ids array<int>, n_bpe_tokens) */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+        graft.functions.SketchFunctions.bpeEncodeIds(col(textCol), merges)
+          .as("token_ids"))
+      .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+
+  /**
+   * MATERIALIZED training shards under the learned tokenizer — the last
+   * stage between a corpus and a dataloader: per hash-shard, documents'
+   * token-id encodes concatenate in deterministic id order into one
+   * stream chopped every `seqTokens` ids; each output row is one
+   * fixed-length training sequence (the final partial sequence of a
+   * shard padded with the table's pad id = `vocabSize`, the next free
+   * slot). [[TextAnalysis.packSequences]] computes this layout's
+   * ASSIGNMENT under whitespace counts; this operator EMITS the packed
+   * id sequences themselves under the learned BPE table.
+   *
+   * Plan shape at 100 TB: encode is map-side; the per-shard cumulative
+   * offset is ONE window per hash shard (no corpus-wide sort); each
+   * document then explodes into only the 1 + n/seqTokens sequences it
+   * intersects, carrying exactly its slice of ids — every token ships
+   * through the one groupBy exchange ONCE, which is the floor for a job
+   * whose output is the tokens themselves. Parallelism is the shard
+   * count on the window and the (shard, seq) key space on the assembly.
+   *
+   * Determinism: shard = md5(id), order = id, piece positions within a
+   * sequence are disjoint offsets — `array_sort` on (pos, …) structs
+   * rebuilds the stream identically on any engine.
+   *
+   * @return (pack_shard, seq_idx, n_docs, n_pad, token_ids[seqTokens])
+   */
+  def packTokenIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], seqTokens: Int,
+      shards: Int = 64): DataFrame = {
+    require(seqTokens >= 1 && shards >= 1, "seqTokens and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val padId = new graft.functions.BpeTable(merges).vocabSize
+    val L = seqTokens
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % shards)
+    val w = Window.partitionBy(col("pack_shard")).orderBy(col(idCol))
+    val pieces = df.select(col(idCol), shard.as("pack_shard"),
+        graft.functions.SketchFunctions.bpeEncodeIds(col(textCol), merges)
+          .as("ids"))
+      .withColumn("n", size(col("ids")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("end_off", sum("n").over(w))
+      .withColumn("start_off", col("end_off") - col("n"))
+      .withColumn("seq_idx",
+        explode(sequence(expr(s"start_off DIV $L"), expr(s"(end_off - 1) DIV $L"))))
+      .select(col("pack_shard"), col("seq_idx"),
+        struct(
+          (greatest(col("seq_idx") * L, col("start_off")) - col("seq_idx") * L)
+            .cast("int").as("pos"),
+          expr(s"slice(ids, CAST(greatest(seq_idx * $L, start_off) - start_off AS INT) + 1, " +
+            s"CAST(least((seq_idx + 1) * $L, end_off) - greatest(seq_idx * $L, start_off) AS INT))")
+            .as("chunk")).as("piece"))
+    pieces.groupBy("pack_shard", "seq_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("flatten(transform(array_sort(collect_list(piece)), x -> x.chunk))")
+          .as("token_ids"))
+      .withColumn("n_pad", (lit(L) - size(col("token_ids"))).cast("int"))
+      .withColumn("token_ids",
+        when(col("n_pad") > 0,
+          concat(col("token_ids"), array_repeat(lit(padId), col("n_pad"))))
+          .otherwise(col("token_ids")))
+      .select("pack_shard", "seq_idx", "n_docs", "n_pad", "token_ids")
+  }
+
   def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L, topN: Int = 50): DataFrame = {
     require(minCount >= 1 && topN >= 1, "minCount and topN must be positive")

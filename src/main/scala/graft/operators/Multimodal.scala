@@ -104,4 +104,102 @@ object Multimodal {
       .groupBy(col("kind"), md5(col("payload")).as("payload_md5"))
       .agg(min(col("media_id")).as("keep_id"),
         count(lit(1)).as("dup_count"))
+
+  /** [[blobsFromText]] plus deterministic "re-encoded" variants of every
+    * `everyK`-th asset — the payload with a 2-byte encoder tail appended
+    * (id offset 3 000 000 000, divisible by 3 so the kind assignment is
+    * preserved). The test adapter for [[perceptualNearDupPairs]]: these
+    * byte-perturbed twins are exactly what [[exactBinaryDedup]] MISSES
+    * (different digests) and a perceptual signature must catch. */
+  def blobsWithReencodes(df: DataFrame, idCol: String, textCol: String,
+      everyK: Int = 5)(implicit spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val variants = df.filter(col(idCol) % everyK === 0)
+      .withColumn(textCol, concat(col(textCol), lit(" .")))
+      .withColumn(idCol, col(idCol) + lit(3000000000L))
+    blobsFromText(df.select(col(idCol).cast("long"), col(textCol))
+      .unionByName(variants.select(col(idCol).cast("long"), col(textCol))),
+      idCol, textCol)
+  }
+
+  /**
+   * Perceptual signature per asset: 60-bit SimHash over the byte-4-gram
+   * stream of the payload ([[graft.functions.SketchImpl
+   * .byteGramSimhash60]]) — position-independent, so trims/appends/
+   * localized re-encode artifacts move only the grams they touch and
+   * near-identical payloads land within a few Hamming bits (a fixed-grid
+   * chunk hash fails this: ANY length change shifts every bucket
+   * boundary). STUB BOUNDARY: a real deployment computes this same
+   * signature over the DECODED byte grid (luma plane / PCM frames) so
+   * codec-level re-encodes converge too; in this container the kernel
+   * runs on the payload bytes and the downstream plumbing — banded join,
+   * popcount verify — is identical and real.
+   */
+  def perceptualSignature(blobs: Dataset[MediaBlob]): DataFrame =
+    blobs.toDF().select(col("media_id"), col("kind"),
+      graft.functions.SketchFunctions.byteGramSimhash60(col("payload"), 4)
+        .as("sig"))
+
+  /**
+   * Perceptual NEAR-dup pairs over media payloads — the non-exact
+   * counterpart of [[exactBinaryDedup]] (re-encoded / trimmed assets):
+   * pairs of same-kind assets whose perceptual signatures are within
+   * `maxDist` Hamming bits, found by banded LSH with EXACT recall —
+   * the 60-bit signature splits into `maxDist + 1` blocks, and by
+   * pigeonhole ≤ maxDist flipped bits leave at least one block intact,
+   * so an equal (kind, block, key) bucket is a complete candidate set.
+   * Singleton buckets are pruned before the self-join and candidates
+   * verify by popcount — payload bytes never shuffle, only 8-byte
+   * signatures. Requires `(maxDist + 1) | 60`.
+   */
+  def perceptualNearDupPairs(blobs: Dataset[MediaBlob], maxDist: Int = 3)
+      : DataFrame = {
+    val bands = maxDist + 1
+    require(bands >= 2 && 60 % bands == 0,
+      s"maxDist + 1 must divide 60, got $maxDist")
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1L
+    val sigs = graft.operators.Dedup.barrier(perceptualSignature(blobs))
+    val blocks = sigs.select(col("media_id"), col("kind"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "bkey")
+    val hot = blocks.groupBy("kind", "block", "bkey")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select("kind", "block", "bkey")
+    val pruned = blocks.join(hot, Seq("kind", "block", "bkey"))
+    val cand = pruned.select(col("kind"), col("block"), col("bkey"),
+        col("media_id").as("id_a"))
+      .join(pruned.select(col("kind"), col("block"), col("bkey"),
+        col("media_id").as("id_b")), Seq("kind", "block", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("kind", "id_a", "id_b").dropDuplicates("kind", "id_a", "id_b")
+    cand
+      .join(sigs.select(col("media_id").as("id_a"), col("sig").as("__sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("media_id").as("id_b"), col("sig").as("__sig_b")),
+        Seq("id_b"))
+      .withColumn("hamming",
+        call_function("bit_count", col("__sig_a").bitwiseXOR(col("__sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("kind", "id_a", "id_b", "hamming")
+  }
+
+  /** Media dedup SURVIVORS — the keep-list the near-dup pairs exist to
+    * produce: connected components over [[perceptualNearDupPairs]]'s
+    * same-kind pair graph ([[Dedup.dedupClusters]] label propagation),
+    * then per cluster keep the HIGHEST-FIDELITY copy (largest payload;
+    * ties → smallest id — among re-encodes of one asset you keep the
+    * least-compressed master, the media analogue of q72's longest-text
+    * rule). Unclustered assets pass through with a null cluster_id. Only
+    * (id, kind, byte_len) metadata flows through the clustering — the
+    * payload bytes never shuffle. @return (media_id, kind, byte_len,
+    * cluster_id) — survivors + singletons */
+  def perceptualDedupSurvivors(blobs: Dataset[MediaBlob], maxDist: Int = 3)
+      : DataFrame = {
+    val meta = blobs.toDF().select(col("media_id"), col("kind"),
+      length(col("payload")).cast("long").as("byte_len"))
+    val pairs = perceptualNearDupPairs(blobs, maxDist).select("id_a", "id_b")
+    graft.operators.Dedup.clusterSurvivors(meta, pairs, "media_id", "byte_len")
+  }
 }

@@ -157,6 +157,14 @@ object BydbQL {
    * tree of actual execution, not a plan rendering). The root span is
    * the statement itself with its wall-clock; children are the executed
    * physical operators with their `executedPlan.metrics` as tags.
+   *
+   * NOTE a traced statement executes HERE to populate the metrics; a
+   * caller that then consumes the returned DataFrame re-executes the
+   * plan (same rows — every statement is deterministic under the fixed
+   * `now`). That mirrors the reference, where tracing wraps the real
+   * execution and the result ships with the trace; callers that need
+   * one-pass semantics should collect from the returned frame and keep
+   * the trace as a side-channel.
    */
   def runTraced(ql: String, resources: Map[String, Resource],
       params: Seq[Any] = Nil, now: Instant = Instant.now()): (DataFrame, Option[QueryTrace]) = {
@@ -170,7 +178,7 @@ object BydbQL {
       val t0 = System.nanoTime()
       val error =
         try { df.queryExecution.toRdd.foreach(_ => ()); false }
-        catch { case _: Throwable => true }
+        catch { case scala.util.control.NonFatal(_) => true }
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val root = QuerySpan("bydbql: " + ql.trim, wallMs,
         Seq(QuerySpanTag("statement", ql)),

@@ -317,13 +317,18 @@ object PropertyStore {
    * root → slot → leaf narrowing (each gossip phase ships only digests of
    * suspect subtrees) made checkable with numbers instead of argument.
    *
-   * Bytes model (digest payloads only; framing is identical either way):
-   *   - tree protocol: 32 B root handshake, + `slotCount × 40` B of slot
-   *     digests when the roots differ, + (entity + 32 B) leaf digests for
-   *     ONLY the diverged slots — the rounds of property-repair.md's
-   *     "Repair" flow before any document ships;
-   *   - direct compare: (entity + 32 B) for EVERY leaf, shipped
-   *     unconditionally.
+   * Bytes model (digest payloads only; framing is identical either way;
+   * both legs are counted from A's perspective — the node initiating
+   * the repair round):
+   *   - tree protocol: 32 B root handshake, + 40 B per POPULATED slot
+   *     (a slot present in either tree; empty slots of the fixed table
+   *     have nothing to ship) when the roots differ, + (entity + 32 B)
+   *     leaf digests for ONLY the diverged slots — the rounds of
+   *     property-repair.md's "Repair" flow before any document ships;
+   *   - direct compare: (entity + 32 B) for every leaf A HOLDS, shipped
+   *     unconditionally (the inventory the initiator would push without
+   *     a tree; entities only B holds surface in the leaf round either
+   *     way, so they are charged to neither baseline).
    *
    * Everything after the leaf aggregation is ≤ `slotCount + 1` rows, so
    * the driver-side fold here is a bounded reference-object read, like

@@ -264,4 +264,106 @@ class CorpusStatsSuite extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(atomic(10L) == 7L && atomic(12L) == 4L)
   }
+
+  // the textbook merge table used by the encode/pack tests:
+  // (e,s) (es,t) (est,</w>) (l,o) — trained in the bpeMerges test above
+  private lazy val textbookMerges: Seq[(String, String)] = {
+    val train = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    CorpusStats.bpeMerges(train, "doc_id", "text", numMerges = 4)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  test("bpeEncode: deterministic vocab ids, id-by-id; sum of lengths = bpeTokenCount") {
+    // vocab: 0 <unk>; '0'..'9' → 1..10; 'a'..'z' → 11..36; '</w>' → 37;
+    // merge outputs in rank order: es→38 est→39 est</w>→40 lo→41
+    val probe = Seq(
+      (10L, "lowest"),  // lo w est</w>  → [41, 33, 40]
+      (11L, "low"),     // lo w </w>     → [41, 33, 37]
+      (12L, "xyz"),     // x y z </w>    → [34, 35, 36, 37]
+      (13L, "lowest xyz")).toDF("doc_id", "text")
+    val got = CorpusStats.bpeEncode(probe, "doc_id", "text", textbookMerges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toList, r.getLong(2)))).toMap
+    assert(got(10L) == ((List(41, 33, 40), 3L)), got)
+    assert(got(11L) == ((List(41, 33, 37), 3L)), got)
+    assert(got(12L) == ((List(34, 35, 36, 37), 4L)), got)
+    assert(got(13L) == ((List(41, 33, 40, 34, 35, 36, 37), 7L)), got)
+    // the count kernel and the encode kernel agree on every doc
+    val counts = CorpusStats.bpeTokenCounts(probe, "doc_id", "text",
+      textbookMerges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, (ids, n)) =>
+      ids.length.toLong == n && counts(id) == n })
+  }
+
+  test("bpe word-encode memo never cross-pollutes between two live tables") {
+    // regression for the identity-hash memo key (ADVICE r9): interleave
+    // the SAME word through two different tables on one thread — a stale
+    // memo entry would return the other table's count
+    import org.apache.spark.unsafe.types.UTF8String
+    val learned = new graft.functions.BpeTable(textbookMerges)
+    val empty = new graft.functions.BpeTable(Nil)
+    assert(learned.uid != empty.uid)
+    (1 to 3).foreach { _ =>
+      assert(graft.functions.SketchImpl.bpeTokenCount(
+        UTF8String.fromString("lowest"), learned) == 3L)
+      assert(graft.functions.SketchImpl.bpeTokenCount(
+        UTF8String.fromString("lowest"), empty) == 7L)
+    }
+  }
+
+  test("packTokenIds: chopped stream rebuilds the per-doc encodes; fixed lengths + pad accounting") {
+    // single shard → one fully hand-checkable stream. Encodes:
+    //   doc 1 "lowest low"   → [41,33,40, 41,33,37]          (6)
+    //   doc 2 "xyz"          → [34,35,36,37]                 (4)
+    //   doc 3 "low low low"  → [41,33,37, 41,33,37, 41,33,37](9)
+    // stream (19 ids) chopped every 8: [..8], [..8], [3 + 5 pad]
+    val probe = Seq((1L, "lowest low"), (2L, "xyz"), (3L, "low low low"))
+      .toDF("doc_id", "text")
+    val padId = new graft.functions.BpeTable(textbookMerges).vocabSize // 42
+    assert(padId == 42)
+    val got = CorpusStats.packTokenIds(probe, "doc_id", "text",
+      textbookMerges, seqTokens = 8, shards = 1)
+      .collect().sortBy(r => r.getLong(1))
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getSeq[Int](4).toList))
+    val stream = List(41, 33, 40, 41, 33, 37) ::: List(34, 35, 36, 37) :::
+      List(41, 33, 37, 41, 33, 37, 41, 33, 37)
+    assert(got.length == 3)
+    assert(got(0) == ((0L, 2L, 0, stream.slice(0, 8))), got.toSeq)
+    assert(got(1) == ((1L, 2L, 0, stream.slice(8, 16))), got.toSeq)
+    assert(got(2) == ((2L, 1L, 5, stream.slice(16, 19) ::: List.fill(5)(padId))),
+      got.toSeq)
+    // multi-shard: per shard, stripping pads and concatenating sequences
+    // in seq order rebuilds the concatenation of per-doc encodes in id
+    // order — layout invariant under any shard count
+    val many = (0L until 50L).map(i => (i, s"lowest low xyz $i word${i % 7}"))
+      .toDF("doc_id", "text")
+    val enc = CorpusStats.bpeEncode(many, "doc_id", "text", textbookMerges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val shardOf = (id: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 64
+    }
+    val packed = CorpusStats.packTokenIds(many, "doc_id", "text",
+      textbookMerges, seqTokens = 8, shards = 64)
+      .collect().groupBy(_.getLong(0))
+    packed.foreach { case (shard, rows) =>
+      val rebuilt = rows.sortBy(_.getLong(1))
+        .flatMap(_.getSeq[Int](4)).filter(_ != padId).toList
+      val want = (0L until 50L).filter(shardOf(_) == shard).sorted
+        .flatMap(enc(_)).toList
+      assert(rebuilt == want, s"shard $shard")
+      // every sequence is exactly seqTokens long; pads only on the last
+      val lens = rows.map(_.getSeq[Int](4).length).toSet
+      assert(lens == Set(8), lens)
+      val padRows = rows.filter(_.getInt(3) > 0)
+      assert(padRows.length <= 1 &&
+        padRows.forall(r => r.getLong(1) == rows.map(_.getLong(1)).max))
+    }
+  }
 }

@@ -105,7 +105,13 @@ def main():
             if covered | set(failed) >= set(oracle):
                 partial = []  # every oracle query now present → a full run
         else:
-            partial = []  # prior file was a full run; the merge stays full
+            # the prior file was labeled full, but the oracle set may have
+            # GROWN since it was written (new queries land every round) —
+            # recompute coverage against the CURRENT oracle set instead of
+            # trusting the old label
+            covered = set(times)
+            partial = [] if covered | set(failed) >= set(oracle) \
+                else sorted(covered)
     times["_total"] = round(sum(v for k, v in times.items() if k != "_total"), 3)
     if partial:
         # a subset run (or a merge that has not yet covered the full oracle
