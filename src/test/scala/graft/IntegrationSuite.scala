@@ -149,16 +149,20 @@ class IntegrationSuite extends SparkSpec {
     val sampler = (df: DataFrame) => graft.operators.TracePipeline
       .latencyStatusSample(df, "trace_id", "value", "status", thresholdMs = 400)
     val sweepNow = java.time.Instant.parse("2030-01-01T00:00:00Z")
-    // content comparator that survives any SF: per (seg, shard), row count
-    // + order-independent sum of row hashes, computed DISTRIBUTED (the
-    // full-collect set compare this replaces cannot scale past sf0.1)
-    def rows(root: String): Map[(Int, Int), (Long, Long)] =
+    // content comparator that survives any SF: per (seg, shard), row
+    // count + two order-independent hash folds (xor of the row hashes,
+    // sum of their high halves — sum of FULL 64-bit hashes overflows
+    // ANSI long arithmetic past ~sf0.1), computed DISTRIBUTED (the
+    // full-collect set compare this replaces cannot scale)
+    def rows(root: String): Map[(Int, Int), (Long, Long, Long)] =
       Layout.read(spark, root, spec)
+        .withColumn("__h", xxhash64(col("trace_id"), col("event_id")))
         .groupBy(col("seg"), col("shard"))
         .agg(count(lit(1)).as("n"),
-          sum(xxhash64(col("trace_id"), col("event_id"))).as("h"))
-        .collect().map(r =>
-          (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+          expr("bit_xor(__h)").as("hx"),
+          sum(shiftright(col("__h"), 32)).as("hs"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
 
     // drive TWO roots through the identical op sequence — one with a crash
     // injected at every commit window and recovered, one clean — and
