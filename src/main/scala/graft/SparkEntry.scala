@@ -341,11 +341,39 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/merges")
     }
 
-  private def readBpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
-    s.read.parquet(s"${ensureBpeTable(s, d)}/merges")
+  /** The corpus unigram LM `(tok, lp_micros_tok)`, materialized once per
+    * documents fingerprint — a language-model build is an offline job
+    * like the ANN quantizer training and the BPE table; queries READ the
+    * artifact. The model is a DETERMINISTIC function of the corpus, so
+    * q81/q84 results (and their SQL oracles, which rebuild the same model
+    * inline) are unchanged — materializing only stops every scoring query
+    * from re-running the corpus-wide vocabulary aggregate. */
+  private def ensureUnigramModel(s: SparkSession, d: String): String =
+    materialized("unigramlm", d, s"${fileSig(d, "documents")}|v1") { dir =>
+      // vocabulary-bounded (~16 B/term under Heap's law) — single file
+      graft.operators.CorpusStats.unigramModel(docs(s, d), "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    }
+
+  private def unigramModelDf(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureUnigramModel(s, d)}/model")
+
+  /** Last learned merge table read by a query closure — [[oracleSql]]
+    * (which Verify calls AFTER the query pass) embeds it so DuckDB can
+    * re-derive every ENCODING itself. Handing the oracle the learned
+    * ARTIFACT (not the encodings) is the same move as q65's
+    * recursive-CTE cluster twin: the oracle recomputes all the work the
+    * engine claims, starting from the shared model object. */
+  @volatile private var lastBpeMerges: Option[Seq[(String, String)]] = None
+
+  private def readBpeMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    val m = s.read.parquet(s"${ensureBpeTable(s, d)}/merges")
       .select("rank", "left", "right").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    lastBpeMerges = Some(m)
+    m
+  }
 
   private def readPrefixIndex(s: SparkSession, d: String)
       : (Array[(Long, Array[Double])], Array[Double]) = {
@@ -420,6 +448,7 @@ object SparkEntry {
     ensureTrainedPqCodebook(s, d, codesPerBlock = 256)
     ensurePrefixIndex(s, d)
     ensureBpeTable(s, d)
+    ensureUnigramModel(s, d)
     ensureFinalizedLayout(s, d)
     ()
   }
@@ -828,9 +857,12 @@ object SparkEntry {
         .drop("text")),
 
     // --- pipeline: corpus unigram-LM log-prob scoring (perplexity proxy
-    // for quality filtering) — micro-nat integer sums, engine-exact
+    // for quality filtering) — micro-nat integer sums, engine-exact;
+    // scores against the MATERIALIZED per-corpus model (one broadcast
+    // score join + one id-keyed agg per query, the deployment shape)
     "q81_unigram_logprob" -> ((s, d) =>
-      CorpusStats.unigramLogProb(docs(s, d), "doc_id", "text")),
+      CorpusStats.unigramLogProbWith(docs(s, d), "doc_id", "text",
+        unigramModelDf(s, d))),
 
     // --- pipeline: BM25 keyword retrieval top-20 (ranked full-text
     // search over the corpus; contributions in exact integer micros)
@@ -844,10 +876,11 @@ object SparkEntry {
       CorpusStats.ngramDocFreq(docs(s, d), "text", w = 3, topN = 50)),
 
     // --- pipeline: CCNet-style head/middle/tail perplexity tiers —
-    // thresholds from a 10% deterministic hash sample's ⅓/⅔ order stats
+    // thresholds from a 10% deterministic hash sample's ⅓/⅔ order stats;
+    // both score joins read the materialized model
     "q84_perplexity_tiers" -> ((s, d) =>
-      CorpusStats.perplexityTiers(docs(s, d), "doc_id", "text",
-        samplePpm = 100000L)),
+      CorpusStats.perplexityTiersWith(docs(s, d), "doc_id", "text",
+        unigramModelDf(s, d), samplePpm = 100000L)),
 
     // --- pipeline: deterministic global shuffle → 16 training shards,
     // with each doc's write position within its shard
@@ -1493,7 +1526,8 @@ object SparkEntry {
     // --- pipeline: token counts under the LEARNED tokenizer — the
     // trained merge table is read from the materialized artifact (an
     // index build, like the ANN quantizers) and applied per document by
-    // the native kernel. Rows-only (depends on the learned table)
+    // the native kernel. Oracle-checked: the SQL twin re-applies the
+    // embedded learned table word-by-word via a recursive CTE
     "q111_bpe_token_counts" -> ((s, d) =>
       CorpusStats.bpeTokenCounts(docs(s, d), "doc_id", "text",
         readBpeMerges(s, d))),
@@ -1510,11 +1544,30 @@ object SparkEntry {
     // --- pipeline: ENCODE documents to token-id sequences under the
     // LEARNED tokenizer — the stage between the trained merge table
     // (q110) and a dataloader: each doc's words greedy-merge and map
-    // through the deterministic vocab. Rows-only (depends on the learned
-    // table); determinism pinned id-by-id in CorpusStatsSuite
-    "q113_bpe_encode" -> ((s, d) =>
+    // through the deterministic vocab. The dataloader-facing API returns
+    // the raw array<int> (q114 packs it); the driver query projects an
+    // ORDER-EXACT checksum of it (count, first/last id, positional
+    // fingerprint) so the DuckDB oracle — which re-derives the encodes
+    // from the embedded learned table via a recursive CTE — can
+    // hash-compare without list-column canonicalization hazards
+    "q113_bpe_encode" -> ((s, d) => {
+      val m = lit(2147483647L)
       CorpusStats.bpeEncode(docs(s, d), "doc_id", "text",
-        readBpeMerges(s, d))),
+          readBpeMerges(s, d))
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          when(size(col("token_ids")) > 0,
+            element_at(col("token_ids"), 1)).cast("long").as("first_id"),
+          when(size(col("token_ids")) > 0,
+            element_at(col("token_ids"), size(col("token_ids"))))
+            .cast("long").as("last_id"),
+          aggregate(col("token_ids"),
+            struct(lit(0L).as("fp"), lit(1L).as("p")),
+            (acc, x) => struct(
+              (acc.getField("fp") + x.cast("long") *
+                ((acc.getField("p") * lit(2654435761L)) % m + lit(1L))).as("fp"),
+              (acc.getField("p") + lit(1L)).as("p")),
+            acc => acc.getField("fp") % m).as("ids_fp"))
+    }),
 
     // --- pipeline: MATERIALIZED training shards under the learned
     // tokenizer — per hash-shard, token-id encodes concatenate in id
@@ -3174,5 +3227,83 @@ object SparkEntry {
         |SELECT l.media_id, l.kind, l.byte_len, l.cluster_id FROM lab l
         |WHERE l.cluster_id IS NULL
         |   OR EXISTS (SELECT 1 FROM best b
-        |              WHERE b.cluster_id = l.cluster_id AND b.media_id = l.media_id)""".stripMargin)
+        |              WHERE b.cluster_id = l.cluster_id AND b.media_id = l.media_id)""".stripMargin) ++ bpeOracleSql
+
+  /** SQL twins for the learned-tokenizer queries, generated from the
+    * LAST merge table a query closure read ([[lastBpeMerges]] — Verify
+    * dumps [[oracleSql]] after running every query, so it is always
+    * populated there; absent, the entries are omitted and the driver
+    * records the old rows-only check). The oracle receives the learned
+    * ARTIFACT (merge ranks + the deterministic vocab) and re-derives
+    * every encode itself with a recursive CTE that applies ONE merge
+    * occurrence per step — (min rank, leftmost). For a TRAINED table
+    * this provably equals the kernel's batch round
+    * ([[graft.functions.SketchImpl.bpeEncodeSyms]]): a pair involving a
+    * merge OUTPUT can only be learned after that output exists, so
+    * newly-created adjacencies always rank above the pair being
+    * applied, and remaining occurrences of the best pair stay minimal
+    * until exhausted — same left-to-right, overlap-skipping order. */
+  private def bpeOracleSql: Map[String, String] = lastBpeMerges match {
+    case None => Map.empty
+    case Some(merges) =>
+      val arms = merges.zipWithIndex.map { case ((l, r), i) =>
+        s"WHEN '${l.replace("'", "''")} ${r.replace("'", "''")}' THEN $i"
+      }.mkString(" ")
+      val table = new graft.functions.BpeTable(merges)
+      val idVals = table.symbols.zipWithIndex
+        .map { case (s, i) => s"('${s.replace("'", "''")}', $i)" }
+        .mkString(", ")
+      val encCte =
+        s"""tk AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+           |  FROM documents),
+           |occ AS (
+           |  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p FROM tk),
+           |words AS (SELECT DISTINCT w FROM occ),
+           |enc(w, syms) AS (
+           |  SELECT w, list_append(list_transform(range(1, length(w)+1), i -> w[i]), '</w>')
+           |  FROM words
+           |  UNION ALL
+           |  SELECT w, list_concat(list_concat(syms[1:bp-1], [syms[bp] || syms[bp+1]]), syms[bp+2:len(syms)])
+           |  FROM (
+           |    SELECT w, syms, list_min(rks) AS best, list_position(rks, list_min(rks)) AS bp
+           |    FROM (SELECT w, syms,
+           |            list_transform(range(1, len(syms)), j ->
+           |              CASE syms[j] || ' ' || syms[j+1] $arms ELSE 2147483647 END) AS rks
+           |          FROM enc))
+           |  WHERE best < 2147483647)""".stripMargin
+      Map(
+        "q111_bpe_token_counts" ->
+          s"""WITH RECURSIVE $encCte,
+             |wc AS (SELECT w, min(len(syms)) AS tc FROM enc GROUP BY w),
+             |agg AS (SELECT o.doc_id, SUM(wc.tc) AS n FROM occ o JOIN wc USING (w) GROUP BY o.doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe_tokens
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+        "q113_bpe_encode" ->
+          s"""WITH RECURSIVE $encCte,
+             |term AS (
+             |  SELECT w, syms FROM enc
+             |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms)) = 1),
+             |idmap(sym, id) AS (VALUES $idVals),
+             |wsym AS (
+             |  SELECT w, unnest(syms) AS sym, generate_subscripts(syms, 1) AS sp FROM term),
+             |wid AS (
+             |  SELECT ws.w, list(im.id ORDER BY ws.sp) AS ids
+             |  FROM wsym ws JOIN idmap im ON im.sym = ws.sym GROUP BY ws.w),
+             |docids AS (
+             |  SELECT o.doc_id, flatten(list(wid.ids ORDER BY o.p)) AS ids
+             |  FROM occ o JOIN wid USING (w) GROUP BY o.doc_id),
+             |pos AS (
+             |  SELECT doc_id, ids, unnest(ids) AS id, generate_subscripts(ids, 1) AS p FROM docids),
+             |fp AS (
+             |  SELECT doc_id,
+             |         CAST(max(len(ids)) AS BIGINT) AS n,
+             |         CAST(max(ids[1]) AS BIGINT) AS first_id,
+             |         CAST(max(ids[len(ids)]) AS BIGINT) AS last_id,
+             |         CAST(SUM(id * (((p * 2654435761) % 2147483647) + 1)) % 2147483647 AS BIGINT) AS ids_fp
+             |  FROM pos GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(f.n, 0) AS BIGINT) AS n_bpe_tokens,
+             |       f.first_id, f.last_id, COALESCE(f.ids_fp, 0) AS ids_fp
+             |FROM documents d LEFT JOIN fp f USING (doc_id)""".stripMargin)
+  }
 }

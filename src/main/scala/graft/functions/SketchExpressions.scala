@@ -459,6 +459,15 @@ final class BpeTable(mergesInOrder: Seq[(String, String)]) extends Serializable 
     vocab.putIfAbsent(l + r, vocab.size)
   }
   val vocabSize: Int = vocab.size
+  /** id → symbol (inverse vocab; the FIRST writer of a duplicate merge
+    * output owns the string). Decoding a token-id stream = concatenating
+    * these and splitting on `</w>` — the round-trip CorpusStatsSuite
+    * pins: decode(encode(text)) recovers the tokenized words exactly. */
+  val symbols: Array[String] = {
+    val out = new Array[String](vocabSize)
+    vocab.forEach((s, i) => if (out(i) == null) out(i) = s)
+    out
+  }
   /** process-unique memo key; `@transient lazy` so every deserialized
     * executor-side copy draws a fresh uid from ITS process's counter. */
   @transient lazy val uid: Long = BpeTable.nextUid()

@@ -69,27 +69,44 @@ object CorpusStats {
    * open-web corpora) but NOT statically bounded — the broadcast join
    * shape and its 8 GB cap are a knob, see [[scoreAgainst]].
    */
-  /** The shared pieces of the unigram-LM pipeline: the barriered per-doc
-    * run-length frame `(id, n_tokens, __pairs)` and the smoothed model
+  /** The per-doc run-length frame `(id, __pairs)` every unigram consumer
+    * scores from — one compiled termCounts pass over the corpus scan. */
+  private def docPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.termCounts(col(textCol)).as("__pairs"))
+      .filter(size(col("__pairs")) > 0)
+
+  /** The smoothed model `(tok, lp_micros_tok)` — a DETERMINISTIC,
+    * vocabulary-bounded function of the corpus (`Heap's law saturates it
+    * on open-web text). Public so a deployment can materialize it once
+    * per corpus fingerprint — a model build is an offline job exactly
+    * like the ANN quantizer training — and score every subsequent query
+    * with [[unigramLogProbWith]] / [[perplexityTiersWith]], skipping the
+    * corpus-wide vocabulary aggregate that otherwise reruns per query. */
+  def unigramModel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docPairs(df, idCol, textCol)
+      .select(explode(col("__pairs")).as("p"))
+      .groupBy(col("p.tok").as("tok")).agg(sum("p.c").as("c"))
+    val totals = counts.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(totals)).select(
+      col("tok"),
+      round(log((col("c") + 1).cast("double") /
+        (col("__n") + col("__v")).cast("double")) * lit(1e6))
+        .cast("long").as("lp_micros_tok"))
+  }
+
+  /** The shared pieces of the unigram-LM pipeline: the per-doc
+    * run-length frame `(id, __pairs)` and the smoothed model
     * `(tok, lp_micros_tok)`. Split out so [[perplexityTiers]] can score a
     * SAMPLE and the full corpus against the same model without
     * checkpointing the full scored frame. */
   private def unigramParts(df: DataFrame, idCol: String, textCol: String,
       barrierModel: Boolean = false): (DataFrame, DataFrame) = {
-    val docs = df.select(col(idCol).as("id"),
-        graft.functions.SketchFunctions.termCounts(col(textCol)).as("__pairs"))
-      .filter(size(col("__pairs")) > 0)
-    val counts = docs.select(explode(col("__pairs")).as("p"))
-      .groupBy(col("p.tok").as("tok")).agg(sum("p.c").as("c"))
-    val totals = counts.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
-    val model = counts.crossJoin(broadcast(totals)).select(
-      col("tok"),
-      round(log((col("c") + 1).cast("double") /
-        (col("__n") + col("__v")).cast("double")) * lit(1e6))
-        .cast("long").as("lp_micros_tok"))
+    val model = unigramModel(df, idCol, textCol)
     // vocabulary-sized (small): barrier only when two score joins will
     // each broadcast it, so the vocab aggregate runs once
-    (docs, if (barrierModel) Dedup.barrier(model) else model)
+    (docPairs(df, idCol, textCol),
+      if (barrierModel) Dedup.barrier(model) else model)
   }
 
   /** Score a `(id, n_tokens, __pairs)` frame against a model. The join
@@ -122,6 +139,15 @@ object CorpusStats {
     scoreAgainst(docs, model, idCol)
   }
 
+  /** [[unigramLogProb]] against a PRE-BUILT `(tok, lp_micros_tok)` model
+    * (see [[unigramModel]]): one corpus scan + one broadcast score join +
+    * one id-keyed partial agg — the query shape a deployment reading a
+    * materialized model runs. Results are identical to [[unigramLogProb]]
+    * when the model was built from the same corpus. */
+  def unigramLogProbWith(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    scoreAgainst(docPairs(df, idCol, textCol), model, idCol)
+
   /**
    * CCNet-style perplexity-tier bucketing (Wenzek et al. 2020, "CCNet:
    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
@@ -148,15 +174,28 @@ object CorpusStats {
    */
   def perplexityTiers(df: DataFrame, idCol: String, textCol: String,
       samplePpm: Long = 100000L, salt: String = ""): DataFrame = {
+    val (docs, model) = unigramParts(df, idCol, textCol, barrierModel = true)
+    tiersImpl(docs, model, idCol, samplePpm, salt)
+  }
+
+  /** [[perplexityTiers]] against a PRE-BUILT model (see [[unigramModel]]):
+    * skips the vocabulary aggregate AND the model barrier — the parquet
+    * artifact is already shared by the sample and full score joins. */
+  def perplexityTiersWith(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, samplePpm: Long = 100000L,
+      salt: String = ""): DataFrame =
+    tiersImpl(docPairs(df, idCol, textCol), model, idCol, samplePpm, salt)
+
+  private def tiersImpl(docs: DataFrame, model: DataFrame, idCol: String,
+      samplePpm: Long, salt: String): DataFrame = {
     require(samplePpm > 0 && samplePpm <= 1000000L, "samplePpm is 1..1000000")
     import org.apache.spark.sql.expressions.Window
     // The sample subtree scores ONLY the sampled documents against the
-    // shared model (the hash filter lands on the barriered pairs frame
+    // shared model (the hash filter lands on the pairs frame
     // BEFORE the score join), and the full corpus is scored exactly once,
     // flowing straight into the tier assignment — this replaces r8's
     // checkpoint of the full scored frame, whose materialization cost more
     // than re-scoring the ppm-bounded sample does.
-    val (docs, model) = unigramParts(df, idCol, textCol, barrierModel = true)
     def surprisal(scoredDf: DataFrame): DataFrame =
       scoredDf.withColumn("surprisal_micros", expr("(-lp_micros) div n_tokens"))
     val scored = surprisal(scoreAgainst(docs, model, idCol))

@@ -236,6 +236,12 @@ class PlanShapeSuite extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "model join shuffled the (doc, token) side")
+    // the model is READ from the materialized per-corpus artifact, never
+    // re-aggregated inside the query: no token-keyed aggregate anywhere,
+    // and the only row shuffle is the final id-keyed partial agg
+    assert(!p.contains("keys=[tok"),
+      "query rebuilt the unigram model instead of reading the artifact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
   }
 
   test("q100 funnel: one entity exchange, no per-step joins, no window") {
@@ -255,6 +261,31 @@ class PlanShapeSuite extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       "packing window degenerated to a single partition")
     assert(!p.contains("rangepartitioning"), "packing must not globally sort")
+  }
+
+  test("q114 packed token shards: shard-partitioned window, kernel encode, no global sort") {
+    val p = plan("q114_pack_token_ids")
+    // per-shard cumulative offsets — a corpus-wide single-partition
+    // window or a global sort here would serialize the packing job
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"),
+      "packing window degenerated to a single partition")
+    assert(!p.contains("rangepartitioning"), "packing must not globally sort")
+    // token ids come from the compiled encode kernel, not a HOF chain
+    assert(p.toLowerCase.contains("bpeencode"), p.take(2000))
+  }
+
+  test("q115/q116 media near-dup: banded equi-joins only, payload never in the pair plan") {
+    for (q <- Seq("q115_media_near_dup", "q116_media_dedup_survivors")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a product join:\n${p.take(2000)}")
+      // the signature barrier projects (id, kind, sig) — the payload
+      // bytes must not travel through any pair/cluster exchange
+      assert(!p.toLowerCase.contains("payload"),
+        s"$q ships payload bytes past the signature stage")
+    }
   }
 
   test("q81 unigram scoring: kernel pairs, broadcast model, one id-keyed exchange") {

@@ -34,6 +34,29 @@ class CorpusStatsSuite extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("unigram: scoring against a materialized model is byte-identical to the inline path") {
+    // the deployment shape: build the model once, round-trip it through
+    // parquet (as SparkEntry's ensureUnigramModel does), score with it
+    val dir = java.nio.file.Files.createTempDirectory("unigramlm").toString
+    CorpusStats.unigramModel(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    val inline = CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val withModel = CorpusStats.unigramLogProbWith(docs, "doc_id", "text", model)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(inline.toSeq == withModel.toSeq)
+    val tiersInline = CorpusStats.perplexityTiers(corpus, "doc_id", "text",
+      samplePpm = 1000000L).collect().map(_.toSeq).sortBy(_.head.toString)
+    val dir2 = java.nio.file.Files.createTempDirectory("unigramlm2").toString
+    CorpusStats.unigramModel(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir2)
+    val tiersWith = CorpusStats.perplexityTiersWith(corpus, "doc_id", "text",
+      spark.read.parquet(dir2), samplePpm = 1000000L)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(tiersInline.toSeq == tiersWith.toSeq)
+  }
+
   test("bm25TopK: ranks the doc with more query-term mass first, exact micros") {
     val out = CorpusStats.bm25TopK(docs, "doc_id", "text",
       terms = Seq("cat", "dog"), kTop = 10)
@@ -314,6 +337,19 @@ class CorpusStatsSuite extends SparkSpec {
       assert(graft.functions.SketchImpl.bpeTokenCount(
         UTF8String.fromString("lowest"), empty) == 7L)
     }
+  }
+
+  test("bpe round trip: decoding the id stream recovers the tokenized words") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val table = new graft.functions.BpeTable(textbookMerges)
+    val text = "Lowest LOW, xyz; newest widest lower 42!"
+    val ids = graft.functions.SketchImpl.bpeEncodeIds(
+      UTF8String.fromString(text), table)
+    val decoded = (0 until ids.numElements())
+      .map(i => table.symbols(ids.getInt(i))).mkString
+    assert(decoded.split("</w>", -1).filter(_.nonEmpty).toList ==
+      List("lowest", "low", "xyz", "newest", "widest", "lower", "42"),
+      decoded)
   }
 
   test("packTokenIds: chopped stream rebuilds the per-doc encodes; fixed lengths + pad accounting") {

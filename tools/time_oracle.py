@@ -65,6 +65,11 @@ def main():
                         args=(sfdir, oracle[name], mem_limit, spill, q))
         p.start()
         status, payload = None, None
+        # hard per-query wall bound (both reps together): an oracle that
+        # cannot finish inside it at a scale the engine handles is itself
+        # the datapoint — recorded under _failed, never an unbounded hang
+        deadline = time.time() + float(
+            os.environ.get("ORACLE_QUERY_TIMEOUT_S", "1800"))
         while True:
             try:
                 status, payload = q.get(timeout=5)
@@ -73,6 +78,11 @@ def main():
                 if not p.is_alive():
                     status = "err"
                     payload = f"child died without a report (exitcode {p.exitcode})"
+                    break
+                if time.time() > deadline:
+                    p.terminate()
+                    status = "err"
+                    payload = "timeout: exceeded ORACLE_QUERY_TIMEOUT_S"
                     break
         p.join()
         if status == "ok":
