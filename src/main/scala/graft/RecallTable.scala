@@ -55,6 +55,22 @@ object RecallTable {
       println(f"| LSH multi-probe | nPlanes=$nPlanes | $r%.3f |")
     }
     val trained = Similarity.trainIvfCentroids(e, nlist, iters = 5)
+    // inverted-list population — the 100 TB scale-killer is a skewed
+    // cell; print max/median/mean per quantizer so BASELINE.md carries
+    // the distribution next to the recall rows
+    def cellRow(label: String, cents: Array[(Long, Array[Double])]): Unit = {
+      val ns = Similarity.ivfCellStats(e, cents)
+        .collect().map(_.getLong(1)).sorted
+      val med = ns(ns.length / 2)
+      val meanN = ns.sum.toDouble / ns.length
+      println(f"| IVF cells $label | nlist=$nlist | populated=${ns.length} " +
+        f"max=${ns.last} median=$med mean=$meanN%.0f skew=${ns.last / meanN}%.2fx |")
+    }
+    val prefixCents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    cellRow("id-prefix", prefixCents)
+    cellRow("trained", trained)
     for (nprobe <- Seq(1, 2, 4, 8)) {
       val rid = mean(Similarity.ivfTopK(e, queries, k, nlist, nprobe))
       val rtr = mean(Similarity.ivfTopKWith(e, queries, k, trained, nprobe))

@@ -20,6 +20,66 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.prepare(spark, sfDir)
+    if (sys.env.contains("SCRATCH_MEDIA")) {
+      // media near-dup ablation: where do q115/q116 spend their wall?
+      import org.apache.spark.sql.functions._
+      implicit val sp: SparkSession = spark
+      import graft.operators.{Dedup, Multimodal}
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val blobs = Multimodal.blobsWithReencodes(docs, "doc_id", "text", 5)
+      (1 to 2).foreach { round =>
+        println(s"--- round $round")
+        val sigs = t("sig_barrier")(
+          Dedup.barrier(Multimodal.perceptualSignature(blobs)
+            .withColumn("byte_len", lit(0L))))
+        def pairsWith(blockCount: Int, keep: Int, tag: String): Unit = {
+          val bits = 60 / blockCount
+          val mask = (1L << bits) - 1L
+          val tabs = (0 until blockCount).combinations(keep).toArray.zipWithIndex
+            .map { case (sub, ti) =>
+              val key = sub.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+                (acc, b) => shiftleft(acc, bits)
+                  .bitwiseOR(shiftright(col("sig"), b * bits).bitwiseAND(mask))
+              }
+              struct(lit(ti).as("block"), key.as("bkey"))
+            }
+          val blocks = sigs.select(col("media_id"), col("kind"),
+              explode(array(tabs.toIndexedSeq: _*)).as("__t"))
+            .select(col("media_id"), col("kind"),
+              col("__t.block").as("block"), col("__t.bkey").as("bkey"))
+          val hot = blocks.groupBy("kind", "block", "bkey")
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+            .select("kind", "block", "bkey")
+          val pruned = blocks.join(hot, Seq("kind", "block", "bkey"))
+          val cand = pruned.select(col("kind"), col("block"), col("bkey"),
+              col("media_id").as("id_a"))
+            .join(pruned.select(col("kind"), col("block"), col("bkey"),
+              col("media_id").as("id_b")), Seq("kind", "block", "bkey"))
+            .filter(col("id_a") < col("id_b"))
+            .select("kind", "id_a", "id_b").dropDuplicates("kind", "id_a", "id_b")
+          val n = t(tag)(cand.count())
+          println(s"  $tag candidates=$n")
+        }
+        val nSigs = t("distinct_kind_sig")(
+          sigs.select("kind", "sig").distinct().count())
+        println(s"  total=${sigs.count()} distinctSig=$nSigs")
+        pairsWith(4, 1, "cand_old_4x15bit")
+        pairsWith(6, 3, "cand_new_C63_30bit")
+        val pairs = t("pairs_full_current")(
+          Multimodal.perceptualNearDupPairs(blobs).count())
+        println(s"  pairs=$pairs")
+        t("q116_full")(
+          Multimodal.perceptualDedupSurvivors(blobs).queryExecution
+            .toRdd.foreach(_ => ()))
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_ABLATE")) {
       import org.apache.spark.sql.functions._
       val df = graft.sources.Catalog.load(spark, sfDir, "events")

@@ -140,30 +140,58 @@ object Multimodal {
       graft.functions.SketchFunctions.byteGramSimhash60(col("payload"), 4)
         .as("sig"))
 
+  /** The ONE materialized pass over the decoded assets every perceptual
+    * consumer shares: `(media_id, kind, byte_len, sig)`. Signature AND
+    * fidelity metadata come out of a single payload scan, barriered so
+    * q116's cluster side never re-decodes or re-signs the corpus (the
+    * r12 sf5 profile: the unshared second pass was 2/3 of q116's wall). */
+  private def sigMeta(blobs: Dataset[MediaBlob]): DataFrame =
+    graft.operators.Dedup.barrier(blobs.toDF().select(
+      col("media_id"), col("kind"),
+      length(col("payload")).cast("long").as("byte_len"),
+      graft.functions.SketchFunctions.byteGramSimhash60(col("payload"), 4)
+        .as("sig")))
+
   /**
    * Perceptual NEAR-dup pairs over media payloads — the non-exact
    * counterpart of [[exactBinaryDedup]] (re-encoded / trimmed assets):
    * pairs of same-kind assets whose perceptual signatures are within
-   * `maxDist` Hamming bits, found by banded LSH with EXACT recall —
-   * the 60-bit signature splits into `maxDist + 1` blocks, and by
-   * pigeonhole ≤ maxDist flipped bits leave at least one block intact,
-   * so an equal (kind, block, key) bucket is a complete candidate set.
-   * Singleton buckets are pruned before the self-join and candidates
-   * verify by popcount — payload bytes never shuffle, only 8-byte
-   * signatures. Requires `(maxDist + 1) | 60`.
+   * `maxDist` Hamming bits, with EXACT recall by block-subset banding
+   * (the Manku/Jain/Sarma simhash-dedup table scheme, WWW'07): the
+   * 60-bit signature splits into 6 blocks of 10 bits, and every
+   * `6 − maxDist`-subset of blocks becomes one bucket table (keys are
+   * the concatenated intact blocks). ≤ maxDist flips touch at most
+   * maxDist blocks, so some subset of `6 − maxDist` blocks survives
+   * untouched — by pigeonhole the bucket tables are a COMPLETE candidate
+   * set. Versus the r11 `maxDist + 1` single-block bands (15-bit keys at
+   * maxDist=3), the 30-bit subset keys shrink birthday-collision noise
+   * by ~2^15: random-pair candidates grow as n²/2^keybits per table, and
+   * at sf5 that term had become the candidate majority. Singleton
+   * buckets are pruned before the self-join and candidates verify by
+   * popcount — payload bytes never shuffle, only 8-byte signatures.
    */
   def perceptualNearDupPairs(blobs: Dataset[MediaBlob], maxDist: Int = 3)
-      : DataFrame = {
-    val bands = maxDist + 1
-    require(bands >= 2 && 60 % bands == 0,
-      s"maxDist + 1 must divide 60, got $maxDist")
-    val bits = 60 / bands
+      : DataFrame =
+    pairsFromSigs(sigMeta(blobs), maxDist)
+
+  private def pairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val m = 6
+    require(maxDist >= 1 && maxDist < m, s"maxDist in [1, ${m - 1}], got $maxDist")
+    val bits = 60 / m
     val mask = (1L << bits) - 1L
-    val sigs = graft.operators.Dedup.barrier(perceptualSignature(blobs))
+    val keep = m - maxDist
+    val tables = (0 until m).combinations(keep).toArray.zipWithIndex
+      .map { case (sub, ti) =>
+        val key = sub.foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, b) =>
+          shiftleft(acc, bits)
+            .bitwiseOR(shiftright(col("sig"), b * bits).bitwiseAND(mask))
+        }
+        struct(lit(ti).as("block"), key.as("bkey"))
+      }
     val blocks = sigs.select(col("media_id"), col("kind"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * bits).bitwiseAND(mask)): _*)))
-      .withColumnRenamed("pos", "block").withColumnRenamed("col", "bkey")
+        explode(array(tables.toIndexedSeq: _*)).as("__t"))
+      .select(col("media_id"), col("kind"),
+        col("__t.block").as("block"), col("__t.bkey").as("bkey"))
     val hot = blocks.groupBy("kind", "block", "bkey")
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select("kind", "block", "bkey")
@@ -197,9 +225,11 @@ object Multimodal {
     * cluster_id) — survivors + singletons */
   def perceptualDedupSurvivors(blobs: Dataset[MediaBlob], maxDist: Int = 3)
       : DataFrame = {
-    val meta = blobs.toDF().select(col("media_id"), col("kind"),
-      length(col("payload")).cast("long").as("byte_len"))
-    val pairs = perceptualNearDupPairs(blobs, maxDist).select("id_a", "id_b")
+    // one decoded pass feeds BOTH the fidelity metadata and the pair
+    // graph — re-deriving them separately re-signed the whole corpus
+    val sm = sigMeta(blobs)
+    val meta = sm.select("media_id", "kind", "byte_len")
+    val pairs = pairsFromSigs(sm, maxDist).select("id_a", "id_b")
     graft.operators.Dedup.clusterSurvivors(meta, pairs, "media_id", "byte_len")
   }
 }

@@ -188,6 +188,28 @@ object Similarity {
     cents
   }
 
+  /** Inverted-list (cell) population under a coarse quantizer: one
+    * map-only assignment pass + a cell-keyed count — `(cell, n_vectors)`,
+    * nlist rows out. The 100 TB ANN scale-killer is a SKEWED cell (one
+    * inverted list holding a large corpus fraction serializes every probe
+    * that touches it), and nothing else in the stack measures it; the
+    * rebalancing knobs are the training ones — raise `nlist` (smaller
+    * cells), more Lloyd iterations, or train on a fresher sample
+    * ([[trainIvfCentroids]]). `AnnRecallSuite` asserts a skew bound on
+    * the trained quantizer; `RecallTable` prints the distribution per
+    * scale factor for BASELINE.md. */
+  def ivfCellStats(corpus: DataFrame, cents: Array[(Long, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfFunctions.probeCells
+    val dim = cents.head._2.length
+    val flat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    corpus.select(explode(
+        probeCells(col(vecCol).cast("array<double>"), flat, cids, dim, 1))
+        .as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** [[ivfTopK]] with explicit centroids (e.g. [[trainIvfCentroids]]
     * output) — the production path; the id-prefix quantizer above stays
     * for oracle-recomputable tests. */

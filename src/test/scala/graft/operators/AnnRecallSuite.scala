@@ -46,6 +46,24 @@ class AnnRecallSuite extends SparkSpec {
       s"trained-IVF nprobe=2 recall below floor: ${sweep.find(_._1 == 2).get._2}")
   }
 
+  test("trained-IVF cell population: every cell counted, skew bounded") {
+    // the 100 TB ANN scale-killer is one inverted list holding a large
+    // corpus fraction — every probe touching it serializes. Lloyd's
+    // iterations exist to flatten exactly this; assert the trained
+    // quantizer keeps the heaviest cell within a small multiple of the
+    // mean (the id-prefix placeholder quantizer carries no such bound —
+    // it is the oracle-checkable stand-in, not the production path).
+    val cents = Similarity.trainIvfCentroids(emb, nlist, iters = 5)
+    val ns = Similarity.ivfCellStats(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ns.map(_._2).sum == emb.count(), "assignment must cover the corpus")
+    val mean = ns.map(_._2).sum.toDouble / nlist
+    val skew = ns.map(_._2).max / mean
+    assert(skew <= 3.0,
+      s"heaviest trained cell ${ns.map(_._2).max} vs mean $mean " +
+        s"(${skew}x) — retrain with higher nlist/iters (the rebalancing knobs)")
+  }
+
   test("LSH recall is monotone nonincreasing in nPlanes (nested buckets)") {
     // plane p's sign matrix is a prefix of plane p+1's, so an nPlanes+1
     // bucket refines an nPlanes bucket: candidates(12) ⊆ candidates(8)

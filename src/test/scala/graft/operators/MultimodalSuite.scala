@@ -49,7 +49,8 @@ class MultimodalSuite extends SparkSpec {
     assert(exact.filter(col("dup_count") > 1).count() == 0)
     // the perceptual pass finds every (original, variant) twin: the 2-byte
     // tail moves only 5 of ~115 grams (twin distances here: 4, 3, 1 bits —
-    // externally recomputed), inside the 4-bit radius (5 bands × 12 bits)
+    // externally recomputed), inside the 4-bit radius (block-subset
+    // tables: C(6,2) intact pairs of 10-bit blocks at maxDist=4)
     val pairs = Multimodal.perceptualNearDupPairs(blobs, maxDist = 4)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     for (i <- Seq(0L, 5L, 10L)) {
