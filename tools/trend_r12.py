@@ -17,7 +17,7 @@ def load(p):
 
 def spark_min(sf):
     out = {}
-    for run in ('a', 'b'):
+    for run in ('a', 'b', 'c'):
         try:
             qs = load(f'{D}/bench_{sf}_{run}.json')['queries']
         except FileNotFoundError:
