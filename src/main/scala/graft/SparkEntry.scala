@@ -358,6 +358,28 @@ object SparkEntry {
   private def unigramModelDf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${ensureUnigramModel(s, d)}/model")
 
+  /** The curated-vs-crawl label behind the trained quality classifier
+    * (q117/q118): the first five sources play the curated reference
+    * slice, everything else is crawl. */
+  private val nbCuratedSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** The trained Naive Bayes quality model `(tok, lp_pos_micros,
+    * lp_neg_micros)` + class-prior log-odds, materialized once per
+    * documents fingerprint — classifier training is an offline job like
+    * the unigram LM build; queries READ the artifact. The model is a
+    * deterministic function of the corpus (pure counting), so the SQL
+    * oracles rebuild the identical model inline. */
+  private def ensureNbModel(s: SparkSession, d: String): String =
+    materialized("nbmodel", d,
+      s"${fileSig(d, "documents")}|${nbCuratedSources.mkString(",")}.v1") { dir =>
+      val pos = col("source").isin(nbCuratedSources.map(x => x: Any): _*)
+      // vocabulary-bounded (~24 B/term) — single file, like the LM
+      graft.operators.CorpusStats.nbQualityModel(docs(s, d), "doc_id", "text", pos)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+      graft.operators.CorpusStats.nbPriorDelta(docs(s, d), pos)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/prior")
+    }
+
   /** Last learned merge table read by a query closure — [[oracleSql]]
     * (which Verify calls AFTER the query pass) embeds it so DuckDB can
     * re-derive every ENCODING itself. Handing the oracle the learned
@@ -1601,6 +1623,24 @@ object SparkEntry {
       Multimodal.perceptualDedupSurvivors(
         Multimodal.blobsWithReencodes(docs(s, d), "doc_id", "text",
           everyK = 5), maxDist = 3)
+    }),
+
+    // --- pipeline: TRAINED quality classifier, the model itself —
+    // multinomial Naive Bayes over unigram counts fit on curated-vs-crawl
+    // labels (the WebText-filter shape), materialized per corpus
+    // fingerprint; training is pure counting, so the learned weights are
+    // engine-exact and the oracle refits the identical model inline
+    "q117_nb_model" -> ((s, d) => {
+      s.read.parquet(s"${ensureNbModel(s, d)}/model")
+    }),
+
+    // --- pipeline: apply the trained classifier — one broadcast score
+    // join + one id-keyed partial agg against the materialized model
+    // (the deployment shape shared with q81's LM scoring)
+    "q118_nb_classify" -> ((s, d) => {
+      val root = ensureNbModel(s, d)
+      CorpusStats.nbClassifyWith(docs(s, d), "doc_id", "text",
+        s.read.parquet(s"$root/model"), s.read.parquet(s"$root/prior"))
     }))
 
   // =========================================================================
@@ -3227,7 +3267,60 @@ object SparkEntry {
         |SELECT l.media_id, l.kind, l.byte_len, l.cluster_id FROM lab l
         |WHERE l.cluster_id IS NULL
         |   OR EXISTS (SELECT 1 FROM best b
-        |              WHERE b.cluster_id = l.cluster_id AND b.media_id = l.media_id)""".stripMargin) ++ bpeOracleSql
+        |              WHERE b.cluster_id = l.cluster_id AND b.media_id = l.media_id)""".stripMargin,
+
+    // NB training is pure counting → the oracle refits the IDENTICAL
+    // model from the raw corpus (same vocabulary, same Laplace
+    // smoothing, same micro-rounding) and must hash-match the engine's
+    // materialized artifact
+    "q117_nb_model" ->
+      """WITH lab AS (
+        |  SELECT text, source IN ('src0','src1','src2','src3','src4') AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT pos, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '')) AS tok
+        |  FROM lab),
+        |counts AS (
+        |  SELECT tok,
+        |         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts)
+        |SELECT tok,
+        |       CAST(round(ln((cp + 1)::DOUBLE / (np + v)::DOUBLE) * 1000000.0) AS BIGINT)
+        |         AS lp_pos_micros,
+        |       CAST(round(ln((cn + 1)::DOUBLE / (nn + v)::DOUBLE) * 1000000.0) AS BIGINT)
+        |         AS lp_neg_micros
+        |FROM counts, tot""".stripMargin,
+
+    "q118_nb_classify" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text, source IN ('src0','src1','src2','src3','src4') AS pos
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, pos, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                             x -> x <> '')) AS tok
+        |  FROM lab),
+        |counts AS (
+        |  SELECT tok,
+        |         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts),
+        |model AS (
+        |  SELECT tok,
+        |         CAST(round(ln((cp + 1)::DOUBLE / (np + v)::DOUBLE) * 1000000.0) AS BIGINT) AS lpp,
+        |         CAST(round(ln((cn + 1)::DOUBLE / (nn + v)::DOUBLE) * 1000000.0) AS BIGINT) AS lpn
+        |  FROM counts, tot),
+        |prior AS (
+        |  SELECT CAST(round(ln(p::DOUBLE / (t - p)::DOUBLE) * 1000000.0) AS BIGINT) AS pd
+        |  FROM (SELECT COUNT(*) AS t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p FROM lab))
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       CAST(pd + SUM(lpp - lpn) AS BIGINT) AS logit_micros,
+        |       CAST((pd + SUM(lpp - lpn)) > 0 AS BIGINT) AS pred_pos
+        |FROM toks t JOIN model USING (tok), prior
+        |GROUP BY t.doc_id, pd""".stripMargin) ++ bpeOracleSql
 
   /** SQL twins for the learned-tokenizer queries, generated from the
     * LAST merge table a query closure read ([[lastBpeMerges]] — Verify

@@ -512,4 +512,102 @@ object CorpusStats {
       .orderBy(col("pmi_micros").desc, col("bigram"))
       .limit(topN)
   }
+
+  /**
+   * TRAINED curated-vs-crawl quality classifier — multinomial Naive
+   * Bayes over unigram counts. This is the WebText-filter shape
+   * (Radford et al. 2019 trained a classifier separating curated pages
+   * from raw CommonCrawl; GPT-3, Brown et al. 2020 appendix A, reused
+   * it for quality filtering): label a reference slice of the corpus
+   * positive, fit a text classifier, score EVERYTHING with it. The
+   * fixed-logit filter ([[TextAnalysis.qualityModelScore]]) applies
+   * hand-set weights; this one LEARNS its weights from the corpus.
+   *
+   * Naive Bayes is the deterministic member of the classifier family:
+   * the "fit" is pure counting (no SGD order-dependence, no float
+   * accumulation across rows), so the learned model is a deterministic
+   * function of the corpus — reproducible by any engine, which makes
+   * the whole train→apply loop oracle-checkable, and materializable per
+   * corpus fingerprint exactly like the unigram LM / BPE table / ANN
+   * quantizers.
+   *
+   * Model row per vocabulary token w and class c ∈ {pos, neg}: the
+   * Laplace-smoothed log-likelihood ln((count(w,c)+1)/(tokens_c+V)) in
+   * integer micros, V = corpus vocabulary size. Both classes share one
+   * vocabulary frame, so a token seen only in one class still carries a
+   * (smoothed) score for the other.
+   *
+   * Scale shape: training is ONE token-keyed partial-agg shuffle
+   * (vocabulary-bounded output, map-side combine) with the corpus
+   * totals broadcast back as a one-row cross join — the same two-step
+   * as [[unigramModel]], just with two count columns.
+   *
+   * @param pos boolean labeling column (must be non-null; both classes
+   *            must be non-empty or the prior in [[nbPriorDelta]] is
+   *            undefined)
+   */
+  def nbQualityModel(df: DataFrame, idCol: String, textCol: String,
+      pos: Column): DataFrame = {
+    val counts = df
+      .select(pos.as("__pos"),
+        graft.functions.SketchFunctions.termCounts(col(textCol)).as("__pairs"))
+      .select(col("__pos"), explode(col("__pairs")).as("p"))
+      .groupBy(col("p.tok").as("tok"))
+      .agg(sum(when(col("__pos"), col("p.c")).otherwise(lit(0L))).as("__cp"),
+        sum(when(col("__pos"), lit(0L)).otherwise(col("p.c"))).as("__cn"))
+    val totals = counts.agg(sum("__cp").as("__np"), sum("__cn").as("__nn"),
+      count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(totals)).select(
+      col("tok"),
+      round(log((col("__cp") + 1).cast("double") /
+        (col("__np") + col("__v")).cast("double")) * lit(1e6))
+        .cast("long").as("lp_pos_micros"),
+      round(log((col("__cn") + 1).cast("double") /
+        (col("__nn") + col("__v")).cast("double")) * lit(1e6))
+        .cast("long").as("lp_neg_micros"))
+  }
+
+  /** The class-prior log-odds ln(P(pos)/P(neg)) in integer micros, as a
+    * one-row frame `(prior_delta_micros)` — counted over ALL labeled
+    * documents (empty documents carry prior information even though they
+    * contribute no token counts). */
+  def nbPriorDelta(df: DataFrame, pos: Column): DataFrame =
+    df.agg(sum(when(pos, 1L).otherwise(0L)).as("__p"), count(lit(1)).as("__t"))
+      .select(round(log(col("__p").cast("double") /
+        (col("__t") - col("__p")).cast("double")) * lit(1e6))
+        .cast("long").as("prior_delta_micros"))
+
+  /** Score every document against a PRE-BUILT NB model + prior (see
+    * [[nbQualityModel]] / [[nbPriorDelta]]): the standard log-odds sum
+    * logit = prior + Σ_w c_dw·(lp_pos(w) − lp_neg(w)), exact in int64
+    * micros. One corpus scan, ONE broadcast score join (vocabulary-
+    * bounded model; [[unigramModel]]'s 8 GB broadcast-cap note applies),
+    * ONE id-keyed partial agg — the unigram-LM deployment shape.
+    * Documents with no in-vocabulary tokens are dropped (no token
+    * evidence; standard NB ignores unseen words).
+    *
+    * @return (idCol, n_tokens, logit_micros, pred_pos) with pred_pos ∈
+    *         {0, 1} as int64 (`logit > 0`) */
+  def nbClassifyWith(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, prior: DataFrame): DataFrame =
+    docPairs(df, idCol, textCol)
+      .select(col("id"), explode(col("__pairs")).as("p"))
+      .join(broadcast(model), col("p.tok") === col("tok"))
+      .groupBy("id")
+      .agg(sum(col("p.c")).as("n_tokens"),
+        sum(col("p.c") * (col("lp_pos_micros") - col("lp_neg_micros")))
+          .as("__delta"))
+      .crossJoin(broadcast(prior))
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("prior_delta_micros") + col("__delta")).as("logit_micros"),
+        (col("prior_delta_micros") + col("__delta") > 0)
+          .cast("long").as("pred_pos"))
+
+  /** Train-and-apply in one lazy plan (the inline twin of
+    * [[nbClassifyWith]], for corpora where the model isn't
+    * materialized). */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+      pos: Column): DataFrame =
+    nbClassifyWith(df, idCol, textCol, nbQualityModel(df, idCol, textCol, pos),
+      nbPriorDelta(df, pos))
 }

@@ -300,6 +300,22 @@ class PlanShapeSuite extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("rangepartitioning"))
   }
 
+  test("q118 NB classify: artifact model broadcast, kernel pairs, one id-keyed exchange") {
+    val p = plan("q118_nb_classify")
+    // the trained model is vocabulary-bounded and READ from the
+    // materialized artifact: the score join must broadcast it, the
+    // (doc, token) side must never shuffle on the token, and no
+    // token-keyed aggregate (a model refit) may appear in the query
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "model join shuffled the (doc, token) side")
+    assert(!p.contains("keys=[tok"),
+      "query refit the NB model instead of reading the artifact")
+    assert(p.toLowerCase.contains("termcounts"),
+      "per-doc term counts lost the native kernel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("q86 token-budget cut: two-pass prefix sum, no corpus-wide single partition") {
     val p = plan("q86_token_budget_cut")
     // the SinglePartition exchange feeds only the ≤64-row bucket totals;

@@ -402,4 +402,77 @@ class CorpusStatsSuite extends SparkSpec {
         padRows.forall(r => r.getLong(1) == rows.map(_.getLong(1)).max))
     }
   }
+
+  // labeled corpus for the trained NB quality classifier: pos vocabulary
+  // {good, clean}, neg vocabulary {spam, junk}, shared token {the}
+  private lazy val labeledDocs = Seq(
+    (1L, "good clean good", true),
+    (2L, "good the", true),
+    (3L, "spam junk the", false),
+    (4L, "junk junk", false)
+  ).toDF("doc_id", "text", "curated")
+
+  test("nbQualityModel: Laplace-smoothed per-class micros match a hand computation") {
+    val m = CorpusStats.nbQualityModel(labeledDocs, "doc_id", "text", col("curated"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // pos tokens: good×3 clean×1 the×1 (np=5); neg: spam×1 junk×3 the×1
+    // (nn=5); V=5 → both denominators 10
+    def lp(c: Long): Long = math.round(math.log((c + 1) / 10.0) * 1e6)
+    assert(m.keySet == Set("good", "clean", "the", "spam", "junk"))
+    assert(m("good") == ((lp(3), lp(0))))
+    assert(m("clean") == ((lp(1), lp(0))))
+    assert(m("the") == ((lp(1), lp(1))))
+    assert(m("spam") == ((lp(0), lp(1))))
+    assert(m("junk") == ((lp(0), lp(3))))
+  }
+
+  test("nbClassify: log-odds sums are exact and recover the training labels") {
+    val out = CorpusStats.nbClassify(labeledDocs, "doc_id", "text", col("curated"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def lp(c: Long): Long = math.round(math.log((c + 1) / 10.0) * 1e6)
+    // balanced classes → prior log-odds = ln(2/2) = 0
+    val d1 = 2 * (lp(3) - lp(0)) + (lp(1) - lp(0))
+    val d3 = (lp(0) - lp(1)) + (lp(0) - lp(3)) + (lp(1) - lp(1))
+    assert(out(1L) == ((3L, d1, 1L)))
+    assert(out(3L) == ((3L, d3, 0L)))
+    // a separable corpus classifies itself perfectly
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(Seq(1L, 2L).forall(out(_)._3 == 1L) &&
+      Seq(3L, 4L).forall(out(_)._3 == 0L))
+  }
+
+  test("nbPriorDelta shifts the decision; imbalanced priors are exact micros") {
+    // 3 pos docs, 1 neg → prior = ln(3/1)
+    val skew = labeledDocs.withColumn("curated",
+      col("curated") || (col("doc_id") === 3L))
+    val pd = CorpusStats.nbPriorDelta(skew, col("curated"))
+      .collect().head.getLong(0)
+    assert(pd == math.round(math.log(3.0 / 1.0) * 1e6))
+  }
+
+  test("nb: classifying against the parquet-round-tripped model is byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    val pos = col("curated")
+    CorpusStats.nbQualityModel(labeledDocs, "doc_id", "text", pos)
+      .write.mode("overwrite").parquet(s"$dir/model")
+    CorpusStats.nbPriorDelta(labeledDocs, pos)
+      .write.mode("overwrite").parquet(s"$dir/prior")
+    val inline = CorpusStats.nbClassify(labeledDocs, "doc_id", "text", pos)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val loaded = CorpusStats.nbClassifyWith(labeledDocs, "doc_id", "text",
+        spark.read.parquet(s"$dir/model"), spark.read.parquet(s"$dir/prior"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(inline.toSeq == loaded.toSeq)
+  }
+
+  test("nb: zero-token documents are dropped from scoring but count in the prior") {
+    val withEmpty = labeledDocs.union(Seq((5L, "", false)).toDF("doc_id", "text", "curated"))
+    val out = CorpusStats.nbClassify(withEmpty, "doc_id", "text", col("curated"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 4L))
+    val pd = CorpusStats.nbPriorDelta(withEmpty, col("curated"))
+      .collect().head.getLong(0)
+    assert(pd == math.round(math.log(2.0 / 3.0) * 1e6))
+  }
 }
