@@ -471,6 +471,7 @@ object SparkEntry {
     ensurePrefixIndex(s, d)
     ensureBpeTable(s, d)
     ensureUnigramModel(s, d)
+    ensureNbModel(s, d)
     ensureFinalizedLayout(s, d)
     ()
   }
