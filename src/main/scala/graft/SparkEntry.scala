@@ -341,6 +341,44 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/merges")
     }
 
+  /** The NB count table maintained INCREMENTALLY: replay the corpus
+    * through the streaming aggregation ([[graft.streaming.StreamModel]])
+    * — file-source micro-batches over the same parquet — and persist the
+    * final running state. Complete-mode foreachBatch overwrites the
+    * vocabulary-bounded counts table per micro-batch (a distributed
+    * write, no driver collect); the state left by the LAST batch is, by
+    * sum associativity, the batch fit's count table exactly — q119
+    * proves it against the same refit oracle as q117. */
+  private def ensureStreamedNbCounts(s: SparkSession, d: String): String =
+    materialized("nbstream", d,
+      s"${fileSig(d, "documents")}|${nbCuratedSources.mkString(",")}.v1") { dir =>
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      // the source is a single file in the raw testdata dirs but a
+      // DIRECTORY of replica files at the scale factors — stream the
+      // directory itself there (the glob would not match its children)
+      val f = new java.io.File(s"$d/documents.parquet")
+      val rs = s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "4")
+      val src = if (f.isFile) rs.option("pathGlobFilter", "documents.parquet").parquet(d)
+        else rs.parquet(f.getPath)
+      val counts = graft.streaming.StreamModel.nbCountsStream(src, "text",
+        col("source").isin(nbCuratedSources.map(x => x: Any): _*))
+      // one state store per shuffle partition; vocabulary-bounded state
+      // needs few stores, not 32 commits per micro-batch (q41's tuning)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = counts.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$dir/counts")
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
   /** The corpus unigram LM `(tok, lp_micros_tok)`, materialized once per
     * documents fingerprint — a language-model build is an offline job
     * like the ANN quantizer training and the BPE table; queries READ the
@@ -472,6 +510,7 @@ object SparkEntry {
     ensureBpeTable(s, d)
     ensureUnigramModel(s, d)
     ensureNbModel(s, d)
+    ensureStreamedNbCounts(s, d)
     ensureFinalizedLayout(s, d)
     ()
   }
@@ -1642,9 +1681,42 @@ object SparkEntry {
       val root = ensureNbModel(s, d)
       CorpusStats.nbClassifyWith(docs(s, d), "doc_id", "text",
         s.read.parquet(s"$root/model"), s.read.parquet(s"$root/prior"))
+    }),
+
+    // --- streaming: INCREMENTAL model maintenance — the corpus replayed
+    // through the streaming count aggregation (StreamModel), final
+    // running state finished to the model; by sum associativity this is
+    // byte-identical to the batch fit, so the q117 refit oracle checks a
+    // Structured Streaming state machine end-to-end
+    "q119_stream_model_replay" -> ((s, d) => {
+      CorpusStats.nbModelFromCounts(
+        s.read.parquet(s"${ensureStreamedNbCounts(s, d)}/counts"))
     }))
 
   // =========================================================================
+  /** The NB model refit, shared by q117 (batch-materialized artifact)
+    * and q119 (streaming-replay state) — both must hash-match it. */
+  private val nbModelRefitSql: String =
+    """WITH lab AS (
+      |  SELECT text, source IN ('src0','src1','src2','src3','src4') AS pos
+      |  FROM documents),
+      |toks AS (
+      |  SELECT pos, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                     x -> x <> '')) AS tok
+      |  FROM lab),
+      |counts AS (
+      |  SELECT tok,
+      |         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+      |         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+      |  FROM toks GROUP BY tok),
+      |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts)
+      |SELECT tok,
+      |       CAST(round(ln((cp + 1)::DOUBLE / (np + v)::DOUBLE) * 1000000.0) AS BIGINT)
+      |         AS lp_pos_micros,
+      |       CAST(round(ln((cn + 1)::DOUBLE / (nn + v)::DOUBLE) * 1000000.0) AS BIGINT)
+      |         AS lp_neg_micros
+      |FROM counts, tot""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_timerange" ->
       """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
@@ -3274,26 +3346,7 @@ object SparkEntry {
     // model from the raw corpus (same vocabulary, same Laplace
     // smoothing, same micro-rounding) and must hash-match the engine's
     // materialized artifact
-    "q117_nb_model" ->
-      """WITH lab AS (
-        |  SELECT text, source IN ('src0','src1','src2','src3','src4') AS pos
-        |  FROM documents),
-        |toks AS (
-        |  SELECT pos, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |                     x -> x <> '')) AS tok
-        |  FROM lab),
-        |counts AS (
-        |  SELECT tok,
-        |         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
-        |         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
-        |  FROM toks GROUP BY tok),
-        |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts)
-        |SELECT tok,
-        |       CAST(round(ln((cp + 1)::DOUBLE / (np + v)::DOUBLE) * 1000000.0) AS BIGINT)
-        |         AS lp_pos_micros,
-        |       CAST(round(ln((cn + 1)::DOUBLE / (nn + v)::DOUBLE) * 1000000.0) AS BIGINT)
-        |         AS lp_neg_micros
-        |FROM counts, tot""".stripMargin,
+    "q117_nb_model" -> nbModelRefitSql,
 
     "q118_nb_classify" ->
       """WITH lab AS (
@@ -3321,7 +3374,11 @@ object SparkEntry {
         |       CAST(pd + SUM(lpp - lpn) AS BIGINT) AS logit_micros,
         |       CAST((pd + SUM(lpp - lpn)) > 0 AS BIGINT) AS pred_pos
         |FROM toks t JOIN model USING (tok), prior
-        |GROUP BY t.doc_id, pd""".stripMargin) ++ bpeOracleSql
+        |GROUP BY t.doc_id, pd""".stripMargin,
+
+    // the streamed-replay model must equal the batch fit exactly — the
+    // same refit oracle as q117
+    "q119_stream_model_replay" -> nbModelRefitSql) ++ bpeOracleSql
 
   /** SQL twins for the learned-tokenizer queries, generated from the
     * LAST merge table a query closure read ([[lastBpeMerges]] — Verify

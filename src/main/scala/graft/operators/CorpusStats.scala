@@ -547,22 +547,38 @@ object CorpusStats {
    *            undefined)
    */
   def nbQualityModel(df: DataFrame, idCol: String, textCol: String,
-      pos: Column): DataFrame = {
-    val counts = df
-      .select(pos.as("__pos"),
+      pos: Column): DataFrame =
+    nbModelFromCounts(nbTokenCounts(df, textCol, pos))
+
+  /** The classifier's sufficient statistics: per-token per-class
+    * occurrence counts `(tok, cp, cn)` — ONE token-keyed partial-agg
+    * shuffle, vocabulary-bounded output. Public because this exact
+    * aggregation is also the INCREMENTAL maintenance plan: applied to a
+    * `readStream` frame, Catalyst plans the identical `groupBy(tok)`
+    * as a stateful streaming aggregation whose running state IS the
+    * model's count table (see [[graft.streaming.StreamModel]]). */
+  def nbTokenCounts(df: DataFrame, textCol: String, pos: Column): DataFrame =
+    df.select(pos.as("__pos"),
         graft.functions.SketchFunctions.termCounts(col(textCol)).as("__pairs"))
       .select(col("__pos"), explode(col("__pairs")).as("p"))
       .groupBy(col("p.tok").as("tok"))
-      .agg(sum(when(col("__pos"), col("p.c")).otherwise(lit(0L))).as("__cp"),
-        sum(when(col("__pos"), lit(0L)).otherwise(col("p.c"))).as("__cn"))
-    val totals = counts.agg(sum("__cp").as("__np"), sum("__cn").as("__nn"),
+      .agg(sum(when(col("__pos"), col("p.c")).otherwise(lit(0L))).as("cp"),
+        sum(when(col("__pos"), lit(0L)).otherwise(col("p.c"))).as("cn"))
+
+  /** Finish a model from a counts table ([[nbTokenCounts]] or any
+    * snapshot of its streaming state): Laplace smoothing + micro
+    * rounding. Deterministic in the counts alone, so a model refit from
+    * an incrementally-maintained snapshot is byte-identical to the
+    * batch fit over the same documents. */
+  def nbModelFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(sum("cp").as("__np"), sum("cn").as("__nn"),
       count(lit(1)).as("__v"))
     counts.crossJoin(broadcast(totals)).select(
       col("tok"),
-      round(log((col("__cp") + 1).cast("double") /
+      round(log((col("cp") + 1).cast("double") /
         (col("__np") + col("__v")).cast("double")) * lit(1e6))
         .cast("long").as("lp_pos_micros"),
-      round(log((col("__cn") + 1).cast("double") /
+      round(log((col("cn") + 1).cast("double") /
         (col("__nn") + col("__v")).cast("double")) * lit(1e6))
         .cast("long").as("lp_neg_micros"))
   }
