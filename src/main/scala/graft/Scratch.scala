@@ -36,34 +36,12 @@ object Scratch {
       (1 to 2).foreach { round =>
         println(s"--- round $round")
         val sigs = t("sig_barrier")(
-          Dedup.barrier(Multimodal.perceptualSignature(blobs)
-            .withColumn("byte_len", lit(0L))))
+          Dedup.barrier(Multimodal.perceptualSignature(blobs)))
+        // production banding arithmetic via the package-private hook —
+        // the ablation arms cannot drift from Multimodal's tables
         def pairsWith(blockCount: Int, keep: Int, tag: String): Unit = {
-          val bits = 60 / blockCount
-          val mask = (1L << bits) - 1L
-          val tabs = (0 until blockCount).combinations(keep).toArray.zipWithIndex
-            .map { case (sub, ti) =>
-              val key = sub.foldLeft(lit(0L): org.apache.spark.sql.Column) {
-                (acc, b) => shiftleft(acc, bits)
-                  .bitwiseOR(shiftright(col("sig"), b * bits).bitwiseAND(mask))
-              }
-              struct(lit(ti).as("block"), key.as("bkey"))
-            }
-          val blocks = sigs.select(col("media_id"), col("kind"),
-              explode(array(tabs.toIndexedSeq: _*)).as("__t"))
-            .select(col("media_id"), col("kind"),
-              col("__t.block").as("block"), col("__t.bkey").as("bkey"))
-          val hot = blocks.groupBy("kind", "block", "bkey")
-            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-            .select("kind", "block", "bkey")
-          val pruned = blocks.join(hot, Seq("kind", "block", "bkey"))
-          val cand = pruned.select(col("kind"), col("block"), col("bkey"),
-              col("media_id").as("id_a"))
-            .join(pruned.select(col("kind"), col("block"), col("bkey"),
-              col("media_id").as("id_b")), Seq("kind", "block", "bkey"))
-            .filter(col("id_a") < col("id_b"))
-            .select("kind", "id_a", "id_b").dropDuplicates("kind", "id_a", "id_b")
-          val n = t(tag)(cand.count())
+          val n = t(tag)(Multimodal
+            .bandedCandidates(sigs, "media_id", blockCount, keep).count())
           println(s"  $tag candidates=$n")
         }
         val nSigs = t("distinct_kind_sig")(

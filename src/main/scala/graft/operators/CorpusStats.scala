@@ -186,10 +186,32 @@ object CorpusStats {
       salt: String = ""): DataFrame =
     tiersImpl(docPairs(df, idCol, textCol), model, idCol, samplePpm, salt)
 
+  /** [[perplexityTiers]] from a PRE-SCORED `(idCol, n_tokens, lp_micros)`
+    * frame — [[unigramLogProbWith]]'s output, which a deployment
+    * materializes per corpus fingerprint one step after the model build.
+    * The sample becomes a hash FILTER over the scored frame (no second
+    * score join at all), so the whole query is one scan of the artifact
+    * plus the ppm-bounded rank window and a two-value broadcast. Results
+    * are identical to [[perplexityTiers]] on the corpus the frame was
+    * scored from: sample membership hashes the same id values, and the
+    * surprisal arithmetic is the same int64 expression. */
+  def perplexityTiersFromScored(scored: DataFrame, idCol: String,
+      samplePpm: Long = 100000L, salt: String = ""): DataFrame = {
+    val withS = scored.withColumn("surprisal_micros",
+      expr("(-lp_micros) div n_tokens"))
+    val sample = withS.filter(sampleHash(col(idCol), salt) < samplePpm)
+      .select(col(idCol), col("surprisal_micros"))
+    assignTiers(withS, sample, idCol, samplePpm)
+  }
+
+  /** md5-prefix ppm hash shared by the sample paths — same rule as
+    * `TextAnalysis.sampleByHash`. */
+  private def sampleHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long") % 1000000L
+
   private def tiersImpl(docs: DataFrame, model: DataFrame, idCol: String,
       samplePpm: Long, salt: String): DataFrame = {
-    require(samplePpm > 0 && samplePpm <= 1000000L, "samplePpm is 1..1000000")
-    import org.apache.spark.sql.expressions.Window
     // The sample subtree scores ONLY the sampled documents against the
     // shared model (the hash filter lands on the pairs frame
     // BEFORE the score join), and the full corpus is scored exactly once,
@@ -199,12 +221,19 @@ object CorpusStats {
     def surprisal(scoredDf: DataFrame): DataFrame =
       scoredDf.withColumn("surprisal_micros", expr("(-lp_micros) div n_tokens"))
     val scored = surprisal(scoreAgainst(docs, model, idCol))
-    val h = conv(substring(md5(concat(col("id").cast("string"), lit(salt))), 1, 15),
-      16, 10).cast("long")
     val sample = surprisal(scoreAgainst(
-        docs.filter(h % 1000000L < samplePpm), model, idCol))
+        docs.filter(sampleHash(col("id"), salt) < samplePpm), model, idCol))
       .select(col(idCol), col("surprisal_micros"))
-    // bounded by samplePpm — a single-partition window over the SAMPLE
+    assignTiers(scored, sample, idCol, samplePpm)
+  }
+
+  /** Tier assignment shared by the inline and pre-scored paths: rank the
+    * sample (ppm-bounded — a documented single-partition window), take
+    * the ⅓ / ⅔ order statistics as cut points, broadcast them back. */
+  private def assignTiers(scored: DataFrame, sample: DataFrame,
+      idCol: String, samplePpm: Long): DataFrame = {
+    require(samplePpm > 0 && samplePpm <= 1000000L, "samplePpm is 1..1000000")
+    import org.apache.spark.sql.expressions.Window
     val ranked = sample
       .withColumn("__rn", row_number().over(
         Window.orderBy(col("surprisal_micros"), col(idCol))))

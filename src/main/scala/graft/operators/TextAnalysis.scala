@@ -393,6 +393,39 @@ object TextAnalysis {
   }
 
   /**
+   * Temperature-balanced mixture weights LEARNED from the corpus — the
+   * upstream of [[mixtureSample]]'s hand-set map (the multilingual /
+   * multi-source rebalancing rule of Lample & Conneau 2019 §3.1 and the
+   * GPT-3 data-mixing appendix): source `s` gets sampling weight
+   * `p_s ∝ n_s^τ` with τ = ½, damping the head sources so low-resource
+   * slices are not drowned. τ = ½ deliberately: `sqrt` is CORRECTLY
+   * ROUNDED under IEEE-754 (`pow` is not), and the weights finish in
+   * pure integer arithmetic — `isqrt(n_s)·10^6 div Σ isqrt(n_s)` with
+   * `isqrt = floor ∘ sqrt`, exact for any `n_s` whose root stays below
+   * 2^26 (10^15 tokens per source — beyond any single corpus slice) — so
+   * every engine reproduces the learned weights bit-for-bit.
+   *
+   * Scale shape: ONE partial-aggregated groupBy on the dimension-sized
+   * source key (token counts computed map-side inside the row), one
+   * single-row broadcast for the normalizer. Feed the result to
+   * [[mixtureSample]] (dimension-sized driver collect) to realize the
+   * sample.
+   *
+   * @return (sourceCol, n_docs, n_tokens, weight_ppm)
+   */
+  def temperatureWeights(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val per = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("__r", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = per.agg(sum("__r").as("__rt"))
+    per.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        expr("(__r * 1000000) div __rt").as("weight_ppm"))
+  }
+
+  /**
    * Global window-level exact dedup (the practical stand-in for
    * substring-level dedup à la "Deduplicating Training Data Makes
    * Language Models Better" — suffix arrays don't distribute, but exact

@@ -79,7 +79,18 @@ object StreamNearDup {
    *
    * Parameters mirror `Dedup.minhashLshPairs` (w-shingles, bands ×
    * rowsPerBand lanes, verify threshold); `maxSketch` is the bottom-m
-   * sketch size (verification is exact while |union| ≤ maxSketch).
+   * sketch size.
+   *
+   * Parity contract: batch equivalence (replay ≡ `minhashLshPairs`) is
+   * CONDITIONAL on |shingles(a) ∪ shingles(b)| ≤ maxSketch for every
+   * candidate pair — the batch path verifies with EXACT Jaccard over
+   * full shingle sets, while the stream verifies with bottom-m Jaccard
+   * over `maxSketch`-truncated sketches (an unbiased estimate past the
+   * bound, so near-threshold pairs on longer documents can flip either
+   * way). Size maxSketch to the corpus: ~`(len/ws) · 1.2` hashes per
+   * document of length `len`; the suite pins parity at maxSketch=4096,
+   * comfortably above its longest unions. The default 128 trades exact
+   * parity for an 8·128-byte bounded shuffle payload per band copy.
    *
    * Multiplicity contract: a pair colliding in several bands emits once
    * per colliding band, always within ONE micro-batch (the duplicate

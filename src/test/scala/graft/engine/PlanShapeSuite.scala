@@ -228,20 +228,16 @@ class PlanShapeSuite extends SparkSpec {
       "span dedup must not globally sort the corpus")
   }
 
-  test("q81 unigram scoring: model join broadcasts, (doc,token) side never shuffles on the token") {
+  test("q81 unigram scoring: a pure artifact scan — no join, no aggregate, no exchange") {
     val p = plan("q81_unigram_logprob")
-    // the model is vocabulary-bounded by construction — the score join
-    // must be map-side; a token-keyed shuffle of the (doc, token) pairs
-    // was measured 8.5× the oracle at sf5
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "model join shuffled the (doc, token) side")
-    // the model is READ from the materialized per-corpus artifact, never
-    // re-aggregated inside the query: no token-keyed aggregate anywhere,
-    // and the only row shuffle is the final id-keyed partial agg
-    assert(!p.contains("keys=[tok"),
-      "query rebuilt the unigram model instead of reading the artifact")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    // the scored per-doc frame is materialized per corpus fingerprint
+    // (ensureUnigramScored) — the query must be the parquet scan of that
+    // artifact and NOTHING else; any join/aggregate/exchange means the
+    // query started recomputing pipeline work
+    assert(p.contains("FileScan parquet"), p.take(2000))
+    assert(p.contains("unigramscored"), "q81 is not reading the scored artifact")
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("Exchange"), p.take(3000))
   }
 
   test("q100 funnel: one entity exchange, no per-step joins, no window") {
@@ -288,16 +284,16 @@ class PlanShapeSuite extends SparkSpec {
     }
   }
 
-  test("q81 unigram scoring: kernel pairs, broadcast model, one id-keyed exchange") {
-    val p = plan("q81_unigram_logprob")
-    // the model join must broadcast (vocabulary-bounded build side); the
-    // only document-keyed shuffle is the final partial-agg on id
-    assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(!p.contains("SortMergeJoin"),
-      "model join shuffled the document side on the token key")
-    assert(p.toLowerCase.contains("termcounts"),
-      "per-doc term counts lost the native kernel")
-    assert(!p.contains("Window") && !p.contains("rangepartitioning"))
+  test("q84 tiers from the scored artifact: no score join, no token work anywhere") {
+    val p = plan("q84_perplexity_tiers")
+    // both the full pass and the ppm sample read the materialized scored
+    // frame — a BroadcastHashJoin or a termcounts kernel call in this
+    // plan means a score join crept back into the query
+    assert(p.contains("unigramscored"), "q84 is not reading the scored artifact")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "tier assignment grew a score join")
+    assert(!p.toLowerCase.contains("termcounts"),
+      "q84 re-tokenized the corpus instead of reading the scored artifact")
   }
 
   test("q118 NB classify: artifact model broadcast, kernel pairs, one id-keyed exchange") {

@@ -256,6 +256,30 @@ class CorpusShapingSuite extends SparkSpec {
     assert(again == got.map(_._1).toSet)
   }
 
+  test("temperatureWeights: p_s ∝ √n_s in exact integer ppm; head source damped") {
+    import spark.implicits._
+    // srcA: 4 docs × 9 tokens = 36 → isqrt 6; srcB: 1 doc × 4 = 4 → isqrt 2
+    // raw token share A:B = 90%:10%; τ=½ share = 6/8 : 2/8 = 75%:25% —
+    // the damping is the point
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", nine), (2L, "srcA", nine), (3L, "srcA", nine),
+      (4L, "srcA", nine), (5L, "srcB", "a b c d")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.temperatureWeights(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("srcA") == ((4L, 36L, 750000L)), got)
+    assert(got("srcB") == ((1L, 4L, 250000L)), got)
+    // the learned map drives the sampler (the q122 composition)
+    val sampled = TextAnalysis.mixtureSample(docs, "doc_id", "text", "source",
+      weightsPpm = got.map { case (k, v) => k -> v._3 }, tokenBudget = 8L)
+      .collect().map(r => (r.getString(1), r.getLong(4)))
+    // srcB: target 8·0.25=2 tokens of 4 → rate 500000; srcA: 8·0.75=6 of
+    // 36 → rate 166666
+    assert(sampled.forall { case (s2, r) =>
+      if (s2 == "srcA") r == 166666L else r == 500000L }, sampled.toSeq)
+  }
+
   test("windowDedup: first corpus-wide occurrence survives, docs reassemble in order") {
     import spark.implicits._
     val docs = Seq(

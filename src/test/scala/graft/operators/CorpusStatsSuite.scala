@@ -153,6 +153,24 @@ class CorpusStatsSuite extends SparkSpec {
     (i.toLong, (Seq.fill(3 + i % 7)("the cat") ++ Seq(s"rare$i")).mkString(" "))
   }.toDF("doc_id", "text")
 
+  test("perplexityTiersFromScored: parity with the inline path, both sample rates") {
+    // the deployment shape: materialize the SCORED frame (model one step
+    // earlier), round-trip it through parquet, assign tiers from it —
+    // must be byte-identical to scoring inline, including the hash-sample
+    // membership that picks the cut points
+    val dir = java.nio.file.Files.createTempDirectory("unigramscored").toString
+    CorpusStats.unigramLogProb(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val scored = spark.read.parquet(dir)
+    for (ppm <- Seq(1000000L, 400000L)) {
+      val inline = CorpusStats.perplexityTiers(corpus, "doc_id", "text",
+        samplePpm = ppm).collect().map(_.toSeq).sortBy(_.head.toString)
+      val fromScored = CorpusStats.perplexityTiersFromScored(scored, "doc_id",
+        samplePpm = ppm).collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(inline.toSeq == fromScored.toSeq, s"ppm=$ppm")
+    }
+  }
+
   test("perplexityTiers: full-corpus sample partitions monotonically by surprisal") {
     val out = CorpusStats.perplexityTiers(corpus, "doc_id", "text",
       samplePpm = 1000000L)

@@ -106,4 +106,68 @@ class MultimodalSuite extends SparkSpec {
     assert(!got.exists(_._1 == 6L), got)
     assert(got.filter(t => Set(1L, 2L, 9L)(t._1)).forall(_._3 == -1L), got)
   }
+
+  test("decoded-plane: PNG and BMP of the same pixels hash identically; bytes differ") {
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "")).toDF("doc_id", "text")
+    val blobs = Multimodal.imageBlobsFromDocs(docs, "doc_id", "text")
+      .collect()
+    // the codec twins share NO payload bytes (different container formats)
+    val byId = blobs.map(b => b.media_id -> b.payload).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(!java.util.Arrays.equals(byId(id), byId(id + 3000000000L)))
+    // but decode back to the identical plane → identical 64-bit aHash
+    val sigMap = Multimodal.decodedSignature(
+        spark.createDataset(blobs.toIndexedSeq))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(sigMap.size == 6)
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(sigMap(id)._1 == "image:decoded", sigMap(id))
+      assert(sigMap(id) == sigMap(id + 3000000000L), s"id=$id")
+    }
+    // distinct docs land on distinct signatures (md5-derived planes)
+    assert(Seq(1L, 2L, 3L).map(sigMap(_)._2).distinct.size == 3)
+  }
+
+  test("decoded-plane: undecodable payloads fall back to the byte-stream family") {
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val raw = Seq(Multimodal.MediaBlob(7L, "audio",
+      "not an image at all".getBytes("UTF-8")))
+    val got = Multimodal.decodedSignature(spark.createDataset(raw))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.head._2 == "audio:raw")
+    assert(got.head._3 == graft.functions.SketchImpl
+      .byteGramSimhash60("not an image at all".getBytes("UTF-8"), 4))
+  }
+
+  test("decoded near-dup: banding recall is EXACT vs brute-force popcount at 64 bits") {
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    // perturbed planes at CONTROLLED distances: the ground truth is the
+    // brute-force popcount over the actual decoded signatures, so this
+    // pins the 8×8-bit block-subset banding (not the fixture structure)
+    val base = Multimodal.docPlane(42L, "seed text")
+    def enc(plane: Array[Int], fmt: String) = Multimodal.encodePlane(plane, fmt)
+    val variants = (0 until 24).map { i =>
+      val p = base.clone()
+      // push i cells hard in one direction — signatures spread over a
+      // range of Hamming distances from the base
+      for (k <- 0 until i * 8) p(k % 256) = if (k % 2 == 0) 255 else 0
+      Multimodal.MediaBlob(i.toLong, "image", enc(p, if (i % 2 == 0) "png" else "bmp"))
+    }
+    val ds = spark.createDataset(variants)
+    val sigs = Multimodal.decodedSignature(ds)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(brute.nonEmpty, "fixture produced no close pairs — weak test")
+    val got = Multimodal.decodedNearDupPairs(ds, maxDist = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == brute, s"banded=$got brute=$brute")
+  }
 }

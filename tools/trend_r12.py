@@ -12,6 +12,8 @@ D = 'target/trend_r12'
 
 def load(p):
     raw = open(p).read()
+    if '{' not in raw:
+        raise ValueError(f'{p}: no JSON object (empty/truncated run?)')
     return json.loads(raw[raw.index('{'):])
 
 
@@ -28,8 +30,12 @@ def spark_min(sf):
 
 
 def duck(sf):
-    return {k: v for k, v in load(f'{D}/duck_{sf}.json').items()
-            if not k.startswith('_')}
+    try:
+        return {k: v for k, v in load(f'{D}/duck_{sf}.json').items()
+                if not k.startswith('_')}
+    except (FileNotFoundError, ValueError) as e:
+        print(f'WARN: duck_{sf} unusable ({e}) — {sf} ratios omitted')
+        return {}
 
 
 sp = {sf: spark_min(sf) for sf in ('sf01', 'sf1', 'sf5')}
