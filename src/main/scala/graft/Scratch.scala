@@ -58,6 +58,32 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SCRATCH_IMG")) {
+      // q120 ablation: fixture encode vs decode+hash vs banding
+      implicit val sp: SparkSession = spark
+      import graft.operators.{Dedup, Multimodal}
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      (1 to 2).foreach { round =>
+        println(s"--- round $round")
+        val blobs = Multimodal.imageBlobsFromDocs(docs, "doc_id", "text")
+        val nb = t("encode_only")(blobs.count())
+        println(s"  blobs=$nb")
+        val sigs = t("sig_barrier")(
+          Dedup.barrier(Multimodal.decodedSignature(blobs)
+            .select("media_id", "kind", "sig")))
+        println(s"  sigs=${sigs.count()}")
+        val n = t("full_query")(
+          Multimodal.decodedNearDupPairs(blobs, maxDist = 2).count())
+        println(s"  pairs=$n")
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_ABLATE")) {
       import org.apache.spark.sql.functions._
       val df = graft.sources.Catalog.load(spark, sfDir, "events")

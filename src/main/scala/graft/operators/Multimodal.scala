@@ -314,12 +314,20 @@ object Multimodal {
   // the same luma plane, byte-different payloads notwithstanding. Audio /
   // video planes would need external codecs and keep the byte-stream path.
 
+  /** ImageIO's default stream cache is FILE-BACKED — every decode/encode
+    * of an in-memory blob would create and delete a temp file, dwarfing
+    * the actual codec work. Memory caching once per JVM; touched lazily
+    * by every codec path below. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Luma plane of a decodable image payload: `(width, height, row-major
     * 8-bit luma)` via the integer Rec.601 weights (exact — `r=g=b` for
     * grayscale sources, so lossless codecs round-trip the plane bit-exactly).
     * `None` when ImageIO has no reader for the bytes. */
   private def decodeLuma(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
+      imageIoMemCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -458,6 +466,7 @@ object Multimodal {
     * both the PNG and BMP writers, which is what makes decoded-plane
     * convergence provable rather than approximate. */
   private[graft] def encodePlane(plane: Array[Int], fmt: String): Array[Byte] = {
+    imageIoMemCache
     val img = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var k = 0
@@ -483,7 +492,12 @@ object Multimodal {
       : Dataset[MediaBlob] = {
     val s = df.sparkSession
     import s.implicits._
+    // CPU-bound per-row codec work must not inherit the scan's IO-shaped
+    // partitioning (small files pack into one multi-megabyte split — the
+    // whole encode stage would serialize on toy corpora); the shuffled
+    // rows are just (id, text)
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val plane = docPlane(id, if (text == null) "" else text)
