@@ -45,8 +45,9 @@ for sf in ('sf01', 'sf1', 'sf5'):
     shared = sorted(set(sp[sf]) & set(du[sf]))
     ts = sum(sp[sf][k] for k in shared)
     td = sum(du[sf][k] for k in shared)
+    ratio = f"{ts/td:.2f}x" if td > 0 else "n/a (no oracle data)"
     print(f"{sf}: {len(shared)}q spark {ts:.1f}s duck {td:.1f}s "
-          f"ratio {ts/td:.2f}x")
+          f"ratio {ratio}")
 
 shared5 = set(sp['sf5']) & set(du['sf5'])
 rows = sorted(shared5, key=lambda k: -sp['sf5'][k])[:12]
