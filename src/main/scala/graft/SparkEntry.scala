@@ -414,7 +414,11 @@ object SparkEntry {
     * function of the corpus, so the SQL oracles (which rebuild model +
     * scores inline) stay byte-valid. */
   private def ensureUnigramScored(s: SparkSession, d: String): String =
-    materialized("unigramscored", d, s"${fileSig(d, "documents")}|v1") { dir =>
+    // the fingerprint CHAINS the model artifact's version — a model-code
+    // bump must invalidate the downstream scored frame too, or q81/q84
+    // would keep serving scores computed from the old model
+    materialized("unigramscored", d,
+      s"${fileSig(d, "documents")}|lm.v1|scored.v1") { dir =>
       graft.operators.CorpusStats.unigramLogProbWith(docs(s, d), "doc_id",
           "text", unigramModelDf(s, d))
         .write.mode("overwrite").parquet(s"$dir/scored")
@@ -422,6 +426,24 @@ object SparkEntry {
 
   private def unigramScoredDf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${ensureUnigramScored(s, d)}/scored")
+
+  /** The q120 media corpus (PNG master + BMP re-encode per doc),
+    * materialized once per documents fingerprint — ENCODING is corpus
+    * construction, not operator work: a deployment's assets already sit
+    * in storage, and what the query owns is the decode → plane-hash →
+    * banding pipeline. The blobs land in parquet like any media table
+    * (binary payload + typed metadata). */
+  private def ensureMediaTable(s: SparkSession, d: String): String =
+    materialized("mediapng", d, s"${fileSig(d, "documents")}|pngbmp.v1") { dir =>
+      Multimodal.imageBlobsFromDocs(docs(s, d), "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/blobs")
+    }
+
+  private def mediaBlobsDs(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaBlob] = {
+    import s.implicits._
+    s.read.parquet(s"${ensureMediaTable(s, d)}/blobs").as[Multimodal.MediaBlob]
+  }
 
   /** The curated-vs-crawl label behind the trained quality classifier
     * (q117/q118): the first five sources play the curated reference
@@ -557,6 +579,7 @@ object SparkEntry {
     ensureBpeTable(s, d)
     ensureUnigramModel(s, d)
     ensureUnigramScored(s, d)
+    ensureMediaTable(s, d)
     ensureNbModel(s, d)
     ensureStreamedNbCounts(s, d)
     ensureFinalizedLayout(s, d)
@@ -1752,11 +1775,11 @@ object SparkEntry {
     // (the payloads share no bytes). Banding is the same Manku
     // block-subset scheme at 8×8 bits. The pair set is a pure function
     // of the doc ids, which is what makes a decode no SQL engine can
-    // perform still SQL-oracle-checkable
+    // perform still SQL-oracle-checkable. The blobs come from the
+    // MATERIALIZED media table (ensureMediaTable — encoding is corpus
+    // construction); the query owns decode → hash → banding
     "q120_decoded_near_dup" -> ((s, d) =>
-      Multimodal.decodedNearDupPairs(
-        Multimodal.imageBlobsFromDocs(docs(s, d), "doc_id", "text"),
-        maxDist = 2)),
+      Multimodal.decodedNearDupPairs(mediaBlobsDs(s, d), maxDist = 2)),
 
     // --- pipeline: LEARNED mixture weights — τ=½ temperature balancing
     // over per-source token mass (p_s ∝ √n_s), the upstream q75's
@@ -2151,7 +2174,9 @@ object SparkEntry {
         |w(source, w_ppm) AS (VALUES ('src0', 300000), ('src1', 250000), ('src2', 200000),
         |                            ('src3', 100000), ('src4', 100000), ('src5', 50000)),
         |r AS (SELECT t.doc_id, t.source, t.n_tokens,
-        |        CAST(LEAST(1000000, (((3000 * COALESCE(w_ppm, 0)) // 1000000) * 1000000) // total) AS BIGINT) AS rate_ppm
+        |        CAST(CASE WHEN total = 0 THEN 0 ELSE
+        |          LEAST(1000000, (((3000 * COALESCE(w_ppm, 0)) // 1000000) * 1000000) // total)
+        |        END AS BIGINT) AS rate_ppm
         |      FROM t JOIN tot USING (source) LEFT JOIN w USING (source))
         |SELECT doc_id, source, n_tokens, rate_ppm FROM r
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < rate_ppm""".stripMargin,
@@ -3503,7 +3528,9 @@ object SparkEntry {
         |t AS (SELECT SUM(rr) AS rt FROM r0),
         |w AS (SELECT source, total, (rr * 1000000) // rt AS w_ppm FROM r0, t),
         |r AS (SELECT tok.doc_id, tok.source, tok.n_tokens,
-        |        CAST(LEAST(1000000, (((3000 * w_ppm) // 1000000) * 1000000) // total) AS BIGINT) AS rate_ppm
+        |        CAST(CASE WHEN total = 0 THEN 0 ELSE
+        |          LEAST(1000000, (((3000 * w_ppm) // 1000000) * 1000000) // total)
+        |        END AS BIGINT) AS rate_ppm
         |      FROM tok JOIN w USING (source))
         |SELECT doc_id, source, n_tokens, rate_ppm FROM r
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < rate_ppm""".stripMargin) ++

@@ -219,29 +219,36 @@ object Multimodal {
   /** Near-dup SIGNATURE pairs: distinct same-kind signatures within
     * `maxDist` Hamming bits, banded at the DISTINCT-SIG level. Because
     * the banded ids are the signatures themselves, verification is a
-    * popcount on the pair key — no sig-fetch join. */
-  private def repSigPairs(sigsDistinct: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist < 6, s"maxDist in [1, 5], got $maxDist")
+    * popcount on the pair key — no sig-fetch join. Parameterized over
+    * the banding geometry so the 60-bit byte-stream and 64-bit
+    * decoded-plane paths share one implementation. */
+  private def repSigPairs(sigsDistinct: DataFrame, maxDist: Int,
+      blockCount: Int, totalBits: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist < blockCount,
+      s"maxDist in [1, ${blockCount - 1}], got $maxDist")
     bandedCandidates(sigsDistinct.withColumn("__rid", col("sig")), "__rid",
-        blockCount = 6, keepBlocks = 6 - maxDist)
+        blockCount, blockCount - maxDist, totalBits)
       .select(col("kind"), col("id_a").as("sig_a"), col("id_b").as("sig_b"),
         call_function("bit_count", col("id_a").bitwiseXOR(col("id_b")))
           .as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Full verified pair set, built COLLAPSED-FIRST: identical signatures
-    * group into cliques up front, banding and Hamming verification run
-    * over DISTINCT signatures only, and member pairs re-expand at the
-    * end. A dup storm (many byte-identical or near-identical replicas)
-    * previously pushed every replica through all C(6,3)=20 bucket
-    * tables and a 20×-duplicated quadratic self-join; collapsed, a
-    * clique of g replicas costs g table rows and its g·(g−1)/2 OUTPUT
-    * pairs are produced once, by one equi-join on the sig key — the
-    * floor for an operator whose contract is the pairs themselves. */
-  private def pairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
-    val members = sigs.select(col("media_id"), col("kind"), col("sig"))
-    val rp = repSigPairs(members.select("kind", "sig").distinct(), maxDist)
+  /** Full verified pair set over a `(media_id, kind, sig)` frame, built
+    * COLLAPSED-FIRST: identical signatures group into cliques up front,
+    * banding and Hamming verification run over DISTINCT signatures only,
+    * and member pairs re-expand at the end. A dup storm (many
+    * byte-identical replicas) previously pushed every replica through
+    * every bucket table and a table-duplicated quadratic self-join;
+    * collapsed, a clique of g replicas costs g table rows and its
+    * g·(g−1)/2 OUTPUT pairs are produced once, by one equi-join on the
+    * sig key — the floor for an operator whose contract is the pairs
+    * themselves. Shared by the byte-stream (6×10-bit) and decoded-plane
+    * (8×8-bit) paths. */
+  private def collapsedPairs(members: DataFrame, maxDist: Int,
+      blockCount: Int, totalBits: Int): DataFrame = {
+    val rp = repSigPairs(members.select("kind", "sig").distinct(), maxDist,
+      blockCount, totalBits)
     // cross-clique: every (member of sig_a) × (member of sig_b); groups
     // are disjoint so least/greatest orients without collision
     val cross = rp
@@ -260,6 +267,10 @@ object Multimodal {
         lit(0).cast("int").as("hamming"))
     cross.unionByName(clique).select("kind", "id_a", "id_b", "hamming")
   }
+
+  private def pairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame =
+    collapsedPairs(sigs.select("media_id", "kind", "sig"), maxDist,
+      blockCount = 6, totalBits = 60)
 
   /** Media dedup SURVIVORS — the keep-list the near-dup pairs exist to
     * produce: connected components over [[perceptualNearDupPairs]]'s
@@ -293,7 +304,8 @@ object Multimodal {
     val star = members.join(reps, Seq("kind", "sig"))
       .filter(col("media_id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("media_id").as("id_b"))
-    val repEdges = repSigPairs(reps.select("kind", "sig"), maxDist)
+    val repEdges = repSigPairs(reps.select("kind", "sig"), maxDist,
+        blockCount = 6, totalBits = 60)
       .join(reps.select(col("kind"), col("sig").as("sig_a"),
         col("__rep").as("__ra")), Seq("kind", "sig_a"))
       .join(reps.select(col("kind"), col("sig").as("sig_b"),
@@ -414,32 +426,10 @@ object Multimodal {
     * pigeonhole-exact recall) runs over DISTINCT signatures only.
     * @return (kind, id_a, id_b, hamming), id_a < id_b */
   def decodedNearDupPairs(blobs: Dataset[MediaBlob], maxDist: Int = 2)
-      : DataFrame = {
-    require(maxDist >= 1 && maxDist < 8, s"maxDist in [1, 7], got $maxDist")
-    val members = Dedup.barrier(
-      decodedSignature(blobs).select("media_id", "kind", "sig"))
-    val reps = members.select("kind", "sig").distinct()
-    val rp = bandedCandidates(reps.withColumn("__rid", col("sig")), "__rid",
-        blockCount = 8, keepBlocks = 8 - maxDist, totalBits = 64)
-      .select(col("kind"), col("id_a").as("sig_a"), col("id_b").as("sig_b"),
-        call_function("bit_count", col("id_a").bitwiseXOR(col("id_b")))
-          .as("hamming"))
-      .filter(col("hamming") <= maxDist)
-    val cross = rp
-      .join(members.select(col("kind"), col("sig").as("sig_a"),
-        col("media_id").as("__ma")), Seq("kind", "sig_a"))
-      .join(members.select(col("kind"), col("sig").as("sig_b"),
-        col("media_id").as("__mb")), Seq("kind", "sig_b"))
-      .select(col("kind"), least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
-    val clique = members
-      .join(members.select(col("kind"), col("sig"),
-        col("media_id").as("id_b")), Seq("kind", "sig"))
-      .filter(col("media_id") < col("id_b"))
-      .select(col("kind"), col("media_id").as("id_a"), col("id_b"),
-        lit(0).cast("int").as("hamming"))
-    cross.unionByName(clique).select("kind", "id_a", "id_b", "hamming")
-  }
+      : DataFrame =
+    collapsedPairs(Dedup.barrier(
+        decodedSignature(blobs).select("media_id", "kind", "sig")),
+      maxDist, blockCount = 8, totalBits = 64)
 
   /** Deterministic 16×16 gray plane for a document: an md5 chain over
     * `(id, text)` expanded to 256 pixel bytes. Unique per document with

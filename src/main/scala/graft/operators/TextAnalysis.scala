@@ -386,8 +386,14 @@ object TextAnalysis {
       // integer div keeps the arithmetic exact at any budget (double
       // rounding would diverge from the oracle past 2^53)
       .withColumn("__target", expr(s"($tokenBudget * __w) div 1000000"))
+      // a source whose documents carry ZERO tokens samples at rate 0 —
+      // without the guard the div-by-zero NULL is swallowed by least()
+      // (NULL-skipping in both Spark and the SQL twins), which would
+      // silently accept EVERY doc of a token-less source
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(__target * 1000000) div __total")))
+        when(col("__total") > 0,
+          least(lit(1000000L), expr("(__target * 1000000) div __total")))
+          .otherwise(lit(0L)))
       .filter(h % 1000000L < col("rate_ppm"))
       .select(df.columns.map(col) :+ col("n_tokens") :+ col("rate_ppm"): _*)
   }

@@ -231,11 +231,17 @@ class CorpusShapingSuite extends SparkSpec {
     val docs = Seq(
       (1L, "srcA", ten), (2L, "srcA", ten), (3L, "srcA", ten),
       (4L, "srcB", five), (5L, "srcB", five),
-      (6L, "srcC", ten)).toDF("doc_id", "source", "text")
+      (6L, "srcC", ten),
+      // a weighted source whose docs carry ZERO tokens: its per-source
+      // total is 0, and the rate must clamp to 0 (not slip to 1000000
+      // through a NULL-skipping least over the div-by-zero)
+      (7L, "srcD", ""), (8L, "srcD", "   ")).toDF("doc_id", "source", "text")
     val got = TextAnalysis.mixtureSample(docs, "doc_id", "text", "source",
-      weightsPpm = Map("srcA" -> 500000L, "srcB" -> 500000L), tokenBudget = 40L)
+      weightsPpm = Map("srcA" -> 500000L, "srcB" -> 400000L, "srcD" -> 100000L),
+      tokenBudget = 40L)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
     val bySrc = got.groupBy(_._2)
+    assert(!bySrc.contains("srcD"), bySrc)
     assert(bySrc("srcB").map(_._1).toSet == Set(4L, 5L))
     assert(bySrc("srcB").forall(_._4 == 1000000L))
     assert(!bySrc.contains("srcC"))
@@ -251,7 +257,8 @@ class CorpusShapingSuite extends SparkSpec {
     assert(bySrc.getOrElse("srcA", Array.empty).map(_._1).toSet == expectA)
     // rerun is bit-identical (pure function of id + totals)
     val again = TextAnalysis.mixtureSample(docs, "doc_id", "text", "source",
-      weightsPpm = Map("srcA" -> 500000L, "srcB" -> 500000L), tokenBudget = 40L)
+      weightsPpm = Map("srcA" -> 500000L, "srcB" -> 400000L, "srcD" -> 100000L),
+      tokenBudget = 40L)
       .collect().map(r => r.getLong(0)).toSet
     assert(again == got.map(_._1).toSet)
   }
