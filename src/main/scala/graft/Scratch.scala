@@ -81,6 +81,11 @@ object Scratch {
         val n = t("full_query")(
           Multimodal.decodedNearDupPairs(blobs, maxDist = 2).count())
         println(s"  pairs=$n")
+        // the materialized-table path q120 actually runs
+        val mat = SparkEntry.queries("q120_decoded_near_dup")
+        val nm = t("q120_materialized")(
+          mat(spark, sfDir).queryExecution.toRdd.count())
+        println(s"  q120rows=$nm")
       }
       spark.stop(); return
     }

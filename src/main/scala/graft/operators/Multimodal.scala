@@ -421,15 +421,23 @@ object Multimodal {
   /** Decoded-plane near-dup pairs: same-kind assets whose PLANE hashes are
     * within `maxDist` Hamming bits — codec-invariant where
     * [[perceptualNearDupPairs]] is byte-local. Same collapsed-first shape:
-    * identical planes clique on the sig key, block-subset banding (8
-    * blocks of 8 bits, every `8 − maxDist`-subset a bucket table —
-    * pigeonhole-exact recall) runs over DISTINCT signatures only.
+    * identical planes clique on the sig key, block-subset banding runs
+    * over DISTINCT signatures only with pigeonhole-exact recall.
+    *
+    * Banding geometry is 4 blocks of 16 bits, keep `4 − maxDist` —
+    * deliberately COARSER than q115's 6×10 scheme: table count is
+    * C(blocks, blocks−maxDist), so 8×8-bit blocks cost 28 tables at
+    * maxDist 2 where 4×16-bit cost 6, and the bucket-table volume (rows ×
+    * tables) dominated the measured sf5 wall (~29 s of a 33 s query, the
+    * codecs ≤6 s). The coarse keys are still 32 bits — birthday noise
+    * n²/2^32 stays negligible to ~10^8 distinct signatures, the regime
+    * where a finer subset scheme starts paying for itself.
     * @return (kind, id_a, id_b, hamming), id_a < id_b */
   def decodedNearDupPairs(blobs: Dataset[MediaBlob], maxDist: Int = 2)
       : DataFrame =
     collapsedPairs(Dedup.barrier(
         decodedSignature(blobs).select("media_id", "kind", "sig")),
-      maxDist, blockCount = 8, totalBits = 64)
+      maxDist, blockCount = 4, totalBits = 64)
 
   /** Deterministic 16×16 gray plane for a document: an md5 chain over
     * `(id, text)` expanded to 256 pixel bytes. Unique per document with
