@@ -49,6 +49,7 @@ object Scratch {
         println(s"  total=${sigs.count()} distinctSig=$nSigs")
         pairsWith(4, 1, "cand_old_4x15bit")
         pairsWith(6, 3, "cand_new_C63_30bit")
+        pairsWith(5, 2, "cand_C52_24bit")
         val pairs = t("pairs_full_current")(
           Multimodal.perceptualNearDupPairs(blobs).count())
         println(s"  pairs=$pairs")

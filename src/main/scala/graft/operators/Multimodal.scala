@@ -158,17 +158,19 @@ object Multimodal {
    * pairs of same-kind assets whose perceptual signatures are within
    * `maxDist` Hamming bits, with EXACT recall by block-subset banding
    * (the Manku/Jain/Sarma simhash-dedup table scheme, WWW'07): the
-   * 60-bit signature splits into 6 blocks of 10 bits, and every
-   * `6 − maxDist`-subset of blocks becomes one bucket table (keys are
-   * the concatenated intact blocks). ≤ maxDist flips touch at most
-   * maxDist blocks, so some subset of `6 − maxDist` blocks survives
-   * untouched — by pigeonhole the bucket tables are a COMPLETE candidate
-   * set. Versus the r11 `maxDist + 1` single-block bands (15-bit keys at
-   * maxDist=3), the 30-bit subset keys shrink birthday-collision noise
-   * by ~2^15: random-pair candidates grow as n²/2^keybits per table, and
-   * at sf5 that term had become the candidate majority. Singleton
-   * buckets are pruned before the self-join and candidates verify by
-   * popcount — payload bytes never shuffle, only 8-byte signatures.
+   * 60-bit signature splits into blocks and every
+   * `blocks − maxDist`-subset becomes one bucket table (keys are the
+   * concatenated intact blocks). ≤ maxDist flips touch at most maxDist
+   * blocks, so some subset survives untouched — by pigeonhole the
+   * bucket tables are a COMPLETE candidate set. Geometry is the
+   * measured [[byteStreamBlocks]] = 5×12-bit choice (maxDist ≤ 4): the
+   * r11 single-block 15-bit bands drowned in birthday noise
+   * (candidates grow n²/2^keybits per table), the r12 6×10 scheme
+   * over-corrected into bucket-table volume (20 tables); 10 tables of
+   * 24-bit keys sit at the measured optimum for this signature's
+   * distinct-count regime. Singleton buckets are pruned before the
+   * self-join and candidates verify by popcount — payload bytes never
+   * shuffle, only 8-byte signatures.
    */
   def perceptualNearDupPairs(blobs: Dataset[MediaBlob], maxDist: Int = 3)
       : DataFrame =
@@ -268,9 +270,19 @@ object Multimodal {
     cross.unionByName(clique).select("kind", "id_a", "id_b", "hamming")
   }
 
+  /** Byte-stream banding geometry: 5 blocks of 12 bits. MEASURED against
+    * the r12 6×10 scheme at sf5 (259k distinct sigs, maxDist 3): 10
+    * tables/24-bit keys generate 25.6M candidates in 7.0 s where 20
+    * tables/30-bit keys generate 18.4M in 9.5 s — bucket-table volume
+    * (rows × tables) costs more than the extra candidates' popcounts.
+    * Same n-dependence as the decoded path's 4×16 choice: coarser
+    * subsets win until n² / 2^keyBits noise dominates (~10^6 distinct
+    * sigs at 24-bit keys). */
+  private val byteStreamBlocks = 5
+
   private def pairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame =
     collapsedPairs(sigs.select("media_id", "kind", "sig"), maxDist,
-      blockCount = 6, totalBits = 60)
+      blockCount = byteStreamBlocks, totalBits = 60)
 
   /** Media dedup SURVIVORS — the keep-list the near-dup pairs exist to
     * produce: connected components over [[perceptualNearDupPairs]]'s
@@ -305,7 +317,7 @@ object Multimodal {
       .filter(col("media_id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("media_id").as("id_b"))
     val repEdges = repSigPairs(reps.select("kind", "sig"), maxDist,
-        blockCount = 6, totalBits = 60)
+        blockCount = byteStreamBlocks, totalBits = 60)
       .join(reps.select(col("kind"), col("sig").as("sig_a"),
         col("__rep").as("__ra")), Seq("kind", "sig_a"))
       .join(reps.select(col("kind"), col("sig").as("sig_b"),
