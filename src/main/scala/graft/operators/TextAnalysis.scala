@@ -426,9 +426,14 @@ object TextAnalysis {
         sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"))
       .withColumn("__r", floor(sqrt(col("n_tokens"))).cast("long"))
     val tot = per.agg(sum("__r").as("__rt"))
+    // Degenerate corpus (every source has zero tokens) gives __rt = 0;
+    // the div would return NULL and downstream getLong callers would NPE,
+    // so weights collapse to 0 instead — mirrored by the CASE WHEN in the
+    // q121/q122 oracle twins.
     per.crossJoin(broadcast(tot))
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
-        expr("(__r * 1000000) div __rt").as("weight_ppm"))
+        when(col("__rt") > 0, expr("(__r * 1000000) div __rt"))
+          .otherwise(lit(0L)).as("weight_ppm"))
   }
 
   /**

@@ -120,9 +120,17 @@ object PropertyStore {
    * the shard's document count (properties are finite, per the doc).
    */
   def merkleTree(log: DataFrame, idCol: String, revCol: String,
-      deletedCol: String, payload: Seq[Column], slotCount: Int = 32): DataFrame = {
-    val slots = slotDigests(
+      deletedCol: String, payload: Seq[Column], slotCount: Int = 32): DataFrame =
+    merkleTreeFromLeaves(
       leaves(log, idCol, revCol, deletedCol, payload, slotCount))
+
+  /** [[merkleTree]] over an already-resolved leaf table (the output of
+    * [[leafTable]], typically read back from a materialized artifact):
+    * skips the latest-revision resolution over the raw mutation log — the
+    * store-sized part of the tree build — leaving only the slot/root
+    * digest aggregation, whose output is ≤ `slotCount + 1` rows. */
+  def merkleTreeFromLeaves(leafDf: DataFrame): DataFrame = {
+    val slots = slotDigests(leafDf.select("slot", "entity", "leaf_sha"))
     // root fan-in is ≤ slotCount rows — the collect-sort aggregate is fine
     val root = slots
       .groupBy().agg(
@@ -134,10 +142,21 @@ object PropertyStore {
     slots.unionByName(root)
   }
 
-  /** (entity, leaf_sha, slot) of a property log's live view — the tree's
-    * leaf level, shared by [[merkleTree]] and [[merkleDiff]]. */
-  private def leaves(log: DataFrame, idCol: String, revCol: String,
-      deletedCol: String, payload: Seq[Column], slotCount: Int): DataFrame = {
+  /**
+   * The tree's leaf level WITH the metadata the repair protocol needs:
+   * (entity, rev, deleted, leaf_sha, slot) of a property log's live view —
+   * latest revision per entity INCLUDING tombstones, digested and
+   * slot-assigned. This is the store's repair-state summary: a pure
+   * function of the log, one latest-revision resolution in size, and the
+   * natural MATERIALIZATION unit (the reference keeps the equivalent
+   * structure hot inside each node's repair gossiper; here a per-store
+   * artifact serves the same role, so tree/diff/plan queries never re-walk
+   * the mutation log). `leaf_sha` layout is `md5(entity|rev|deleted|
+   * payload...)` — bit-identical to [[merkleDiff]]'s incremental digest
+   * and to the SQL an external oracle runs.
+   */
+  def leafTable(log: DataFrame, idCol: String, revCol: String,
+      deletedCol: String, payload: Seq[Column], slotCount: Int = 32): DataFrame = {
     val latest = graft.engine.Planners.propertyLatest(log, Seq(idCol), revCol)
     val entity = col(idCol).cast("string")
     val leafSha = md5(concat_ws("|",
@@ -146,7 +165,61 @@ object PropertyStore {
         payload.map(p => coalesce(p, lit("")))): _*))
     val slot = (conv(substring(md5(entity), 1, 15), 16, 10).cast("long")
       % slotCount).as("slot")
-    latest.select(entity.as("entity"), leafSha.as("leaf_sha"), slot)
+    latest.select(entity.as("entity"),
+      col(revCol).cast("long").as("rev"),
+      coalesce(col(deletedCol), lit(false)).as("deleted"),
+      leafSha.as("leaf_sha"), slot)
+  }
+
+  /** (entity, leaf_sha, slot) of a property log's live view — the tree's
+    * leaf level, shared by [[merkleTree]] and [[merkleDiff]]. */
+  private def leaves(log: DataFrame, idCol: String, revCol: String,
+      deletedCol: String, payload: Seq[Column], slotCount: Int): DataFrame =
+    leafTable(log, idCol, revCol, deletedCol, payload, slotCount)
+      .select("entity", "leaf_sha", "slot")
+
+  /**
+   * [[merkleDiff]] over two already-resolved leaf tables ([[leafTable]]
+   * artifacts): the divergence set is one full-outer join on entity over
+   * leaf rows — entity-count-sized inputs with digests precomputed, no
+   * latest-revision resolution, no re-digesting. Output is identical to
+   * [[merkleDiff]] on the underlying logs (same leaf_sha layout, same
+   * absent-side NULL semantics).
+   */
+  def merkleDiffFromLeaves(leavesA: DataFrame, leavesB: DataFrame): DataFrame = {
+    val a = leavesA.select(col("entity"), col("slot").as("__slot_a"),
+      col("leaf_sha").as("sha_a"))
+    val b = leavesB.select(col("entity"), col("slot").as("__slot_b"),
+      col("leaf_sha").as("sha_b"))
+    a.join(b, Seq("entity"), "full")
+      .filter(col("sha_a").isNull || col("sha_b").isNull ||
+        col("sha_a") =!= col("sha_b"))
+      // slot is a pure function of entity, so either side's value serves
+      .select(col("entity"), coalesce(col("__slot_a"), col("__slot_b")).as("slot"),
+        col("sha_a"), col("sha_b"))
+  }
+
+  /**
+   * [[repairPlan]] over two leaf tables: the latest revisions the plan's
+   * winner rule needs are already columns of the artifact, so the whole
+   * plan is the [[merkleDiffFromLeaves]] join with the winner CASE on
+   * top — no per-side revision lookups against the raw logs.
+   */
+  def repairPlanFromLeaves(leavesA: DataFrame, leavesB: DataFrame): DataFrame = {
+    val a = leavesA.select(col("entity"), col("rev").as("rev_a"),
+      col("leaf_sha").as("sha_a"))
+    val b = leavesB.select(col("entity"), col("rev").as("rev_b"),
+      col("leaf_sha").as("sha_b"))
+    a.join(b, Seq("entity"), "full")
+      .filter(col("sha_a").isNull || col("sha_b").isNull ||
+        col("sha_a") =!= col("sha_b"))
+      .withColumn("winner",
+        when(col("sha_b").isNull, lit("a"))
+          .when(col("sha_a").isNull, lit("b"))
+          .when(col("rev_a") > col("rev_b"), lit("a"))
+          .when(col("rev_b") > col("rev_a"), lit("b"))
+          .otherwise(lit("a")))
+      .select(col("entity"), col("winner"), col("rev_a"), col("rev_b"))
   }
 
   /** Slot digests with BOUNDED memory: md5 over each slot's leaf digests

@@ -224,4 +224,30 @@ class PropertyStoreSuite extends SparkSpec {
     // before any history: empty, not an error
     assert(view(0L).isEmpty)
   }
+
+  test("leaf-artifact paths ≡ log paths: tree, diff, and plan are identical") {
+    val pay = Seq(col("v").cast("string"))
+    val base = (1 to 200).map(i => (i.toString, 1L, i * 10, false))
+      .toDF("id", "rev", "v", "deleted")
+    // A: entity 5 newer, entity 50 A-only; B: entity 7 newer, 13 tombstoned
+    val a = PropertyStore.apply(base,
+      Seq(("5", 555), ("50", 500)).toDF("id", "v"), "id", "rev", "deleted")
+    val b = PropertyStore.delete(
+      PropertyStore.apply(base, Seq(("7", 777)).toDF("id", "v"),
+        "id", "rev", "deleted"),
+      Seq("13"), "id", "rev", "deleted")
+    val la = PropertyStore.leafTable(a, "id", "rev", "deleted", pay, 8)
+    val lb = PropertyStore.leafTable(b, "id", "rev", "deleted", pay, 8)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(PropertyStore.merkleTreeFromLeaves(la)) ==
+      rows(PropertyStore.merkleTree(a, "id", "rev", "deleted", pay, 8)))
+    assert(rows(PropertyStore.merkleDiffFromLeaves(la, lb)) ==
+      rows(PropertyStore.merkleDiff(a, b, "id", "rev", "deleted", pay, 8)))
+    assert(rows(PropertyStore.repairPlanFromLeaves(la, lb)) ==
+      rows(PropertyStore.repairPlan(a, b, "id", "rev", "deleted", pay, 8)))
+    // identical stores → empty diff through the artifact path too
+    assert(PropertyStore.merkleDiffFromLeaves(la, la).isEmpty)
+  }
 }
