@@ -366,9 +366,10 @@ object CorpusStats {
    * lexicographically smallest pair) and records it.
    *
    * Deterministic by construction: counts are exact longs, the cut and
-   * every tie-break are total orders. Not SQL-expressible (the loop
-   * rewrites its own input), so the driver gate records this one
-   * rows-only, like the recall reports.
+   * every tie-break are total orders — which is what lets the oracle
+   * re-train the identical table in SQL (a recursive CTE whose working
+   * table holds the word states, one merge round per step; greedy
+   * left-to-right application encodes as match-run parity).
    *
    * @return (rank, left, right, merged, freq) — rank is 1-based merge order
    */
