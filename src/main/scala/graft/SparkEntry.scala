@@ -471,8 +471,14 @@ object SparkEntry {
     * q81/q84 results (and their SQL oracles, which rebuild the same model
     * inline) are unchanged — materializing only stops every scoring query
     * from re-running the corpus-wide vocabulary aggregate. */
+  /** Version tag of the unigram LM build — ONE constant shared by the
+    * model artifact and every downstream artifact that chains it, so a
+    * model bump cannot leave a stale scored frame behind. */
+  private val unigramModelVer = "lm.v1"
+
   private def ensureUnigramModel(s: SparkSession, d: String): String =
-    materialized("unigramlm", d, s"${fileSig(d, "documents")}|v1") { dir =>
+    materialized("unigramlm", d,
+      s"${fileSig(d, "documents")}|$unigramModelVer") { dir =>
       // vocabulary-bounded (~16 B/term under Heap's law) — single file
       graft.operators.CorpusStats.unigramModel(docs(s, d), "doc_id", "text")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
@@ -494,7 +500,7 @@ object SparkEntry {
     // bump must invalidate the downstream scored frame too, or q81/q84
     // would keep serving scores computed from the old model
     materialized("unigramscored", d,
-      s"${fileSig(d, "documents")}|lm.v1|scored.v1") { dir =>
+      s"${fileSig(d, "documents")}|$unigramModelVer|scored.v1") { dir =>
       graft.operators.CorpusStats.unigramLogProbWith(docs(s, d), "doc_id",
           "text", unigramModelDf(s, d))
         .write.mode("overwrite").parquet(s"$dir/scored")
@@ -1864,7 +1870,8 @@ object SparkEntry {
     // 64-bit aHash lands codec twins at Hamming 0 — re-encodes that
     // q112's byte dedup AND q115's byte-stream signature provably miss
     // (the payloads share no bytes). Banding is the same Manku
-    // block-subset scheme at 8×8 bits. The pair set is a pure function
+    // block-subset scheme at the decoded path's 4×16-bit geometry
+    // (6 tables of 32-bit keys at maxDist 2). The pair set is a pure function
     // of the doc ids, which is what makes a decode no SQL engine can
     // perform still SQL-oracle-checkable. The blobs come from the
     // MATERIALIZED media table (ensureMediaTable — encoding is corpus

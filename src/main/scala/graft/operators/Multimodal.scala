@@ -171,6 +171,14 @@ object Multimodal {
    * distinct-count regime. Singleton buckets are pruned before the
    * self-join and candidates verify by popcount — payload bytes never
    * shuffle, only 8-byte signatures.
+   *
+   * Accepted `maxDist` domain is [1, 4] (the 6→5 block change narrowed
+   * it from [1, 5]), and maxDist = 4 is a PERFORMANCE CLIFF: keep =
+   * 5 − 4 = 1 leaves single-block 12-bit bucket keys — exactly the
+   * birthday-noise regime the r11 postmortem documents (candidates grow
+   * n²/2^12 per table). Use maxDist ≤ 3 at scale, or the decoded-plane
+   * path (whose 4×16 geometry keeps 32-bit keys at maxDist 2) when a
+   * wider radius matters.
    */
   def perceptualNearDupPairs(blobs: Dataset[MediaBlob], maxDist: Int = 3)
       : DataFrame =
@@ -245,8 +253,8 @@ object Multimodal {
     * collapsed, a clique of g replicas costs g table rows and its
     * g·(g−1)/2 OUTPUT pairs are produced once, by one equi-join on the
     * sig key — the floor for an operator whose contract is the pairs
-    * themselves. Shared by the byte-stream (6×10-bit) and decoded-plane
-    * (8×8-bit) paths. */
+    * themselves. Shared by the byte-stream (5×12-bit) and decoded-plane
+    * (4×16-bit) paths. */
   private def collapsedPairs(members: DataFrame, maxDist: Int,
       blockCount: Int, totalBits: Int): DataFrame = {
     val rp = repSigPairs(members.select("kind", "sig").distinct(), maxDist,
@@ -437,7 +445,7 @@ object Multimodal {
     * over DISTINCT signatures only with pigeonhole-exact recall.
     *
     * Banding geometry is 4 blocks of 16 bits, keep `4 − maxDist` —
-    * deliberately COARSER than q115's 6×10 scheme: table count is
+    * deliberately COARSER than q115's 5×12 scheme: table count is
     * C(blocks, blocks−maxDist), so 8×8-bit blocks cost 28 tables at
     * maxDist 2 where 4×16-bit cost 6, and the bucket-table volume (rows ×
     * tables) dominated the measured sf5 wall (~29 s of a 33 s query, the

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Round-14 trend assembly: min-of-N Spark runs vs DuckDB timings at
+sf0.1 / sf1 / sf5 over the shared oracle-checked surface, plus the
+box-hour CALIBRATION block (fixed q01+q35 workload timed on both
+engines next to each measurement block) so cross-round deltas decompose
+into box-drift x code.
+
+Inputs under target/trend_r14/ (written by tools/sweep_r14.sh — the RUNS
+list below is the single source of truth both scripts share):
+  bench_{sf01,sf1,sf5}_{a,b}.json   raw Bench lines
+  duck_{sf01,sf1,sf5}.json          time_oracle.py output (per-SF oracle)
+  cal_spark_*.json / cal_duck_*.json  calibration workloads
+"""
+import glob
+import json
+import os
+
+D = 'target/trend_r14'
+RUNS = ('a', 'b')
+CAL_QS = ('q01_scan_timerange', 'q35_lineitem_pricing')
+
+
+def load(p):
+    raw = open(p).read()
+    if '{' not in raw:
+        raise ValueError(f'{p}: no JSON object (empty/truncated run?)')
+    return json.loads(raw[raw.index('{'):])
+
+
+def spark_min(sf):
+    out = {}
+    found = False
+    for run in RUNS:
+        try:
+            qs = load(f'{D}/bench_{sf}_{run}.json')['queries']
+            found = True
+        except FileNotFoundError:
+            continue
+        for k, v in qs.items():
+            out[k] = min(out.get(k, 1e18), v)
+    if not found:
+        print(f'WARN: no bench runs for {sf} '
+              f'(expected bench_{sf}_{{{",".join(RUNS)}}}.json)')
+    return out
+
+
+def duck(sf):
+    try:
+        return {k: v for k, v in load(f'{D}/duck_{sf}.json').items()
+                if not k.startswith('_')}
+    except (FileNotFoundError, ValueError) as e:
+        print(f'WARN: duck_{sf} unusable ({e}) — {sf} ratios omitted')
+        return {}
+
+
+sp = {sf: spark_min(sf) for sf in ('sf01', 'sf1', 'sf5')}
+du = {sf: duck(sf) for sf in ('sf01', 'sf1', 'sf5')}
+
+for sf in ('sf01', 'sf1', 'sf5'):
+    shared = sorted(set(sp[sf]) & set(du[sf]))
+    ts = sum(sp[sf][k] for k in shared)
+    td = sum(du[sf][k] for k in shared)
+    ratio = f"{ts/td:.2f}x" if td > 0 else "n/a (no oracle data)"
+    print(f"{sf}: {len(shared)}q spark {ts:.1f}s duck {td:.1f}s "
+          f"ratio {ratio}")
+
+shared5 = set(sp['sf5']) & set(du['sf5'])
+rows = sorted(shared5, key=lambda k: -sp['sf5'][k])[:12]
+print('\n| query | sf0.1 | sf1 | sf5 |')
+print('|---|---|---|---|')
+for k in rows:
+    cells = []
+    for sf in ('sf01', 'sf1', 'sf5'):
+        s, d = sp[sf].get(k), du[sf].get(k)
+        cells.append(f"{s:.2f}s / {s/d:.2f}×" if s and d else "—")
+    print(f"| {k} | {cells[0]} | {cells[1]} | {cells[2]} |")
+
+# --- calibration block: the fixed workload's per-engine seconds, one
+# line per anchor point. Paste into BASELINE.md; a future round divides
+# its anchors by these to get the box-drift factor, and code deltas are
+# whatever drift does not explain.
+print('\ncalibration anchors (fixed q01+q35 @ sf0.1):')
+for p in sorted(glob.glob(f'{D}/cal_spark_*.json')):
+    tag = os.path.basename(p)[len('cal_spark_'):-len('.json')]
+    try:
+        qs = load(p)['queries']
+        tot = sum(qs.get(q, 0.0) for q in CAL_QS)
+        print(f'  spark[{tag}]: {tot:.3f}s '
+              f'({", ".join(f"{q}={qs[q]:.3f}" for q in CAL_QS if q in qs)})')
+    except (ValueError, KeyError) as e:
+        print(f'  spark[{tag}]: unusable ({e})')
+for p in sorted(glob.glob(f'{D}/cal_duck_*.json')):
+    tag = os.path.basename(p)[len('cal_duck_'):-len('.json')]
+    try:
+        qs = {k: v for k, v in load(p).items() if not k.startswith('_')}
+        tot = sum(qs.get(q, 0.0) for q in CAL_QS)
+        print(f'  duck[{tag}]:  {tot:.3f}s '
+              f'({", ".join(f"{q}={qs[q]:.3f}" for q in CAL_QS if q in qs)})')
+    except (ValueError, KeyError) as e:
+        print(f'  duck[{tag}]: unusable ({e})')
