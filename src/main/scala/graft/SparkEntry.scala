@@ -667,10 +667,17 @@ object SparkEntry {
     ensureStagedLayout(s, d)
     ensurePropertyLog(s, d)
     ensurePropertyLogB(s, d)
+    ensureLeavesA(s, d)
+    ensureLeavesB(s, d)
+    ensureLeavesA2(s, d)
     ensureTrainedCentroids(s, d)
     ensureTrainedPqCodebook(s, d)
     ensureTrainedPqCodebook(s, d, codesPerBlock = 256)
     ensurePrefixIndex(s, d)
+    ensureRecallIvf(s, d)
+    ensureRecallPq(s, d, 16)
+    ensureRecallPq(s, d, 256)
+    ensureRecallRerank(s, d)
     ensureBpeTable(s, d)
     ensureUnigramModel(s, d)
     ensureUnigramScored(s, d)
