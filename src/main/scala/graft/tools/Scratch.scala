@@ -97,6 +97,39 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SCRATCH_MERKLE")) {
+      // q70/q71 floor ablation: how much of the diff's wall is the
+      // artifact scan + per-job constant vs the join itself?
+      import org.apache.spark.sql.functions.col
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      graft.SparkEntry.prepare(spark, sfDir)
+      (1 to 3).foreach { round =>
+        println(s"--- round $round")
+        t("job_launch_floor")(spark.range(1).queryExecution.toRdd.count())
+        val fa = graft.SparkEntry.queries("q70_property_merkle_diff")
+        // the two artifact paths the diff reads, scanned bare
+        val key = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val la = spark.read.parquet(
+          s"/root/repo/target/graft-io/propleaves_a_$key/leaves")
+        val lb = spark.read.parquet(
+          s"/root/repo/target/graft-io/propleaves_b_$key/leaves")
+        t("scan_leaves_a")(la.queryExecution.toRdd.count())
+        t("scan_leaves_b")(lb.queryExecution.toRdd.count())
+        t("scan_both_union")(la.unionByName(lb).queryExecution.toRdd.count())
+        t("diff_join_full")(
+          graft.storage.PropertyStore.merkleDiffFromLeaves(la, lb)
+            .queryExecution.toRdd.count())
+        t("q70_query_fn")(fa(spark, sfDir).queryExecution.toRdd.count())
+        t("q71_query_fn")(graft.SparkEntry.queries("q71_property_repair_plan")(
+          spark, sfDir).queryExecution.toRdd.count())
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_ABLATE")) {
       import org.apache.spark.sql.functions._
       val df = graft.sources.Catalog.load(spark, sfDir, "events")
