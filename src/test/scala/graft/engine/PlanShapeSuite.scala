@@ -321,4 +321,33 @@ class PlanShapeSuite extends SparkSpec {
       "corpus-wide global sort — the bucketed prefix sum degenerated")
     assert(p.contains("BroadcastExchange"), "bucket offsets lost their broadcast")
   }
+
+  test("q67 merkle tree: reads the leaf artifact, never the raw mutation log") {
+    val p = plan("q67_property_merkle")
+    assert(p.contains("propleaves"), "q67 is not reading the leaf artifact")
+    assert(!p.contains("proplog"), "q67 regressed to scanning the raw log")
+    assert(!p.contains("Window"), "latest-revision window reappeared")
+  }
+
+  test("q70 merkle diff: one full-outer join of two leaf artifacts, no log scan, no re-digest") {
+    val p = plan("q70_property_merkle_diff")
+    assert(p.contains("propleaves_a") && p.contains("propleaves_b"),
+      "diff must read both stores' leaf artifacts")
+    assert(!p.contains("proplog"), "diff regressed to scanning a raw log")
+    assert("FullOuter".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.toLowerCase.contains("md5"),
+      "digests recomputed in-plan — leaf_sha is an artifact column")
+    assert(!p.contains("Window") && !p.contains("Aggregate"), p.take(3000))
+  }
+
+  test("q71 repair plan: the winner rule rides the diff join — no extra rev lookups") {
+    val p = plan("q71_property_repair_plan")
+    assert(p.contains("propleaves_a2") && p.contains("propleaves_b"))
+    assert(!p.contains("proplog"), "plan regressed to scanning a raw log")
+    // exactly one join: the artifact carries each side's latest rev
+    assert("FullOuter".r.findAllIn(p).size == 1, p.take(3000))
+    assert("Join".r.findAllIn(p).size <= 2, // SMJ prints "SortMergeJoin ... FullOuter"
+      s"repair plan grew extra joins:\n${p.take(3000)}")
+    assert(!p.contains("Window") && !p.contains("Aggregate"), p.take(3000))
+  }
 }
