@@ -38,12 +38,19 @@ for sf in sf01:/root/testdata/sf0.1 sf1:/root/repo/target/scale-sf1 sf5:/root/re
   echo "ORACLE DUMP $name done"
 done
 
-# --- bench: 2 runs per SF, per-query min taken by trend_r14.py
+# --- bench: 2 runs per SF, per-query min taken by trend_r14.py.
+# SPARK_DRIVER_MEM=8g, NOT the historical 48g: measured at sf5 (r14),
+# the oversized heap is strictly worse for the shuffle-heavy queries —
+# q78 82.1 s @48g / 66.1 s @16g / 39.2 s @8g isolated; full surface
+# 399 s @48g vs 290 s @8g, no OOM anywhere. Oversized execution memory
+# grows in-memory aggregation structures past cache-friendliness and
+# stalls on GCLocker'd humongous allocations; the same lesson as
+# executor sizing at 100 TB — more heap is not more speed.
 for sf in sf01:/root/testdata/sf0.1 sf1:/root/repo/target/scale-sf1 sf5:/root/repo/target/scale-sf5; do
   name=${sf%%:*}; dir=${sf#*:}
   calibrate "$name"
   for run in a b; do
-    SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+    SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
       sbt -batch "runMain graft.Bench" >/dev/null 2>&1
     cp target/bench_full.json "$T/bench_${name}_${run}.json"
     echo "BENCH ${name} ${run} done"

