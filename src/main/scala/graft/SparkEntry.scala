@@ -204,13 +204,21 @@ object SparkEntry {
       })))
   }
 
+  /** Spec strings of the three property mutation logs — ONE definition
+    * shared by each log builder and its leaf materialization, so a spec
+    * bump can never desynchronize a log from its derived leaf artifact
+    * (the leaf fingerprint chains these by reference, not by re-typing). */
+  private val logSpecA = "upsert5.delete12.v1"
+  private val logSpecB = "divergeB.v1"
+  private val logSpecA2 = "divergeA2.v1"
+
   /** Property mutation log materialized the way a store writes it: each
     * batch (base, upsert, delete) lands as an APPEND to the log table, so
     * the timed q49 read resolves the live view from storage instead of
     * re-deriving the whole mutation chain lazily per run. The mutation
     * semantics stay proven by PropertyStoreSuite. */
   private def ensurePropertyLog(s: SparkSession, d: String): String =
-    materialized("proplog", d, s"${fileSig(d, "orders")}|upsert5.delete12.v1") { dir =>
+    materialized("proplog", d, s"${fileSig(d, "orders")}|$logSpecA") { dir =>
       import graft.storage.PropertyStore
       val path = s"$dir/log"
       val log0 = ord(s, d).select(
@@ -261,20 +269,20 @@ object SparkEntry {
 
   private def ensureLeavesA(s: SparkSession, d: String): String =
     ensurePropertyLeaves(s, d, "a",
-      s"${fileSig(d, "orders")}|upsert5.delete12.v1", ensurePropertyLog(s, d))
+      s"${fileSig(d, "orders")}|$logSpecA", ensurePropertyLog(s, d))
   private def ensureLeavesB(s: SparkSession, d: String): String =
     ensurePropertyLeaves(s, d, "b",
-      s"${fileSig(d, "orders")}|divergeB.v1", ensurePropertyLogB(s, d))
+      s"${fileSig(d, "orders")}|$logSpecB", ensurePropertyLogB(s, d))
   private def ensureLeavesA2(s: SparkSession, d: String): String =
     ensurePropertyLeaves(s, d, "a2",
-      s"${fileSig(d, "orders")}|divergeA2.v1", ensurePropertyLogA2(s, d))
+      s"${fileSig(d, "orders")}|$logSpecA2", ensurePropertyLogA2(s, d))
 
   /** Replica B for the Merkle repair drill-down (q70): replica A's log
     * plus one divergent upsert batch (ids 3,4) and one tombstone (id 7) —
     * the two stores then differ in exactly the slots those ids hash to. */
   private def ensurePropertyLogB(s: SparkSession, d: String): String = {
     val aRoot = ensurePropertyLog(s, d)
-    materialized("proplogb", d, s"${fileSig(d, "orders")}|divergeB.v1") { dir =>
+    materialized("proplogb", d, s"${fileSig(d, "orders")}|$logSpecB") { dir =>
       import graft.storage.PropertyStore
       val path = s"$dir/log"
       val logA = s.read.parquet(s"$aRoot/log")
@@ -292,7 +300,7 @@ object SparkEntry {
     * B's divergences (ids 3,4,7) are newer on B, id 9 is newer on A. */
   private def ensurePropertyLogA2(s: SparkSession, d: String): String = {
     val aRoot = ensurePropertyLog(s, d)
-    materialized("proploga2", d, s"${fileSig(d, "orders")}|divergeA2.v1") { dir =>
+    materialized("proploga2", d, s"${fileSig(d, "orders")}|$logSpecA2") { dir =>
       import graft.storage.PropertyStore
       val path = s"$dir/log"
       val logA = s.read.parquet(s"$aRoot/log")
@@ -303,12 +311,20 @@ object SparkEntry {
     }
   }
 
+  /** Trainer spec strings — ONE definition shared by the quantizer
+    * trainers and every recall-shortlist fingerprint derived from them
+    * (same discipline as [[logSpecA]]): a trainer spec bump now rebuilds
+    * BOTH the quantizer and the pinned shortlists, so the q69/q94/q103/
+    * q107 oracle twins can never verify green over a stale shortlist. */
+  private val ivfTrainSpec = "nlist8.iters3"
+  private def pqTrainSpec(codesPerBlock: Int) = s"b8.k$codesPerBlock.iters3"
+
   /** Offline IVF quantizer training, materialized once per embeddings
     * fingerprint — k-means is an OFFLINE job in any real deployment (the
     * index build), so q69 times the recall measurement over the trained
     * quantizer, not a per-query re-train. */
   private def ensureTrainedCentroids(s: SparkSession, d: String): String =
-    materialized("ivfcents", d, s"${fileSig(d, "embeddings")}|nlist8.iters3.v1") { dir =>
+    materialized("ivfcents", d, s"${fileSig(d, "embeddings")}|$ivfTrainSpec.v1") { dir =>
       import s.implicits._
       Similarity.trainIvfCentroids(emb(s, d), nlist = 8, iters = 3)
         .toSeq.map { case (cid, v) => (cid, v.toSeq) }
@@ -330,7 +346,7 @@ object SparkEntry {
   private def ensureTrainedPqCodebook(s: SparkSession, d: String,
       codesPerBlock: Int = 16): String =
     materialized(s"pqcb$codesPerBlock", d,
-      s"${fileSig(d, "embeddings")}|b8.k$codesPerBlock.iters3.v1") { dir =>
+      s"${fileSig(d, "embeddings")}|${pqTrainSpec(codesPerBlock)}.v1") { dir =>
       import s.implicits._
       Similarity.trainPqCodebooks(emb(s, d), dim = 64, nBlocks = 8,
         codesPerBlock = codesPerBlock, iters = 3)
@@ -365,19 +381,20 @@ object SparkEntry {
     }
 
   private def ensureRecallIvf(s: SparkSession, d: String): String =
-    ensureRecallApprox(s, d, "ivf", "nlist8.iters3.nprobe2.k5.v1") {
+    ensureRecallApprox(s, d, "ivf", s"$ivfTrainSpec.nprobe2.k5.v1") {
       val e = emb(s, d)
       Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 10), k = 5,
         readTrainedCentroids(s, d), nprobe = 2)
     }
   private def ensureRecallPq(s: SparkSession, d: String, codes: Int): String =
-    ensureRecallApprox(s, d, s"pq$codes", s"b8.k$codes.iters3.k5.v1") {
+    ensureRecallApprox(s, d, s"pq$codes", s"${pqTrainSpec(codes)}.k5.v1") {
       val e = emb(s, d)
       Similarity.pqTopKWith(e, e.filter(col("vec_id") < 10), k = 5,
         readTrainedPqCodebook(s, d, codes), nBlocks = 8, codesPerBlock = codes)
     }
   private def ensureRecallRerank(s: SparkSession, d: String): String =
-    ensureRecallApprox(s, d, "rerank", "nlist8.b8.k16.nprobe2.kshort50.k5.v1") {
+    ensureRecallApprox(s, d, "rerank",
+      s"$ivfTrainSpec.${pqTrainSpec(16)}.nprobe2.kshort50.k5.v1") {
       val e = emb(s, d)
       Similarity.ivfAdcRerankTopK(e, e.filter(col("vec_id") < 10), k = 5,
         kShort = 50, readTrainedCentroids(s, d), readTrainedPqCodebook(s, d),
@@ -3492,6 +3509,12 @@ object SparkEntry {
     // best-pair aggregate) — DuckDB evaluates both against the previous
     // iteration, exactly the loop's semantics. Rank k's merge is then
     // read back as the best pair of state k−1.
+    // PORTABILITY NOTE: the double recursive self-reference is
+    // nonstandard SQL (Postgres and most engines reject it); it is a
+    // documented DuckDB capability and verified green on the pinned
+    // DuckDB 1.0.0. If a DuckDB upgrade starts rejecting this twin,
+    // THIS is the reason — split the recursive term with a materialized
+    // per-iteration best-pair table, or re-pin DuckDB.
     "q110_bpe_merges" ->
       """WITH RECURSIVE
         |wf AS (

@@ -185,6 +185,15 @@ object PropertyStore {
    * latest-revision resolution, no re-digesting. Output is identical to
    * [[merkleDiff]] on the underlying logs (same leaf_sha layout, same
    * absent-side NULL semantics).
+   *
+   * PRECONDITION (both FromLeaves methods): the two leaf tables must have
+   * been built by [[leafTable]] with the SAME `slotCount` and the SAME
+   * `payload` rendering. Digests are only comparable under one payload
+   * canon, and the coalesced `slot` column assumes both sides hash
+   * entities into the same slot space — tables built with differing
+   * slotCount would emit rows with inconsistent slot labels rather than
+   * an error (slotCount is not carried in the artifact). All in-repo
+   * callers share [[graft.SparkEntry.merklePayload]] and slotCount=32.
    */
   def merkleDiffFromLeaves(leavesA: DataFrame, leavesB: DataFrame): DataFrame = {
     val a = leavesA.select(col("entity"), col("slot").as("__slot_a"),
@@ -203,7 +212,8 @@ object PropertyStore {
    * [[repairPlan]] over two leaf tables: the latest revisions the plan's
    * winner rule needs are already columns of the artifact, so the whole
    * plan is the [[merkleDiffFromLeaves]] join with the winner CASE on
-   * top — no per-side revision lookups against the raw logs.
+   * top — no per-side revision lookups against the raw logs. Same
+   * same-slotCount / same-payload precondition as [[merkleDiffFromLeaves]].
    */
   def repairPlanFromLeaves(leavesA: DataFrame, leavesB: DataFrame): DataFrame = {
     val a = leavesA.select(col("entity"), col("rev").as("rev_a"),

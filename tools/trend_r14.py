@@ -76,7 +76,13 @@ for k in rows:
     cells = []
     for sf in ('sf01', 'sf1', 'sf5'):
         s, d = sp[sf].get(k), du[sf].get(k)
-        cells.append(f"{s:.2f}s / {s/d:.2f}×" if s and d else "—")
+        # `is not None` (not truthiness): a legitimate 0.00s timing must
+        # render, not vanish as the missing-data em-dash; d > 0 guards the
+        # ratio against a sub-10ms oracle rounding to zero.
+        if s is not None and d is not None:
+            cells.append(f"{s:.2f}s / {s/d:.2f}×" if d > 0 else f"{s:.2f}s / n-a")
+        else:
+            cells.append("—")
     print(f"| {k} | {cells[0]} | {cells[1]} | {cells[2]} |")
 
 # --- calibration block: the fixed workload's per-engine seconds, one
