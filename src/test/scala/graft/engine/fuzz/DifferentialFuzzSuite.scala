@@ -1,0 +1,186 @@
+package graft.engine.fuzz
+
+import graft.SparkSpec
+import graft.engine.Planners
+import graft.model._
+import scala.util.Random
+
+/**
+ * Randomized differential fuzzer: ≥500 seeded random measure cases per
+ * run, each executed through `Planners.measure` AND through a
+ * mechanically-derived DuckDB twin ([[FuzzTwin]]), results compared as
+ * canonical multisets. The reference gates its own correctness with
+ * generated cases (its `Makefile generate-test-cases` target and the
+ * gen_leaf/gen_tree/gen_feat golden families); this suite is that idea
+ * pointed at the semantic corners no hand-picked query covers.
+ *
+ * On a divergence the suite SHRINKS the failing case (drop clauses,
+ * substitute criteria subtrees) against the live oracle and reports the
+ * minimal failing query + twin SQL.
+ *
+ * Seed/size are env-tunable (SPARK_GRAFT_FUZZ_SEED / SPARK_GRAFT_FUZZ_N)
+ * so a CI failure replays exactly.
+ */
+class DifferentialFuzzSuite extends SparkSpec {
+
+  private val fixtureDir = "target/fuzz"
+
+  private def pythonDuckAvailable: Boolean =
+    try new ProcessBuilder("python3", "-c", "import duckdb").start()
+      .waitFor() == 0
+    catch { case _: java.io.IOException => false }
+
+  private lazy val fixtureDf = {
+    val df = FuzzFixture.write(spark, fixtureDir, seed = 7L, n = 700)
+    df.cache().count() // one read; 500 plans re-scan the cached frame
+    df
+  }
+
+  private def runEngine(q: MeasureQuery): Either[Throwable, (Seq[String], Seq[Seq[CVal]])] =
+    try {
+      val res = Planners.measure(fixtureDf, FuzzFixture.tdef, q)
+      val cols = res.columns.toSeq
+      val rows = res.collect().toSeq.map(r =>
+        (0 until r.length).map(i => CVal.ofSpark(r.get(i))))
+      Right((cols, rows))
+    } catch { case t: Throwable => Left(t) }
+
+  /** None = agree; Some(detail) = divergence description. */
+  private def compare(engine: (Seq[String], Seq[Seq[CVal]]),
+      oracle: (Seq[String], Seq[Seq[CVal]])): Option[String] = {
+    val (ec, er) = engine
+    val (oc, or) = oracle
+    if (ec != oc) return Some(s"columns: spark=$ec duck=$oc")
+    if (er.size != or.size) return Some(s"rows: spark=${er.size} duck=${or.size}")
+    val es = er.map(_.map(_.render).mkString("|")).sorted
+    val os = or.map(_.map(_.render).mkString("|")).sorted
+    es.zip(os).zipWithIndex.collectFirst {
+      case ((e, o), i) if e != o =>
+        val showE = er.map(_.map(_.show).mkString(", ")).sorted
+        val showO = or.map(_.map(_.show).mkString(", ")).sorted
+        s"row $i: spark=(${showE(i)}) duck=(${showO(i)})"
+    }
+  }
+
+  private val acceptedRejections = Seq(
+    "invalid group-by tag",
+    "only EQ and IN are supported on entity tag",
+    "is not supported on array tag",
+    "criteria AND pins an entity tag to conflicting values")
+
+  sealed private trait Outcome
+  private case object Agreed extends Outcome
+  private case class Rejected(msg: String) extends Outcome
+  private case class Diverged(detail: String) extends Outcome
+
+  private def runCase(fc: FuzzGen.FuzzCase, oracle: DuckOracle): Outcome =
+    runEngine(fc.q) match {
+      case Left(e: IllegalArgumentException)
+          if acceptedRejections.exists(m => Option(e.getMessage).exists(_.contains(m))) =>
+        Rejected(e.getMessage)
+      case Left(e) =>
+        Diverged(s"engine threw unexpectedly: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      case Right(_) if fc.deliberatelyInvalid =>
+        Diverged("validator failed to reject a deliberately-invalid query")
+      case Right(engineRes) =>
+        oracle.query(FuzzTwin.sql(fc.q)) match {
+          case Left(err) => Diverged(s"oracle rejected twin SQL: $err")
+          case Right(oracleRes) =>
+            compare(engineRes, oracleRes).map(Diverged(_)).getOrElse(Agreed)
+        }
+    }
+
+  /** Does a (possibly shrunk) candidate still diverge? Engine errors and
+    * twin errors during shrinking mean "candidate unusable", not progress. */
+  private def stillDiverges(q: MeasureQuery, oracle: DuckOracle): Boolean =
+    runEngine(q) match {
+      case Left(_) => false
+      case Right(engineRes) =>
+        oracle.query(FuzzTwin.sql(q)) match {
+          case Left(_) => false
+          case Right(oracleRes) => compare(engineRes, oracleRes).isDefined
+        }
+    }
+
+  private def subtrees(c: Criteria): Seq[Criteria] = c match {
+    case And(l, r) => Seq(l, r) ++ subtrees(l) ++ subtrees(r)
+    case Or(l, r) => Seq(l, r) ++ subtrees(l) ++ subtrees(r)
+    case _: Cond => Nil
+  }
+
+  private def shrinkCandidates(q: MeasureQuery): Seq[MeasureQuery] = {
+    val structural = Seq(
+      q.copy(top = None),
+      q.copy(orderBy = None),
+      q.copy(offset = 0),
+      q.copy(limit = 10000),
+      q.copy(timeRange = None),
+      q.copy(agg = None),
+      q.copy(groupByTags = Nil),
+      q.copy(tagProjection = Nil, fieldProjection = Nil)).filterNot(_ == q)
+    val crit = q.criteria.toSeq.flatMap { c =>
+      (None +: subtrees(c).map(Some(_))).map(nc => q.copy(criteria = nc))
+    }.filterNot(_ == q)
+    structural ++ crit
+  }
+
+  private def shrink(q0: MeasureQuery, oracle: DuckOracle): MeasureQuery = {
+    var q = q0
+    var progress = true
+    var steps = 0
+    while (progress && steps < 60) {
+      progress = false
+      shrinkCandidates(q).find(stillDiverges(_, oracle)).foreach { smaller =>
+        q = smaller; progress = true
+      }
+      steps += 1
+    }
+    q
+  }
+
+  test("differential fuzz: seeded random measure cases match the DuckDB twin") {
+    assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
+    val seed = sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
+    val n = sys.env.get("SPARK_GRAFT_FUZZ_N").map(_.toInt).getOrElse(500)
+    fixtureDf // force fixture before the oracle views the directory
+    val oracle = new DuckOracle(fixtureDir)
+    try {
+      var agreed = 0
+      var rejected = 0
+      var invalidCaught = 0
+      val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (i <- 0 until n) {
+        val fc = FuzzGen.genCase(new Random(seed + i * 7919L))
+        runCase(fc, oracle) match {
+          case Agreed => agreed += 1
+          case Rejected(_) =>
+            rejected += 1
+            if (fc.deliberatelyInvalid) invalidCaught += 1
+          case Diverged(detail) if failures.size < 5 =>
+            // self-flake check: a nondeterministic engine result is its
+            // own (different) bug class — call it out explicitly
+            val selfCheck = (runEngine(fc.q), runEngine(fc.q)) match {
+              case (Right(a), Right(b)) if compare(a, b).isDefined =>
+                " [ENGINE NONDETERMINISTIC across two runs]"
+              case _ => ""
+            }
+            val minimal = shrink(fc.q, oracle)
+            failures += s"""case #$i$selfCheck: $detail
+               |  original: ${fc.q}
+               |  minimal:  $minimal
+               |  twin SQL: ${scala.util.Try(FuzzTwin.sql(minimal)).getOrElse("<unrenderable>")}
+               |""".stripMargin
+          case Diverged(_) => failures += s"case #$i (detail suppressed, >5 failures)"
+        }
+      }
+      info(s"fuzz: $agreed agreed, $rejected rejected " +
+        s"($invalidCaught deliberately invalid), ${failures.size} diverged (n=$n, seed=$seed)")
+      assert(failures.isEmpty,
+        s"\n${failures.size} divergence(s):\n${failures.mkString("\n")}")
+      // the compare corpus must stay a corpus — validation rejections are
+      // expected (entity-pin conflicts arise organically) but bounded
+      assert(agreed >= n * 55 / 100,
+        s"only $agreed/$n cases reached the differential compare")
+    } finally oracle.close()
+  }
+}
