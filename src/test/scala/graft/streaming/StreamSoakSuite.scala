@@ -1,0 +1,243 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{CorpusStats, Dedup}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import scala.util.Random
+
+/** Labeled streaming document for the model-maintenance cycles. */
+final case class SoakDoc(ts: java.sql.Timestamp, element_id: String,
+    text: String, positive: Boolean)
+
+/**
+ * Streaming soak-parity composition — a miniaturized version of the
+ * reference's streaming quality gate (its 48h soak replays 576
+ * byte-identical cycles, docs/soak/g5d-phase-d-summary.md): N seeded
+ * random corpora × random micro-batch splits × checkpoint-kill-recover at
+ * a random batch boundary, cycled over all four stateful streaming
+ * operators (StreamDedup, StreamNearDup, StreamModel, TopNStream), each
+ * cycle asserting replay ≡ batch.
+ *
+ * Kill cycles stop the query at (or just after data lands at) a batch
+ * boundary and restart a NEW query on the SAME checkpoint + source — the
+ * durable-sink/exactly-once path: the file-sink log (or the idempotent
+ * Complete-mode overwrite for the model) must absorb the replayed batch.
+ *
+ * Exactness envelope (so replay ≡ batch is an equality, not a tolerance):
+ * every cycle's event times span less than the watermark delay (no
+ * eviction races), counters/LRU sized above the corpus (no approximation),
+ * which is precisely the regime where the operators' contracts promise
+ * batch parity. The eviction/approximation behaviors have their own
+ * targeted suites (StreamNearDupSuite, TopNStreamSuite, TopNLruPropertySpec).
+ */
+class StreamSoakSuite extends SparkSpec {
+
+  private def tmp(prefix: String): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/test-tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  private val wordPool = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+    "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+
+  private def sentence(rnd: Random, len: Int): String =
+    Seq.fill(len)(wordPool(rnd.nextInt(wordPool.size))).mkString(" ")
+
+  /** Random contiguous split into 1..maxParts non-empty batches. */
+  private def split[A](rnd: Random, xs: Seq[A], maxParts: Int): Seq[Seq[A]] = {
+    if (xs.isEmpty) return Seq(xs)
+    val parts = 1 + rnd.nextInt(maxParts)
+    val cuts = (Seq(0, xs.size) ++ Seq.fill(parts - 1)(rnd.nextInt(xs.size + 1)))
+      .distinct.sorted
+    cuts.zip(cuts.tail).map { case (a, b) => xs.slice(a, b) }.filter(_.nonEmpty)
+  }
+
+  /**
+   * Drive `transform` over the batches with an optional kill/restart at a
+   * random batch boundary (the batch at the boundary is ADDED but NOT
+   * processed before the stop — it replays on the restarted query).
+   * Returns every row the durable sink holds at the end.
+   */
+  private def drive[T <: Product : org.apache.spark.sql.Encoder](
+      rnd: Random,
+      transform: DataFrame => DataFrame,
+      batches: Seq[Seq[T]],
+      kill: Boolean,
+      completeModeModel: Boolean = false): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[T]
+    val ckpt = tmp("soak_ckpt")
+    val out = tmp("soak_out")
+    def start() = {
+      val s = transform(src.toDF())
+      if (completeModeModel)
+        // Complete-mode snapshot → idempotent whole-table overwrite per
+        // batch (the nbstream artifact pattern): replaying a batch after
+        // recovery rewrites the same snapshot
+        s.writeStream.outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/model")
+          }.start()
+      else
+        s.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append)
+          .start()
+    }
+    val killAt = if (kill && batches.size > 1) 1 + rnd.nextInt(batches.size - 1)
+      else -1
+    var q = start()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      src.addData(b)
+      if (i == killAt) {
+        q.stop() // the just-added batch is uncommitted → replays on restart
+        q = start()
+      }
+      q.processAllAvailable()
+    }
+    q.processAllAvailable()
+    q.stop()
+    val path = if (completeModeModel) s"$out/model" else out
+    // a sink that never received a row has no schema to infer
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
+  }
+
+  // ---------- per-operator cycles ----------
+
+  /** StreamDedup: one survivor per element id; exactly-once across kills. */
+  private def dedupCycle(rnd: Random, kill: Boolean): Unit = {
+    import spark.implicits._
+    val nIds = 8 + rnd.nextInt(20)
+    val docs = (0 until nIds).flatMap { i =>
+      val copies = 1 + rnd.nextInt(3) // redeliveries share id AND payload
+      val text = sentence(rnd, 6)
+      (0 until copies).map(c => SoakDoc(ts(1000L + i * 100 + c), s"e$i", text,
+        positive = false))
+    }
+    val batches = split(rnd, rnd.shuffle(docs.toList).toSeq, 5)
+    val rows = drive[SoakDoc](rnd,
+      StreamDedup.dedupElements(_, "ts", "1 hour", Seq("element_id")),
+      batches, kill).collect()
+    val ids = rows.map(_.getAs[String]("element_id"))
+    assert(ids.sorted.toSeq == (0 until nIds).map(i => s"e$i").sorted,
+      s"dedup soak: expected one row per id, got ${ids.toSeq.sorted}")
+  }
+
+  /** StreamNearDup: streamed pair set ≡ batch Dedup.minhashLshPairs. */
+  private def nearDupCycle(rnd: Random, kill: Boolean): Unit = {
+    import spark.implicits._
+    val nClusters = 2 + rnd.nextInt(3)
+    var id = 0L
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    (0 until nClusters).foreach { _ =>
+      val words = Seq.fill(10 + rnd.nextInt(3))(wordPool(rnd.nextInt(wordPool.size)))
+      val base = words.mkString(" ")
+      val members = 2 + rnd.nextInt(2)
+      docs += ((id, base)); id += 1
+      (1 until members).foreach { _ =>
+        // tail-word edit: high shingle overlap, clears the 0.5 threshold
+        docs += ((id, (words.init :+ wordPool(rnd.nextInt(wordPool.size))).mkString(" ")))
+        id += 1
+      }
+    }
+    (0 until 2 + rnd.nextInt(4)).foreach { _ =>
+      docs += ((id, sentence(rnd, 8 + rnd.nextInt(4)))); id += 1
+    }
+    val corpus = rnd.shuffle(docs.toList).toSeq
+    val batchPairs = Dedup.minhashLshPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        w = 3, bands = 32, rowsPerBand = 2, threshold = 0.5)
+      .collect()
+      .map(r => (math.min(r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        math.max(r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))).toSet
+    val streamedRows = drive[NearDoc](rnd,
+      StreamNearDup.nearDupPairsStream(_, "doc_id", "ts", "text", "1 hour",
+        threshold = 0.5, maxSketch = 4096).toDF(),
+      split(rnd, corpus.zipWithIndex.map { case ((i, t), k) =>
+        NearDoc(ts(1000L + k * 50), i, t) }, 5), kill).collect()
+    val streamed = streamedRows.map(r =>
+      (math.min(r.getAs[Long]("first_id"), r.getAs[Long]("dup_id")),
+        math.max(r.getAs[Long]("first_id"), r.getAs[Long]("dup_id")))).toSet
+    assert(streamed == batchPairs,
+      s"neardup soak: stream=$streamed batch=$batchPairs corpus=$corpus")
+  }
+
+  /** StreamModel: final count table ≡ batch nbTokenCounts. */
+  private def modelCycle(rnd: Random, kill: Boolean): Unit = {
+    import spark.implicits._
+    val nDocs = 10 + rnd.nextInt(25)
+    val docs = (0 until nDocs).map { i =>
+      SoakDoc(ts(1000L + i * 20), s"d$i", sentence(rnd, 4 + rnd.nextInt(8)),
+        positive = rnd.nextBoolean())
+    }
+    val rows = drive[SoakDoc](rnd,
+      StreamModel.nbCountsStream(_, "text", col("positive")),
+      split(rnd, docs, 5), kill, completeModeModel = true).collect()
+    val batch = CorpusStats.nbTokenCounts(docs.toDF(), "text", col("positive"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"model soak: stream=$streamed batch=$batch")
+  }
+
+  /** TopNStream: final snapshots ≡ batch Planners.topNBuckets. */
+  private def topNCycle(rnd: Random, kill: Boolean): Unit = {
+    import spark.implicits._
+    val hour = 3600000L
+    val entities = Vector("a", "b", "c", "d", "e", "f").take(3 + rnd.nextInt(3))
+    val nPoints = 15 + rnd.nextInt(30)
+    val points = (0 until nPoints).map { _ =>
+      TopNPoint(ts(rnd.nextInt(3) * hour + rnd.nextInt(1000) * 1000L),
+        entities(rnd.nextInt(entities.size)), 1L + rnd.nextInt(1000))
+    }
+    val cfg = TopNStreamConfig(intervalMs = hour, n = 3, countersNumber = 100,
+      lruSize = 8) // above bucket count: exactness envelope, no eviction
+    val appended = drive[TopNPoint](rnd, TopNStream.topNAggregate(_, cfg),
+      split(rnd, points, 5), kill)
+    val streamed = TopNStream.latestSnapshot(appended)
+      .collect().map(r => (r.getAs[Long]("bucket_ms"),
+        r.getAs[String]("entity"), r.getAs[Long]("value"))).toSet
+    val batch = graft.engine.Planners.topNBuckets(
+        points.toDF().withColumn("__ns", expr("unix_micros(ts) * 1000")),
+        tsNanosCol = "__ns", entityCol = "entity",
+        valueExpr = col("value"), intervalMs = hour, n = 3, desc = true)
+      .collect().map(r => (r.getAs[Long]("bucket_ms"),
+        r.getAs[String]("entity"), r.getAs[Long]("value")))
+      .toSet
+    assert(streamed == batch, s"topn soak: stream=$streamed batch=$batch")
+  }
+
+  test("soak: randomized split × kill/recover cycles over all four stream operators") {
+    val seed = sys.env.get("SPARK_GRAFT_SOAK_SEED").map(_.toLong).getOrElse(20260815L)
+    val cycles = sys.env.get("SPARK_GRAFT_SOAK_CYCLES").map(_.toInt).getOrElse(52)
+    var kills = Map.empty[Int, Int].withDefaultValue(0)
+    for (c <- 0 until cycles) {
+      val rnd = new Random(seed + c * 104729L)
+      val op = c % 4
+      // every third per-operator cycle is a kill/recover cycle → ≥4 kills
+      // per operator at the default 52 cycles
+      val kill = (c / 4) % 3 == 1
+      if (kill) kills += op -> (kills(op) + 1)
+      withClue(s"cycle $c op=$op kill=$kill seed=${seed + c * 104729L}: ") {
+        op match {
+          case 0 => dedupCycle(rnd, kill)
+          case 1 => nearDupCycle(rnd, kill)
+          case 2 => modelCycle(rnd, kill)
+          case 3 => topNCycle(rnd, kill)
+        }
+      }
+    }
+    (0 until 4).foreach(op => assert(kills(op) >= 1,
+      s"operator $op never exercised a kill/recover cycle"))
+  }
+}
