@@ -114,9 +114,11 @@ object Dedup {
       .withColumn("sig",
         graft.functions.SketchFunctions.minhashSigLongs(col("sh"), k)))
     val sh = mat.select("id", "sh")
-    val sigs = mat.select("id", "sig")
-    // Band buckets carry ids ONLY — no signature payload through the shuffle.
-    val buckets = sigs.select(col("id"),
+    val sigs = mat.select(col("id"), size(col("sh")).as("sz"), col("sig"))
+    // Band buckets carry (id, shingle-set size) ONLY — no signature
+    // payload through the shuffle. The 8-byte size rides along to feed
+    // the size-ratio gate below.
+    val buckets = sigs.select(col("id"), col("sz"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))))
@@ -126,10 +128,18 @@ object Dedup {
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select("band", "bucket")
     val pruned = buckets.join(hot, Seq("band", "bucket"))
-    val cand = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
+    val cand = pruned
+      .select(col("band"), col("bucket"), col("id").as("id_a"), col("sz").as("__sz_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("sz").as("__sz_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // EXACT size-ratio gate (no recall loss): J(A,B) ≤ min(|A|,|B|) /
+      // max(|A|,|B|), so J ≥ t already requires min ≥ t·max — a banding
+      // collision between documents whose shingle counts differ by more
+      // than 1/t never survives verification, so it never reaches the
+      // pair-dedup shuffle or the (expensive) shingle-array verify join.
+      .filter(least(col("__sz_a"), col("__sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("__sz_a"), col("__sz_b")))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     // Verify candidates with exact Jaccard over the persisted shingle sets.
     cand
@@ -138,6 +148,57 @@ object Dedup {
       .withColumn("__j", exactJaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("__j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /**
+   * Funnel breakdown of the [[minhashLshPairs]] pipeline — the r12-verdict
+   * diagnostic (candidates generated vs size-gate survivors vs verified):
+   * one row (docs, band_collisions, candidates, size_gated, emitted).
+   * Diagnostic-only (drives the BASELINE.md q24 floor analysis via
+   * tools/Scratch); the query path stays [[minhashLshPairs]].
+   */
+  def minhashLshFunnel(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): Map[String, Long] = {
+    val k = bands * rowsPerBand
+    val mat = barrier(df
+      .select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.shingleHashes(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig",
+        graft.functions.SketchFunctions.minhashSigLongs(col("sh"), k)))
+    val sh = mat.select("id", "sh")
+    val sigs = mat.select(col("id"), size(col("sh")).as("sz"), col("sig"))
+    val buckets = sigs.select(col("id"), col("sz"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val hot = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select("band", "bucket")
+    val pruned = buckets.join(hot, Seq("band", "bucket"))
+    val collisions = barrier(pruned
+      .select(col("band"), col("bucket"), col("id").as("id_a"), col("sz").as("__sz_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("sz").as("__sz_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sz_a", "__sz_b"))
+    val gated = barrier(collisions
+      .filter(least(col("__sz_a"), col("__sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("__sz_a"), col("__sz_b")))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b"))
+    val emitted = gated
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__sh_b")), Seq("id_b"))
+      .filter(exactJaccard(col("__sh_a"), col("__sh_b")) >= threshold)
+    Map(
+      "docs" -> mat.count(),
+      "band_collisions" -> collisions.count(),
+      "distinct_candidates" -> collisions.select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b").count(),
+      "size_gated" -> gated.count(),
+      "emitted" -> emitted.count())
   }
 
   /** 60-bit SimHash over the token multiset: per bit position, strict

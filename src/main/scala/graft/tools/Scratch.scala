@@ -130,6 +130,32 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SCRATCH_MINHASH")) {
+      // q24 funnel breakdown (r12 verdict #3): candidates generated vs
+      // size-gate survivors vs verified-emitted, plus the full-query wall
+      // before/after the gate — drives the BASELINE.md q24 analysis.
+      import graft.operators.Dedup
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      (1 to 2).foreach { round =>
+        println(s"--- round $round")
+        val funnel = t("funnel")(Dedup.minhashLshFunnel(
+          docs, "doc_id", "text", w = 3, bands = 32, rowsPerBand = 2,
+          threshold = 0.5))
+        println("  " + funnel.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString(" "))
+        val n = t("q24_full")(Dedup.minhashLshPairs(
+          docs, "doc_id", "text", w = 3, bands = 32, rowsPerBand = 2,
+          threshold = 0.5).queryExecution.toRdd.count())
+        println(s"  pairs=$n")
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_ABLATE")) {
       import org.apache.spark.sql.functions._
       val df = graft.sources.Catalog.load(spark, sfDir, "events")
