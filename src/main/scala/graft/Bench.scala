@@ -97,15 +97,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f.contains(k) })
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Evaluate the query's OWN output columns (toRdd executes the plan
-      // as declared). A count() here would let Catalyst prune every
-      // computed column — map-only queries would time a bare scan while
-      // the DuckDB oracle fetchall()s fully materialized rows.
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+    // Warm pass (default on; SPARK_GRAFT_BENCH_WARM=0 disables for long
+    // sweeps): each plan executes a second time after the cold timing.
+    // The warm column isolates the per-plan compile constant — codegen +
+    // whole-stage compilation is cached by generated source, so the warm
+    // run is the steady-state number a reused plan pays on a cluster,
+    // where sub-second artifact-scan queries (q70/q71) otherwise report
+    // mostly compile time. Cold stays the headline (comparable across
+    // rounds); warm is reported alongside.
+    val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    def isolate(): Unit = {
       // UNTIMED inter-query isolation: drop storage blocks the finished
       // query left behind (dedup barriers localCheckpoint intermediates;
       // the ContextCleaner frees them only on a GC, and measured r6 the
@@ -121,25 +122,46 @@ object Bench {
       // dedup-pipeline query vs 2.4s isolated). Collecting between
       // timings moves that reclamation cost off the clock.
       try System.gc() catch { case _: Throwable => () }
-      name -> dt
     }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // Evaluate the query's OWN output columns (toRdd executes the plan
+      // as declared). A count() here would let Catalyst prune every
+      // computed column — map-only queries would time a bare scan while
+      // the DuckDB oracle fetchall()s fully materialized rows.
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val timed = selected.map { case (name, fn) =>
+      val cold = timeOnce(fn)
+      isolate()
+      val warm = if (warmPass) { val w = timeOnce(fn); isolate(); w } else cold
+      (name, cold, warm)
+    }
+    val results = timed.map { case (n, c, _) => n -> c }.toMap
+    val warmResults = timed.map { case (n, _, w) => n -> w }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalWarm = if (warmResults.nonEmpty) warmResults.values.sum else 0.0
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
     }
-    // Full-precision per-query map: one diagnostic stdout line + a file
-    // (the trend tooling reads the file).
+    // Full-precision per-query maps (cold + warm): one diagnostic stdout
+    // line + a file (the trend tooling reads the file).
     val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""BENCH_FULL {"total":$total,"queries":$full,"sf":"$sfDir"}""")
+    val fullWarm = warmResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"total":$total,"total_warm":$totalWarm,""" +
+      s""""queries":$full,"queries_warm":$fullWarm,"sf":"$sfDir"}"""
+    println(s"BENCH_FULL $fullJson")
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        s"""{"total":$total,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // The machine-readable line MUST be (a) the process's last stdout line
     // and (b) short enough to survive a bounded tail capture (~2000 chars

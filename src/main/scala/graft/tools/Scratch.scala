@@ -26,7 +26,11 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.prepare(spark, sfDir)
+    // SCRATCH_NO_PREPARE skips the full artifact build — the sf25
+    // documents-only spot-check runs queries whose inputs either read the
+    // scale dir directly or materialize on demand inside the query fn
+    if (!sys.env.contains("SCRATCH_NO_PREPARE"))
+      graft.SparkEntry.prepare(spark, sfDir)
     if (sys.env.contains("SCRATCH_MEDIA")) {
       // media near-dup ablation: where do q115/q116 spend their wall?
       import org.apache.spark.sql.functions._
@@ -227,14 +231,15 @@ object Scratch {
             s"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten}")
         }
       })
+    val runs = sys.env.getOrElse("SCRATCH_RUNS", "5").toInt
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      (1 to 5).foreach { i =>
+      (1 to runs).foreach { i =>
         stages.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
         println(f"$n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
-        if (i == 5 && sys.env.contains("SCRATCH_STAGES")) {
+        if (i == runs && sys.env.contains("SCRATCH_STAGES")) {
           Thread.sleep(300)
           stages.forEach(s => println(s"  $s"))
         }

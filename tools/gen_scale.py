@@ -21,6 +21,9 @@ import os
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/scale-sf1"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# optional 4th arg: comma-separated table subset (e.g. "documents" for the
+# sf25 documents-only spot-check) — default all
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 os.makedirs(DST, exist_ok=True)
 VOWELS = "aeiou"
@@ -33,6 +36,8 @@ def shift_col(table, name, delta):
 
 
 def replicate(name, mutate):
+    if ONLY is not None and name not in ONLY:
+        return
     # one FILE PER COPY under a dataset directory (the layout a real
     # ingest produces — single giant files serialize the scan), with
     # bounded row groups so byte-range splits stay fine-grained
@@ -117,5 +122,7 @@ replicate("orders", orders_copy)
 replicate("customer", customer_copy)
 # dimension tables don't scale
 for name in ["supplier", "part", "nation", "region"]:
+    if ONLY is not None and name not in ONLY:
+        continue
     pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"), f"{DST}/{name}.parquet")
     print(f"{name}: copied")
