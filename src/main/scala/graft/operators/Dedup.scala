@@ -406,22 +406,31 @@ object Dedup {
    * near-duplication is transitive in effect (A≈B≈C must collapse to ONE
    * survivor) even though the similarity relation itself is not.
    *
-   * Algorithm: min-label propagation with label COMPRESSION — every node
-   * starts labeled with itself; each round every node takes the minimum
-   * label in its closed neighborhood, then labels chase their own labels
-   * (path halving: `label(v) := label(label(v))`), so convergence needs
-   * O(log diameter) rounds, not O(diameter) — a 10⁶-document boilerplate
-   * chain converges in ~20 rounds where plain propagation needs 10⁶. The
-   * loop stops the first round nothing changes and THROWS if `maxIters`
-   * rounds were not enough — silently returning half-merged components
-   * would keep duplicate documents downstream. Each round is two shuffled
-   * joins + an aggregate on the edge list, with a lineage barrier so the
-   * plan does not nest `maxIters` deep. The convergence check rides INSIDE
-   * the round's barrier: the compression join also carries the previous
-   * label, so `__changed` is materialized with the round and the fixpoint
-   * test is a short-circuiting scan of the already-cached blocks — not a
-   * separate shuffle join + action per round (r5 verdict #5; at 20 rounds
-   * that is 20 fewer shuffled-join job launches).
+   * Algorithm (distributed path): alternating LARGE-STAR / SMALL-STAR
+   * edge rewiring (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii:
+   * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+   * rewires every node's neighborhood toward the neighborhood minimum —
+   * large-star hooks strictly-larger neighbors to min(Γ⁺(v)), small-star
+   * hooks the rest — so distant nodes become DIRECT neighbors of their
+   * component's minimum and the edge set contracts to a star forest in
+   * O(log² n) rounds worst-case (measured: 7 rounds on the 5.8M-edge
+   * sf5 media graph). The loop THROWS if `maxIters` rounds were not
+   * enough — silently returning half-merged components would keep
+   * duplicate documents downstream.
+   *
+   * WHY rewiring and not label propagation: the previous implementation
+   * (min-label propagation + one pointer-halving step per round) is
+   * O(diameter), not the O(log diameter) its comment claimed — on
+   * blob-chain graphs (dense near-dup families strung into chains) the
+   * label pointers inside each blob point at the blob's LOCAL minimum,
+   * not along the chain, so halving had nothing to jump through and the
+   * global minimum flooded one edge-hop per round. Measured on the sf5
+   * media graph (150k nodes, BFS depth 24): 21 rounds; at sf25 the same
+   * family NEVER converged in 25 rounds. A 100 TB corpus with
+   * boilerplate chains of depth 10⁴⁺ would need 10⁴⁺ shuffled rounds
+   * under propagation — the star rounds stay logarithmic. Both the old
+   * and new rules were validated label-identical to BFS ground truth on
+   * the sf5 graph before the swap (BASELINE.md round-15 notes).
    *
    * SMALL-GRAPH FAST PATH: a near-dup pair list is usually dimension-table
    * sized even when the corpus is not (pairs ∝ actual duplication, not
@@ -436,7 +445,7 @@ object Dedup {
    * union-find with path compression directly; larger graphs take the
    * distributed rounds. Both paths produce identical labels (tested).
    */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     val driverMax = spark.conf
       .get("spark.graft.dedup.clusters.driverMaxEdges", (1 << 20).toString).toLong
@@ -446,37 +455,57 @@ object Dedup {
     val mat = barrier(pairs.select(col("id_a"), col("id_b")))
     if (driverMax > 0 && mat.limit((driverMax + 1).toInt).count() <= driverMax)
       return dedupClustersDriver(mat)
-    val edges = mat.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(mat.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+
+    // canonical undirected edge form: (a < b), no self-loops, distinct
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // both orientations + per-node neighborhood minimum m = min(Γ⁺(u))
+    def withMins(e: DataFrame): DataFrame = {
+      val n = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val m = n.groupBy("u").agg(min(col("v")).as("__minv"))
+        .select(col("u"), least(col("u"), col("__minv")).as("m"))
+      n.join(m, Seq("u"))
+    }
+    // large-star: hook strictly-larger neighbors to the minimum
+    def largeStar(e: DataFrame): DataFrame =
+      canon(withMins(e).filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    // small-star: hook v itself and its ≤ neighbors to the minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val nm = withMins(e)
+      canon(nm.filter(col("v") <= col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(nm.select(col("u").as("a"), col("m").as("b"))))
+    }
+
+    var e = barrier(canon(mat.select(col("id_a").as("a"), col("id_b").as("b"))))
+    var eCount = e.count()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // min over the closed neighborhood: own label ∪ neighbors' labels
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("cluster_id"))
-      val propagated = viaEdges.unionByName(labels)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-      // compression: follow the label's own label (label(v) := label(label(v)));
-      // the same plan joins back the previous label so the change flag is
-      // part of the barriered materialization
-      val next = barrier(propagated
-        .join(propagated.select(col("id").as("cluster_id"),
-          col("cluster_id").as("__parent")), Seq("cluster_id"), "left")
-        .join(labels.select(col("id"), col("cluster_id").as("__old")), Seq("id"))
-        .select(col("id"),
-          coalesce(col("__parent"), col("cluster_id")).as("cluster_id"),
-          (coalesce(col("__parent"), col("cluster_id")) =!= col("__old"))
-            .as("__changed")))
-      converged = next.filter(col("__changed")).isEmpty
-      labels = next.select("id", "cluster_id")
+      val next = barrier(smallStar(largeStar(e)))
+      val nextCount = next.count()
+      // set equality on canonical distinct edge lists: equal counts plus
+      // one-sided emptiness of the difference
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
+      e = next
+      eCount = nextCount
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIters rounds — component " +
-        "diameter exceeds 2^rounds; raise maxIters")
+      s"dedupClusters did not converge in $maxIters alternating-star " +
+        "rounds — worst-case is O(log² n); raise maxIters")
+    // stable state is a star forest: every edge is (component-min, member)
+    val labels = e.select(col("b").as("id"), col("a").as("cluster_id"))
+      .unionByName(e.select(col("a").as("id"), col("a").as("cluster_id")))
+      // degenerate self-pair inputs contribute isolated nodes the canon
+      // form dropped — keep them labeled with themselves (driver-path parity)
+      .unionByName(mat.filter(col("id_a") === col("id_b"))
+        .select(col("id_a").as("id"), col("id_a").as("cluster_id")))
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
     labels
   }
 

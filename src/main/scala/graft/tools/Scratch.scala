@@ -23,6 +23,8 @@ object Scratch {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SCRATCH_ADVISORY", "4m")) // match Bench
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // diagnostics collect whole pair graphs (SCRATCH_CC)
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -157,6 +159,160 @@ object Scratch {
           docs, "doc_id", "text", w = 3, bands = 32, rowsPerBand = 2,
           threshold = 0.5).queryExecution.toRdd.count())
         println(s"  pairs=$n")
+      }
+      spark.stop(); return
+    }
+    if (sys.env.contains("SCRATCH_CC")) {
+      // q116-at-sf25 convergence diagnosis: collect the perceptual pair
+      // graph, report its shape (edges, components, largest, BFS depth
+      // from the min-id node), and SIMULATE the distributed
+      // dedupClusters round rule in memory to count rounds-to-fixpoint.
+      implicit val sp: SparkSession = spark
+      import graft.operators.Multimodal
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      val blobs = Multimodal.blobsWithReencodes(docs, "doc_id", "text", 5)
+      val pairs = Multimodal.perceptualNearDupPairs(blobs, maxDist = 3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      println(s"edges=${pairs.length}")
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val nodes = adj.keys.toArray
+      println(s"nodes=${nodes.length}")
+      // components via BFS; track largest + its BFS depth from min id
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var comps = 0; var largest = 0; var largestMin = 0L
+      nodes.foreach { n =>
+        if (!seen.contains(n)) {
+          comps += 1
+          var size = 0; var mn = n
+          val q = scala.collection.mutable.Queue(n); seen += n
+          while (q.nonEmpty) {
+            val v = q.dequeue(); size += 1; if (v < mn) mn = v
+            adj(v).foreach(u => if (!seen.contains(u)) { seen += u; q += u })
+          }
+          if (size > largest) { largest = size; largestMin = mn }
+        }
+      }
+      println(s"components=$comps largest=$largest")
+      // BFS depth of largest component from its min node
+      locally {
+        val dist = scala.collection.mutable.HashMap(largestMin -> 0)
+        val q = scala.collection.mutable.Queue(largestMin)
+        var depth = 0
+        while (q.nonEmpty) {
+          val v = q.dequeue()
+          adj(v).foreach { u =>
+            if (!dist.contains(u)) { dist(u) = dist(v) + 1; depth = math.max(depth, dist(u)); q += u }
+          }
+        }
+        println(s"bfs_depth_from_min=$depth")
+      }
+      // simulate the EXACT distributed round rule:
+      // propagated(v) = min(label(v), min_{u~v} label(u));
+      // next(v) = propagated(propagated(v)); stop when next == labels
+      var labels = scala.collection.mutable.HashMap(nodes.map(n => n -> n): _*)
+      var iter = 0; var changedN = 1L
+      while (changedN > 0 && iter < 200) {
+        val propagated = scala.collection.mutable.HashMap.empty[Long, Long]
+        nodes.foreach { v =>
+          var m = labels(v)
+          adj(v).foreach { u => val l = labels(u); if (l < m) m = l }
+          propagated(v) = m
+        }
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        nodes.foreach { v =>
+          val p = propagated(v)
+          next(v) = propagated.getOrElse(p, p)
+        }
+        changedN = nodes.count(v => next(v) != labels(v)).toLong
+        labels = next
+        iter += 1
+        if (iter <= 60 || changedN == 0) println(s"round $iter changed=$changedN")
+      }
+      println(s"rounds_to_fixpoint=$iter")
+      // variant: propagation + FULL pointer-jumping per round (compress
+      // the label chains to idempotence before the next edge round)
+      var labels2 = scala.collection.mutable.HashMap(nodes.map(n => n -> n): _*)
+      var iter2 = 0; var changed2 = 1L
+      while (changed2 > 0 && iter2 < 200) {
+        val prop = scala.collection.mutable.HashMap.empty[Long, Long]
+        nodes.foreach { v =>
+          var m = labels2(v)
+          adj(v).foreach { u => val l = labels2(u); if (l < m) m = l }
+          prop(v) = m
+        }
+        // full compression: chase labels to their root
+        def root(x: Long): Long = {
+          var r = x
+          var hops = 0
+          while (prop.getOrElse(r, r) != r && hops < 1000000) { r = prop.getOrElse(r, r); hops += 1 }
+          r
+        }
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        nodes.foreach(v => next(v) = root(v))
+        changed2 = nodes.count(v => next(v) != labels2(v)).toLong
+        labels2 = next
+        iter2 += 1
+      }
+      println(s"rounds_to_fixpoint_fullcompress=$iter2")
+      println(s"labels_agree=${nodes.forall(v => labels(v) == labels2(v))}")
+      // variant: alternating large-star / small-star (Kiveris et al.,
+      // "Connected Components in MapReduce and Beyond", SoCC'14) — edge
+      // REWIRING, so distant nodes become direct neighbors and rounds
+      // are O(log²) in the worst case instead of O(diameter)
+      locally {
+        var E = pairs.map { case (a, b) =>
+          (math.min(a, b), math.max(a, b)) }.distinct.filter(p => p._1 != p._2).toSet
+        def neighborhoods(es: Set[(Long, Long)]) = {
+          val g = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+          es.foreach { case (a, b) =>
+            g.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+            g.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+          }
+          g
+        }
+        def largeStar(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+          val g = neighborhoods(es)
+          val out = scala.collection.mutable.HashSet.empty[(Long, Long)]
+          g.foreach { case (u, nbrs) =>
+            val m = math.min(u, nbrs.min)
+            nbrs.foreach(v => if (v > u && v != m) out += ((math.min(v, m), math.max(v, m))))
+          }
+          out.toSet
+        }
+        def smallStar(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+          val g = neighborhoods(es)
+          val out = scala.collection.mutable.HashSet.empty[(Long, Long)]
+          g.foreach { case (u, nbrs) =>
+            val m = math.min(u, nbrs.min)
+            (nbrs.filter(_ <= u) :+ u).foreach(v =>
+              if (v != m) out += ((math.min(v, m), math.max(v, m))))
+          }
+          out.toSet
+        }
+        var rounds = 0
+        var stable = false
+        while (!stable && rounds < 100) {
+          val e1 = largeStar(E)
+          val e2 = smallStar(e1)
+          stable = e2 == E
+          E = e2
+          rounds += 1
+        }
+        println(s"rounds_star=$rounds")
+        // star labels: root per component (+ singletons implicit)
+        val lbl = scala.collection.mutable.HashMap.empty[Long, Long]
+        E.foreach { case (r, v) =>
+          lbl(v) = math.min(r, lbl.getOrElse(v, Long.MaxValue))
+          lbl(r) = math.min(r, lbl.getOrElse(r, Long.MaxValue))
+        }
+        nodes.foreach(v => if (!lbl.contains(v)) lbl(v) = v)
+        println(s"labels_agree_star=${nodes.forall(v => lbl(v) == labels(v))}")
       }
       spark.stop(); return
     }
