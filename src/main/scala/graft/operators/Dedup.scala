@@ -481,16 +481,22 @@ object Dedup {
         .unionByName(nm.select(col("u").as("a"), col("m").as("b"))))
     }
 
-    var e = barrier(canon(mat.select(col("id_a").as("a"), col("id_b").as("b"))))
+    // Round hygiene: rounds persist EXPLICITLY and free the previous
+    // round as soon as the next is materialized — a barrier() per round
+    // (localCheckpoint) leaks every round's multi-million-edge blocks
+    // until the query ends, which tipped the full-surface sf5 bench over
+    // an 8g heap even though the isolated query fit comfortably.
+    var e = canon(mat.select(col("id_a").as("a"), col("id_b").as("b"))).persist()
     var eCount = e.count()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val next = barrier(smallStar(largeStar(e)))
+      val next = smallStar(largeStar(e)).persist()
       val nextCount = next.count()
       // set equality on canonical distinct edge lists: equal counts plus
       // one-sided emptiness of the difference
       converged = nextCount == eCount && next.exceptAll(e).isEmpty
+      e.unpersist(blocking = false)
       e = next
       eCount = nextCount
       iter += 1
