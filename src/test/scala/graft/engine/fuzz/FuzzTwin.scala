@@ -174,7 +174,7 @@ object FuzzTwin {
 
   // ---------- ordering mirrors ----------
 
-  private def dir(desc: Boolean): String =
+  private[fuzz] def dir(desc: Boolean): String =
     if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST" // Spark's defaults
 
   /** Planners.orderCols: primary (tag or ts) + (ts, entity) tie-breaks. */
