@@ -481,23 +481,31 @@ object Dedup {
         .unionByName(nm.select(col("u").as("a"), col("m").as("b"))))
     }
 
-    // Round hygiene: rounds persist EXPLICITLY and free the previous
-    // round as soon as the next is materialized — a barrier() per round
-    // (localCheckpoint) leaks every round's multi-million-edge blocks
-    // until the query ends, which tipped the full-surface sf5 bench over
-    // an 8g heap even though the isolated query fit comfortably.
-    var e = canon(mat.select(col("id_a").as("a"), col("id_b").as("b"))).persist()
+    // Round hygiene: every round materializes through Bridge
+    // .materializeOwned — the ONE primitive that both CUTS the lineage
+    // (a bare persist() keeps it: round k's logical plan embeds round
+    // k−1's tree ~4×, so driver-side analysis compounds geometrically —
+    // measured as minutes-per-round stalls and an eventual OOM even on
+    // 25-edge property-test graphs) and frees the previous round's
+    // multi-million-edge blocks deterministically the moment the next
+    // round lands (a barrier() per round leaks them to the
+    // ContextCleaner for the whole query, which tipped the full-surface
+    // sf5 bench over an 8g heap).
+    import org.apache.spark.sql.graftbridge.Bridge.materializeOwned
+    var (e, freeE) = materializeOwned(
+      canon(mat.select(col("id_a").as("a"), col("id_b").as("b"))))
     var eCount = e.count()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val next = smallStar(largeStar(e)).persist()
+      val (next, freeNext) = materializeOwned(smallStar(largeStar(e)))
       val nextCount = next.count()
       // set equality on canonical distinct edge lists: equal counts plus
       // one-sided emptiness of the difference
       converged = nextCount == eCount && next.exceptAll(e).isEmpty
-      e.unpersist(blocking = false)
+      freeE()
       e = next
+      freeE = freeNext
       eCount = nextCount
       iter += 1
     }
@@ -512,7 +520,14 @@ object Dedup {
       .unionByName(mat.filter(col("id_a") === col("id_b"))
         .select(col("id_a").as("id"), col("id_a").as("cluster_id")))
       .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-    labels
+    // the final star forest's blocks are OWNED — re-materialize the labels
+    // onto barrier()-managed storage before freeing them (the cut lineage
+    // cannot recompute a freed leaf; the count() forces the lazy `persist`
+    // barrier mode, the eager modes have already run)
+    val out = barrier(labels)
+    out.count()
+    freeE()
+    out
   }
 
   /** Driver-side union-find for dimension-table-sized pair lists: one

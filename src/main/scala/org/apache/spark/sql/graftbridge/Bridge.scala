@@ -14,4 +14,34 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * Materialize a frame onto explicitly-OWNED storage blocks with the
+   * lineage CUT: the result is a leaf scan over a persisted InternalRow
+   * RDD, and the returned thunk frees those blocks deterministically.
+   *
+   * This is the primitive iterative algorithms need (connected-components
+   * rounds): `persist()` alone keeps the growing logical plan — round k's
+   * tree embeds round k−1's several times over, so driver-side analysis/
+   * canonicalization work compounds geometrically per round even though
+   * execution reuses the cache — and `localCheckpoint()` cuts lineage but
+   * surrenders its blocks to the ContextCleaner, which only frees them
+   * once the frame becomes unreachable (every round's multi-million-edge
+   * blocks pile up for the whole query).
+   *
+   * Same caveat as localCheckpoint: the cut lineage means a lost executor
+   * fails the job instead of recomputing — acceptable for restartable
+   * batch rounds, the `checkpoint` barrier mode is the durable option.
+   */
+  def materializeOwned(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classic.sparkSession
+    // UnsafeRow iterators reuse the row buffer — copy before persisting
+    val rdd = classic.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager, so the free thunk's timing is under caller control
+    val out = spark.internalCreateDataFrame(rdd, classic.schema)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
 }
