@@ -19,11 +19,30 @@ import graft.model._
 object FuzzTwin {
   import FuzzFixture.{Name, cols => tableCols}
 
+  /** What the renderer needs to know about one fixture frame: the SQL
+    * producing its rows (a table name or a whole UNION subquery — the
+    * multi-group merge renders here, mirroring how BydbQL.resolve unions
+    * BEFORE planning), its column order, and which columns are
+    * float/array-typed. Keys/entity/ts/version are shared — the engine
+    * itself requires them uniform across merged groups (BydbQL.resolve). */
+  final case class TwinSpec(
+      baseSql: String,
+      cols: Seq[String],
+      floatCols: Set[String],
+      arrayTags: Set[String],
+      groups: Set[Seq[String]])
+
+  val DefaultSpec: TwinSpec = TwinSpec(
+    baseSql = s"SELECT * FROM $Name",
+    cols = tableCols,
+    floatCols = Set("ratio", "load"),
+    arrayTags = Set("labels", "ports"),
+    groups = Set(Seq(Name), Seq.empty, Seq("fuzz")))
+
   private val keys = Seq("svc", "inst", "ts")
   private val entity = Seq("svc", "inst")
   private val tsCol = "ts"
   private val versionCol = "version"
-  private val arrayTags = Set("labels", "ports")
 
   def aggOutName(fn: AggFn, field: String): String = fn match {
     case AggFn.Sum => s"sum_$field"
@@ -33,7 +52,8 @@ object FuzzTwin {
     case AggFn.Mean => s"mean_$field"
   }
 
-  private def isFloatCol(c: String): Boolean = c == "ratio" || c == "load"
+  private def isFloatCol(c: String)(implicit spec: TwinSpec): Boolean =
+    spec.floatCols.contains(c)
 
   /** Saturating Instant→nanos, the exact arithmetic Planners.applyTime
     * uses for LongType ts columns. */
@@ -59,7 +79,7 @@ object FuzzTwin {
 
   // ---------- criteria rendering ----------
 
-  def critSql(c: Criteria): String = c match {
+  def critSql(c: Criteria)(implicit spec: TwinSpec): String = c match {
     case And(l, r) => s"(${critSql(l)} AND ${critSql(r)})"
     case Or(l, r) => s"(${critSql(l)} OR ${critSql(r)})"
     case Cond(tag, op, values) => condSql(tag, op, values)
@@ -73,13 +93,14 @@ object FuzzTwin {
     case flat => flat
   }
 
-  private def condSql(tag: String, op: Op, values: Seq[Any]): String = op match {
-    case Op.Eq if arrayTags.contains(tag) && values.headOption.contains(null) =>
+  private def condSql(tag: String, op: Op, values: Seq[Any])(
+      implicit spec: TwinSpec): String = op match {
+    case Op.Eq if spec.arrayTags.contains(tag) && values.headOption.contains(null) =>
       s"$tag IS NULL"
-    case Op.Eq if arrayTags.contains(tag) => s"$tag = ${lit(arrayValues(values))}"
-    case Op.Ne if arrayTags.contains(tag) && values.headOption.contains(null) =>
+    case Op.Eq if spec.arrayTags.contains(tag) => s"$tag = ${lit(arrayValues(values))}"
+    case Op.Ne if spec.arrayTags.contains(tag) && values.headOption.contains(null) =>
       s"$tag IS NOT NULL"
-    case Op.Ne if arrayTags.contains(tag) => s"$tag <> ${lit(arrayValues(values))}"
+    case Op.Ne if spec.arrayTags.contains(tag) => s"$tag <> ${lit(arrayValues(values))}"
     case Op.Eq if values.head == null => s"$tag IS NULL"
     case Op.Eq => s"$tag = ${lit(values.head)}"
     case Op.Ne if values.head == null => s"$tag IS NOT NULL"
@@ -107,7 +128,8 @@ object FuzzTwin {
   /** (dedupOutputCols, coreCols, postProject) — the exact column sets and
     * ORDER the engine's plan carries at each stage; tie-breaking and the
     * final select depend on them. */
-  def corePlan(q: MeasureQuery): (Seq[String], Seq[String], Option[Seq[String]]) = {
+  def corePlan(q: MeasureQuery)(implicit spec: TwinSpec = DefaultSpec)
+      : (Seq[String], Seq[String], Option[Seq[String]]) = {
     val keep: Option[Seq[String]] =
       if (q.tagProjection.isEmpty && q.fieldProjection.isEmpty) None
       else Some((q.tagProjection ++ q.fieldProjection ++
@@ -116,8 +138,8 @@ object FuzzTwin {
         q.agg.map(_._2).toSeq ++ q.top.map(_.fieldName).toSeq).distinct)
     val payload = keep
       .map(k => (k :+ versionCol).distinct.filterNot(keys.contains)
-        .filter(tableCols.contains))
-      .getOrElse(tableCols.filterNot(keys.contains))
+        .filter(spec.cols.contains))
+      .getOrElse(spec.cols.filterNot(keys.contains))
     val dedupCols = keys ++ payload
 
     val projected: Seq[String] =
@@ -148,7 +170,7 @@ object FuzzTwin {
 
   // ---------- aggregate expression rendering ----------
 
-  private def aggExprSql(fn: AggFn, field: String): String = {
+  private def aggExprSql(fn: AggFn, field: String)(implicit spec: TwinSpec): String = {
     val float = isFloatCol(field)
     val exactSum = s"CAST(sum(CAST($field AS DECIMAL(25,6))) AS DOUBLE)"
     val expr = fn match {
@@ -191,20 +213,24 @@ object FuzzTwin {
 
   // ---------- whole-query rendering ----------
 
-  def sql(q: MeasureQuery): String = {
-    require(q.groups == Seq(Name) || q.groups.isEmpty || q.groups == Seq("fuzz"),
-      "twin renders the single fuzz fixture")
+  def sql(q: MeasureQuery)(implicit spec: TwinSpec = DefaultSpec): String = {
+    require(spec.groups.contains(q.groups),
+      s"twin spec does not render groups ${q.groups}")
     val (dedupCols, coreCols, postProject) = corePlan(q)
 
     val timePred = q.timeRange.map { tr =>
       s"ts >= ${nsSat(tr.begin)} AND ts < ${nsSat(tr.end)}"
     }
-    val base = s"SELECT * FROM $Name" + timePred.fold("")(p => s" WHERE $p")
+    val base = s"SELECT * FROM (${spec.baseSql}) AS __b" +
+      timePred.fold("")(p => s" WHERE $p")
+    // index-mode scans skip the latest-version dedup (S2)
     val ded =
-      s"""SELECT ${dedupCols.mkString(", ")} FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY svc, inst, ts ORDER BY version DESC) AS __rn
-         |  FROM base) WHERE __rn = 1""".stripMargin
+      if (q.indexMode) s"SELECT ${dedupCols.mkString(", ")} FROM base"
+      else
+        s"""SELECT ${dedupCols.mkString(", ")} FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY svc, inst, ts ORDER BY version DESC) AS __rn
+           |  FROM base) WHERE __rn = 1""".stripMargin
     val filt = "SELECT * FROM ded" +
       q.criteria.fold("")(c => s" WHERE ${critSql(c)}")
 

@@ -75,6 +75,9 @@ class QlParityFuzzSuite extends SparkSpec {
   }
 
   def renderQl(q: MeasureQuery): Option[String] = {
+    // index mode is resource metadata in BydbQL (Resource.indexMode via
+    // the registry), not statement text — no QL form to round-trip
+    if (q.indexMode) return None
     val whereOpt: Option[Option[String]] = q.criteria.map(renderCond)
     if (whereOpt.exists(_.isEmpty)) return None
     renderWith(q, whereOpt.flatten)
@@ -210,5 +213,89 @@ class QlParityFuzzSuite extends SparkSpec {
     info(s"ql parity: $rendered rendered, $bound bound-variants, $skipped skipped (n=$n)")
     assert(failures.isEmpty, s"\n${failures.size} parity failure(s):\n${failures.mkString("\n")}")
     assert(rendered >= n * 55 / 100, s"only $rendered/$n cases were QL-renderable")
+  }
+
+  // ---------- SHOW TOP N parity ----------
+
+  /** Schema of the pre-agg TopN bucket table the conditions coerce
+    * against (FIXTURES.md A7 shape). */
+  private lazy val topnSchema = QlSchema(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket_start",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("entity",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.LongType))),
+    fields = Set("value"))
+
+  private def renderTopNQl(q: TopNQuery): String = {
+    val time = q.timeRange.map(tr =>
+      s" TIME BETWEEN '${tr.begin}' AND '${tr.end}'").getOrElse("")
+    val where =
+      if (q.conditions.isEmpty) ""
+      else " WHERE " + q.conditions.map { c =>
+        val v = c.values.head match {
+          case null => "NULL"
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case other => other.toString
+        }
+        val op = c.op match {
+          case Op.Eq => "="; case Op.Ne => "!="; case Op.Lt => "<"
+          case other => fail(s"unrenderable topN condition op $other")
+        }
+        s"${c.tag} $op $v"
+      }.mkString(" AND ")
+    val aggBy = q.agg.map { fn =>
+      val name = fn match {
+        case AggFn.Sum => "SUM"; case AggFn.Count => "COUNT"
+        case AggFn.Max => "MAX"; case AggFn.Min => "MIN"; case AggFn.Mean => "MEAN"
+      }
+      s" AGGREGATE BY $name"
+    }.getOrElse("")
+    val order = if (q.desc) " ORDER BY DESC" else " ORDER BY ASC"
+    s"SHOW TOP ${q.topN} FROM MEASURE ${q.name} IN ${q.groups.mkString(", ")}" +
+      time + where + aggBy + order
+  }
+
+  test("QL parity: SHOW TOP N renders round-trip to the same TopNQuery") {
+    val seed = sys.env.get("SPARK_GRAFT_TOPN_FUZZ_SEED").map(_.toLong).getOrElse(20260816L)
+    val n = sys.env.get("SPARK_GRAFT_FUZZ_QL_N").map(_.toInt).getOrElse(1000)
+    var rendered = 0
+    var rejected = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0 until n) {
+      // the render covers Op.In separately: IN parses to QlIn, which the
+      // transformer must reject on the TopN surface (topn.proto:66-67) —
+      // those cases land in the invalid branch below
+      val fc = TopNFuzzGen.genCase(new Random(seed + i * 7919L))
+      val renderable = fc.q.conditions.forall(c =>
+        c.op == Op.Eq || c.op == Op.Ne || c.op == Op.Lt)
+      if (renderable) {
+        val text = renderTopNQl(fc.q)
+        val got = try Right(Transformer.transform(Parser.parse(text), topnSchema, now))
+          catch { case t: Throwable => Left(t) }
+        (got, fc.deliberatelyInvalid) match {
+          case (Right(TopNStatement(m)), false) if m == fc.q => rendered += 1
+          case (Left(t), true)
+              if Option(t.getMessage).exists(_.contains("topN query conditions must be EQ")) =>
+            rejected += 1
+          case (Right(TopNStatement(m)), false) if failures.size < 5 =>
+            failures += s"case #$i AST mismatch:\n  ql: $text\n  want: ${fc.q}\n  got:  $m"
+          case (Right(_), true) if failures.size < 5 =>
+            failures += s"case #$i: transformer accepted an invalid TopN query\n  ql: $text"
+          case (Left(t), false) if failures.size < 5 =>
+            failures += s"case #$i transform threw: ${t.getMessage}\n  ql: $text"
+          case other if failures.size < 5 =>
+            failures += s"case #$i unexpected outcome: $other"
+          case _ => failures += s"case #$i (suppressed)"
+        }
+      }
+    }
+    info(s"topn ql parity: $rendered round-tripped, $rejected invalid-rejected (n=$n)")
+    assert(failures.isEmpty, s"\n${failures.size} parity failure(s):\n${failures.mkString("\n")}")
+    assert(rendered >= n / 2, s"only $rendered/$n TopN cases round-tripped")
   }
 }

@@ -26,7 +26,9 @@ object SurfaceFuzzTwin {
     tr.fold("TRUE") { r => s"ts >= ${nsSat(r.begin)} AND ts < ${nsSat(r.end)}" }
 
   private def critPred(c: Option[Criteria]): String =
-    c.fold("TRUE")(critSql)
+    // DefaultSpec's array-tag set (labels/ports) matches every surface
+    // fixture's — the only part of the spec critSql consults
+    c.fold("TRUE")(critSql(_)(FuzzTwin.DefaultSpec))
 
   /** Mirror of Planners.orderCols for a (tsCol=ts, entity=svc,inst) tdef:
     * primary (tag or ts) then (ts, entity) ascending tie-breaks, skipping
