@@ -521,9 +521,10 @@ object Dedup {
         .select(col("id_a").as("id"), col("id_a").as("cluster_id")))
       .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
     // the final star forest's blocks are OWNED — re-materialize the labels
-    // onto barrier()-managed storage before freeing them (the cut lineage
-    // cannot recompute a freed leaf; the count() forces the lazy `persist`
-    // barrier mode, the eager modes have already run)
+    // onto barrier()-managed storage before freeing them, so reads of the
+    // returned frame never fall back to re-running the whole round chain
+    // through RDD lineage (the count() forces the lazy `persist` barrier
+    // mode, the eager modes have already run)
     val out = barrier(labels)
     out.count()
     freeE()

@@ -29,9 +29,11 @@ object Bridge {
    * once the frame becomes unreachable (every round's multi-million-edge
    * blocks pile up for the whole query).
    *
-   * Same caveat as localCheckpoint: the cut lineage means a lost executor
-   * fails the job instead of recomputing — acceptable for restartable
-   * batch rounds, the `checkpoint` barrier mode is the durable option.
+   * Unlike localCheckpoint, only the CATALYST lineage is cut: the
+   * persisted RDD keeps its own dependency chain, so a lost block (or a
+   * post-free re-read) recomputes through ordinary RDD lineage instead
+   * of failing the job — the fault-tolerance story of persist() with the
+   * plan-growth story of a checkpoint.
    */
   def materializeOwned(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
