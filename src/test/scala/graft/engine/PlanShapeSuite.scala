@@ -95,6 +95,10 @@ class PlanShapeSuite extends SparkSpec {
     import graft.operators.Dedup
     import graft.sources.Catalog
     val docs = Catalog.load(spark, sf0001, "documents")
+    // baseline-relative: the shared test session legitimately carries
+    // OTHER suites' still-reachable fixture caches — only the RDDs this
+    // test creates must drain
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
     (1 to 2).foreach { _ =>
       Dedup.minhashLshPairs(docs, "doc_id", "text", w = 3,
         bands = 8, rowsPerBand = 2, threshold = 0.5).count()
@@ -102,12 +106,14 @@ class PlanShapeSuite extends SparkSpec {
     // the localCheckpoint blocks are owned by the (now unreachable) result
     // frames; the ContextCleaner must reap them — persist() without
     // unpersist() would keep them forever
+    def pinned: Int =
+      (spark.sparkContext.getPersistentRDDs.keySet -- baseline).size
     val deadline = System.nanoTime() + 30L * 1000000000L
-    var n = spark.sparkContext.getPersistentRDDs.size
+    var n = pinned
     while (n > 0 && System.nanoTime() < deadline) {
       System.gc()
       Thread.sleep(200)
-      n = spark.sparkContext.getPersistentRDDs.size
+      n = pinned
     }
     assert(n == 0, s"$n persistent RDDs still pinned after GC")
   }

@@ -21,7 +21,7 @@ import scala.util.Random
  * Seed/size are env-tunable (SPARK_GRAFT_FUZZ_SEED / SPARK_GRAFT_FUZZ_N)
  * so a CI failure replays exactly.
  */
-class DifferentialFuzzSuite extends SparkSpec {
+class DifferentialFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val fixtureDir = "target/fuzz"
 
@@ -30,10 +30,19 @@ class DifferentialFuzzSuite extends SparkSpec {
       .waitFor() == 0
     catch { case _: java.io.IOException => false }
 
+  private var cached: Option[org.apache.spark.sql.DataFrame] = None
   private lazy val fixtureDf = {
     val df = FuzzFixture.write(spark, fixtureDir, seed = 7L, n = 700)
     df.cache().count() // one read; 500 plans re-scan the cached frame
+    cached = Some(df)
     df
+  }
+
+  // the shared session outlives this suite — drop the fixture cache so
+  // storage-hygiene assertions elsewhere see only their own RDDs
+  override protected def afterAll(): Unit = {
+    cached.foreach(_.unpersist(blocking = false))
+    super.afterAll()
   }
 
   private def runEngine(q: MeasureQuery): Either[Throwable, (Seq[String], Seq[Seq[CVal]])] =

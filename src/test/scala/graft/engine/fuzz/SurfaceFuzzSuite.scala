@@ -19,17 +19,26 @@ import scala.util.Random
  *
  * Seeds/sizes replay via SPARK_GRAFT_SURFACE_FUZZ_SEED / _N.
  */
-class SurfaceFuzzSuite extends SparkSpec {
+class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private def pythonDuckAvailable: Boolean =
     try new ProcessBuilder("python3", "-c", "import duckdb").start()
       .waitFor() == 0
     catch { case _: java.io.IOException => false }
 
+  private var cached: Seq[DataFrame] = Nil
   private lazy val fixtures: Map[String, DataFrame] = {
     val fx = SurfaceFuzzFixtures.writeAll(spark)
     fx.values.foreach(df => df.cache().count()) // hundreds of plans re-scan these
+    cached = fx.values.toSeq
     fx
+  }
+
+  // the shared session outlives this suite — drop the fixture caches so
+  // storage-hygiene assertions elsewhere see only their own RDDs
+  override protected def afterAll(): Unit = {
+    cached.foreach(_.unpersist(blocking = false))
+    super.afterAll()
   }
 
   private val seed =

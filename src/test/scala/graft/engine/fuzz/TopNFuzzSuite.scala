@@ -18,7 +18,7 @@ import scala.util.Random
  *
  * Seed/size replay via SPARK_GRAFT_TOPN_FUZZ_SEED / _N.
  */
-class TopNFuzzSuite extends SparkSpec {
+class TopNFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import TopNFuzzGen.TopNFuzzCase
 
   private val fixtureDir = "target/fuzz"
@@ -28,10 +28,19 @@ class TopNFuzzSuite extends SparkSpec {
       .waitFor() == 0
     catch { case _: java.io.IOException => false }
 
+  private var cached: Option[org.apache.spark.sql.DataFrame] = None
   private lazy val fixtureDf = {
     val df = FuzzFixture.write(spark, fixtureDir, seed = 7L, n = 700)
     df.cache().count()
+    cached = Some(df)
     df
+  }
+
+  // the shared session outlives this suite — drop the fixture cache so
+  // storage-hygiene assertions elsewhere see only their own RDDs
+  override protected def afterAll(): Unit = {
+    cached.foreach(_.unpersist(blocking = false))
+    super.afterAll()
   }
 
   private def runEngine(fc: TopNFuzzCase): Either[Throwable, (Seq[String], Seq[Seq[CVal]])] =

@@ -22,7 +22,7 @@ import scala.util.Random
  * the combinatorial rest. Seed/size replay via
  * SPARK_GRAFT_UNION_FUZZ_SEED / _N.
  */
-class UnionFuzzSuite extends SparkSpec {
+class UnionFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val fixtureDir = "target/fuzz"
 
@@ -32,6 +32,15 @@ class UnionFuzzSuite extends SparkSpec {
     catch { case _: java.io.IOException => false }
 
   private implicit val spec: FuzzTwin.TwinSpec = UnionFuzzFixture.mergedSpec
+
+  private var cached: Option[org.apache.spark.sql.DataFrame] = None
+
+  // the shared session outlives this suite — drop the fixture cache so
+  // storage-hygiene assertions elsewhere see only their own RDDs
+  override protected def afterAll(): Unit = {
+    cached.foreach(_.unpersist(blocking = false))
+    super.afterAll()
+  }
 
   private lazy val mergedDf = {
     val a = FuzzFixture.write(spark, fixtureDir, seed = 7L, n = 700)
@@ -45,6 +54,7 @@ class UnionFuzzSuite extends SparkSpec {
       org.apache.spark.sql.types.StringType,
       "type-conflicted `code` must widen to string")
     merged.cache().count()
+    cached = Some(merged)
     merged
   }
 
