@@ -39,11 +39,15 @@ object Bridge {
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = classic.sparkSession
-    // UnsafeRow iterators reuse the row buffer — copy before persisting
+    // UnsafeRow iterators reuse the row buffer — copy so a cache-evicted
+    // partition can be recomputed straight off this RDD
     val rdd = classic.queryExecution.toRdd.map(_.copy())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager, so the free thunk's timing is under caller control
+    // the storage is the LEAF frame's columnar cache (compressed batches,
+    // codegen'd scans — a raw Row-object RDD persist measured ~1.5× slower
+    // on the sf25 component rounds); the one plan execution happens here
     val out = spark.internalCreateDataFrame(rdd, classic.schema)
-    (out, () => { rdd.unpersist(blocking = false); () })
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    (out, () => { out.unpersist(blocking = false); () })
   }
 }
