@@ -256,13 +256,17 @@ object FuzzGen {
     }
 
     // limit/offset: a cut is only allowed under a total order. With
-    // index mode the raw no-group rows keep duplicate (entity, ts) pairs,
-    // so the (ts, entity) tie-breaks are NOT total there — no cut (TOP
-    // stays safe: its tie-break spans every core column incl. version).
+    // index mode, duplicate (entity, ts) triples survive (no version
+    // dedup), so the (ts, entity) tie-breaks are NOT total on the raw
+    // path — and not on the groupBy-no-agg path either: two groups'
+    // first-seen rows can carry the SAME (entity, ts) triple, tying
+    // under the final sort (the 8160003 soak caught exactly that). No
+    // cut for any index-mode case without agg/top; TOP stays safe — its
+    // tie-break spans every core column incl. the unique version.
     val totalOrder = (agg.isEmpty ||
       q.top.isDefined ||
       (groupBy.size == 1 && q.orderBy.exists(_.tag.contains(groupBy.head)))) &&
-      !(indexMode && agg.isEmpty && groupBy.isEmpty && q.top.isEmpty)
+      !(indexMode && agg.isEmpty && q.top.isEmpty)
     if (totalOrder) {
       val limit = if (rnd.nextDouble() < 0.50) 0 else 1 + rnd.nextInt(200)
       val offset = if (rnd.nextDouble() < 0.70) 0 else 1 + rnd.nextInt(30)

@@ -108,9 +108,9 @@ object TopNFuzzGen {
  * Mechanical (PipeSpec, TopNQuery) → DuckDB SQL derivation — an
  * INDEPENDENT SQL encoding of the TopN pipeline's semantics spec:
  * truncating bucket division, per-bucket bounded rank ordered
- * (value ⟨desc|asc⟩ NULLS FIRST, entity ASC NULLS FIRST) exactly like
- * the engine's BoundedTopKAgg comparator (nulls rank first in BOTH
- * directions), `[begin, end)` on bucket starts, EQ conditions,
+ * (value ⟨desc NULLS LAST | asc NULLS FIRST⟩, entity ASC NULLS FIRST)
+ * exactly like the engine's BoundedTopKAgg comparator (null = smallest
+ * in both directions), `[begin, end)` on bucket starts, EQ conditions,
  * cross-bucket aggregate with the reference's MEAN integer-division +
  * <1→1 clamp (or the float variants for a DOUBLE ranked value), and the
  * final (value, entity) order with Spark's null placement (DESC NULLS
@@ -122,11 +122,15 @@ object TopNFuzzTwin {
 
   private def isFloat(pipe: PipeSpec): Boolean = pipe.valueCol == "load"
 
-  /** rank direction: the engine's comparator puts NULL first regardless
-    * of desc (BoundedTopKAgg.compare returns -1 on a null field before
-    * consulting the desc flag). */
+  /** rank direction: the engine's comparator treats NULL as SMALLEST in
+    * both directions (BoundedTopKAgg.compare yields c=-1 for a null
+    * field and the desc flag flips that c like any other) — so a
+    * descending rank puts nulls LAST, ascending puts them FIRST, exactly
+    * Spark's sort defaults. The soak fuzzer caught the twin pinning
+    * NULLS FIRST for desc: 10/1500 divergences, all null-valued sums at
+    * the counter boundary. */
   private def rankDir(desc: Boolean): String =
-    if (desc) "DESC NULLS FIRST" else "ASC NULLS FIRST"
+    if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
 
   private def lit(v: Any): String = FuzzTwin.lit(v)
 
