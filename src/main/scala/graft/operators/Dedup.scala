@@ -498,7 +498,14 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val (next, freeNext) = materializeOwned(smallStar(largeStar(e)))
+      // materialize the large-star output too: smallStar's tree references
+      // its input ~4× (two orientation unions + the min join), and each
+      // reference re-runs largeStar's canon-distinct SHUFFLE when left
+      // unmaterialized — measured ~2× per-round wall on the 5.8M-edge sf5
+      // media graph
+      val (half, freeHalf) = materializeOwned(largeStar(e))
+      val (next, freeNext) = materializeOwned(smallStar(half))
+      freeHalf()
       val nextCount = next.count()
       // set equality on canonical distinct edge lists: equal counts plus
       // one-sided emptiness of the difference

@@ -162,6 +162,37 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SCRATCH_CC_LIVE")) {
+      // q116 pipeline wall-time split, LIVE (not simulated): pair
+      // generation vs distributed clustering vs driver-path clustering
+      // on the same barriered pair list.
+      implicit val sp: SparkSession = spark
+      import graft.operators.{Dedup, Multimodal}
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val blobs = Multimodal.blobsWithReencodes(docs, "doc_id", "text", 5)
+      (1 to 2).foreach { round =>
+        println(s"--- round $round")
+        val pairs = t("pairs_barrier")(Dedup.barrier(
+          Multimodal.perceptualNearDupPairs(blobs, maxDist = 3)
+            .select("id_a", "id_b")))
+        println(s"  edges=${pairs.count()}")
+        spark.conf.set("spark.graft.dedup.clusters.driverMaxEdges", "0")
+        val distLabels = t("clusters_distributed")(Dedup.dedupClusters(pairs))
+        println(s"  labels=${distLabels.count()}")
+        spark.conf.set("spark.graft.dedup.clusters.driverMaxEdges",
+          (1L << 40).toString)
+        val drvLabels = t("clusters_driver")(Dedup.dedupClusters(pairs))
+        println(s"  labels=${drvLabels.count()}")
+        spark.conf.unset("spark.graft.dedup.clusters.driverMaxEdges")
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_CC")) {
       // q116-at-sf25 convergence diagnosis: collect the perceptual pair
       // graph, report its shape (edges, components, largest, BFS depth
