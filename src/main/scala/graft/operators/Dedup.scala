@@ -444,6 +444,11 @@ object Dedup {
    * plan-time collect the IVF centroid resolution performs — and run
    * union-find with path compression directly; larger graphs take the
    * distributed rounds. Both paths produce identical labels (tested).
+   * Measured crossover (SCRATCH_CC_LIVE, 5.8M-edge sf5 media graph):
+   * driver ~5 s vs distributed 22-26 s — on a deployment whose driver
+   * heap can afford the ~50 bytes/edge transient collect, raising the
+   * conf well past 2^20 buys that gap; the distributed rounds exist for
+   * the pair lists that genuinely cannot land on one machine.
    */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
