@@ -144,7 +144,7 @@ object Planners {
     // Latest-version-wins dedup runs before filters touch fields and
     // before any aggregation (banyand/measure/query.go:966-1026).
     df = tdef.versionCol match {
-      case Some(v) if tdef.entity.nonEmpty && !q.indexMode =>
+      case Some(v) if tdef.entity.nonEmpty =>
         // prune the dedup payload to the columns the query touches —
         // pruning can't reach inside the aggregate's struct buffer
         val keep = if (q.tagProjection.isEmpty && q.fieldProjection.isEmpty) None
@@ -155,7 +155,24 @@ object Planners {
             // a raw TOP may rank a field outside the projection; agg-case
             // TOP fields name the agg output and are filtered out harmlessly
             q.top.map(_.fieldName).toSeq).distinct)
-        BanyanSemantics.latestVersion(df, tdef.entity, tdef.tsCol.getOrElse("ts"), v, keep)
+        if (!q.indexMode)
+          BanyanSemantics.latestVersion(df, tdef.entity, tdef.tsCol.getOrElse("ts"), v, keep)
+        else {
+          // S2 skips the dedup MERGE, not the payload pruning: the frame
+          // carries the identical (keys ++ kept payload) column set on
+          // both paths, so the raw-TOP tie-break below spans the same
+          // deterministic column set whether or not dedup ran. (The
+          // composed index-mode × union fuzzer caught the asymmetry: an
+          // unpruned index-mode frame tie-broke on every table column —
+          // version, code — in table order, picking a different ties-row
+          // than the dedup path's pruned ordering would.)
+          val keys = tdef.entity :+ tdef.tsCol.getOrElse("ts")
+          val payload = keep
+            .map(k => (k :+ v).distinct.filterNot(keys.contains)
+              .filter(df.columns.contains))
+            .getOrElse(df.columns.filterNot(keys.contains).toSeq)
+          df.select((keys ++ payload).map(col(_)): _*)
+        }
       case _ => df
     }
     df = applyCriteria(df, tdef, q.criteria)

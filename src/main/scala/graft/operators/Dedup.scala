@@ -458,7 +458,13 @@ object Dedup {
     // and every distributed round read these blocks instead of re-running
     // the (expensive) pair-generation plan
     val mat = barrier(pairs.select(col("id_a"), col("id_b")))
-    if (driverMax > 0 && mat.limit((driverMax + 1).toInt).count() <= driverMax)
+    // clamped probe: limit() takes an Int, so confs above Int.MaxValue-1
+    // probe at Int.MaxValue rows (already far beyond any sane collect) —
+    // without the clamp, driverMaxEdges in (2^31-1, 2^32) produced a
+    // NEGATIVE limit (AnalysisException) and values >= 2^32 truncated,
+    // silently disabling the gate
+    val probeRows = math.min(driverMax + 1, Int.MaxValue.toLong).toInt
+    if (driverMax > 0 && mat.limit(probeRows).count() <= driverMax)
       return dedupClustersDriver(mat)
 
     // canonical undirected edge form: (a < b), no self-loops, distinct
@@ -497,50 +503,119 @@ object Dedup {
     // ContextCleaner for the whole query, which tipped the full-surface
     // sf5 bench over an 8g heap).
     import org.apache.spark.sql.graftbridge.Bridge.materializeOwned
-    var (e, freeE) = materializeOwned(
-      canon(mat.select(col("id_a").as("a"), col("id_b").as("b"))))
-    var eCount = e.count()
+    val noop: () => Unit = () => ()
+    // degenerate self-pair inputs contribute isolated nodes the canon form
+    // drops — both the adaptive-collapse driver calls and the final label
+    // step re-add them (id_a = id_b rows union in unchanged)
+    def selfPairs: DataFrame = mat.filter(col("id_a") === col("id_b"))
+      .select(col("id_a"), col("id_a").as("id_b"))
+    // round-0 basis stays LAZY and SHUFFLE-FREE: only self-loops are
+    // dropped, NOT duplicates — withMins' neighborhood minimum is
+    // unaffected by duplicate edges and round 1's output canon dedups, so
+    // the up-front canon-distinct (a full 5.8M-row shuffle + owned cache
+    // write + count job, ~2.5 s of the sf5 hybrid wall) buys nothing.
+    // largeStar references this frame ~4×, but each reference is a
+    // map-only scan of the barriered pair list's cached blocks. (A lazy
+    // DISTINCT basis was measured WORSE than materializing it: 12-17 s —
+    // ReusedExchange dedups the exchange, but every consumer re-runs the
+    // post-shuffle aggregate.)
+    var e = mat.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("id_a") =!= col("id_b"))
+    var freeE: () => Unit = noop
+    var freeHalf: () => Unit = noop
+    var eCount = -1L // unknown until the first materialized round
     var iter = 0
     var converged = false
-    while (iter < maxIters && !converged) {
-      // materialize the large-star output too: smallStar's tree references
-      // its input ~4× (two orientation unions + the min join), and each
-      // reference re-runs largeStar's canon-distinct SHUFFLE when left
-      // unmaterialized — measured ~2× per-round wall on the 5.8M-edge sf5
-      // media graph
-      val (half, freeHalf) = materializeOwned(largeStar(e))
-      val (next, freeNext) = materializeOwned(smallStar(half))
+    // the try/finally frees the owned frames on EVERY exit path —
+    // convergence, the adaptive collapse below, the non-convergence throw,
+    // and any job failure mid-round. Owned blocks are strongly held by the
+    // CacheManager (that is the point of "owned" vs ContextCleaner-scoped
+    // barriers), so an abandoned round would otherwise pin its
+    // multi-million-edge blocks for the application's lifetime.
+    try {
+      while (iter < maxIters && !converged) {
+        // materialize the large-star output too: smallStar's tree references
+        // its input ~4× (two orientation unions + the min join), and each
+        // reference re-runs largeStar's canon-distinct SHUFFLE when left
+        // unmaterialized — measured ~2× per-round wall on the 5.8M-edge sf5
+        // media graph. NOTE the storage high-water mark: e, half, and next
+        // are all live while next materializes (3× one edge list, vs 2× for
+        // an unmaterialized half) — MEMORY_AND_DISK spills rather than
+        // OOMs, and the ~2× wall win pays for the transient third copy.
+        val (half, fh) = materializeOwned(largeStar(e))
+        freeHalf = fh
+        // ADAPTIVE MID-RUN COLLAPSE: star rounds contract the edge list
+        // geometrically toward the star forest (one edge per non-minimum
+        // member), so a graph too big to collect at the start usually fits
+        // the driver gate after a half-round or two — finish with
+        // union-find there instead of paying the remaining ~log n rounds
+        // of 4-shuffle fixed cost. Label parity holds because BOTH star
+        // operations preserve components exactly (Kiveris SoCC'14 Thm 1-2)
+        // and never drop a node: every node with an edge survives
+        // largeStar (as `v` via a smaller neighbor, or as the hook target
+        // m(u)) and smallStar (the (u, m(u)) branch covers non-minima;
+        // minima survive as the hook target) — so the component minima,
+        // and hence the labels, are unchanged. The FIRST large-star is the
+        // common collapse point on near-dup graphs (dense blob members
+        // hook straight to the blob minimum: 5.8M edges → under the 2^20
+        // gate in one half-round on the sf5 media graph), so the gate is
+        // probed on `half` too; the count is a cached scan. Collapse also
+        // skips the exceptAll convergence join — union-find is trivially
+        // correct on an already-converged star forest.
+        // driverMaxEdges=0 disables the collapse together with the
+        // up-front driver path, keeping a pure-distributed arm for tests
+        // and measurement.
+        if (driverMax > 0 && half.count() <= driverMax)
+          return dedupClustersDriver(
+            half.select(col("a").as("id_a"), col("b").as("id_b"))
+              .unionByName(selfPairs))
+        val (next, freeNext) = materializeOwned(smallStar(half))
+        freeHalf(); freeHalf = noop
+        val nextCount = next.count()
+        val prevE = e
+        val freePrev = freeE
+        e = next
+        freeE = freeNext
+        if (driverMax > 0 && nextCount <= driverMax) {
+          freePrev()
+          return dedupClustersDriver(
+            e.select(col("a").as("id_a"), col("b").as("id_b"))
+              .unionByName(selfPairs))
+        }
+        // set equality on canonical distinct edge lists: equal counts plus
+        // one-sided emptiness of the difference. Round 1 has no
+        // materialized predecessor count (the lazy round-0 basis) — skip
+        // the check there; star rounds are idempotent on a star forest, so
+        // an already-converged input merely pays one extra round before
+        // round 2 detects the fixpoint.
+        converged = eCount >= 0 && nextCount == eCount && next.exceptAll(prevE).isEmpty
+        freePrev()
+        eCount = nextCount
+        iter += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters alternating-star " +
+          "rounds — worst-case is O(log² n); raise maxIters")
+      // stable state is a star forest: every edge is (component-min, member)
+      val labels = e.select(col("b").as("id"), col("a").as("cluster_id"))
+        .unionByName(e.select(col("a").as("id"), col("a").as("cluster_id")))
+        // degenerate self-pair inputs contribute isolated nodes the canon
+        // form dropped — keep them labeled with themselves (driver-path parity)
+        .unionByName(mat.filter(col("id_a") === col("id_b"))
+          .select(col("id_a").as("id"), col("id_a").as("cluster_id")))
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+      // the final star forest's blocks are OWNED — re-materialize the labels
+      // onto barrier()-managed storage before freeing them, so reads of the
+      // returned frame never fall back to re-running the whole round chain
+      // through RDD lineage (the count() forces the lazy `persist` barrier
+      // mode, the eager modes have already run)
+      val out = barrier(labels)
+      out.count()
+      out
+    } finally {
       freeHalf()
-      val nextCount = next.count()
-      // set equality on canonical distinct edge lists: equal counts plus
-      // one-sided emptiness of the difference
-      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       freeE()
-      e = next
-      freeE = freeNext
-      eCount = nextCount
-      iter += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIters alternating-star " +
-        "rounds — worst-case is O(log² n); raise maxIters")
-    // stable state is a star forest: every edge is (component-min, member)
-    val labels = e.select(col("b").as("id"), col("a").as("cluster_id"))
-      .unionByName(e.select(col("a").as("id"), col("a").as("cluster_id")))
-      // degenerate self-pair inputs contribute isolated nodes the canon
-      // form dropped — keep them labeled with themselves (driver-path parity)
-      .unionByName(mat.filter(col("id_a") === col("id_b"))
-        .select(col("id_a").as("id"), col("id_a").as("cluster_id")))
-      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-    // the final star forest's blocks are OWNED — re-materialize the labels
-    // onto barrier()-managed storage before freeing them, so reads of the
-    // returned frame never fall back to re-running the whole round chain
-    // through RDD lineage (the count() forces the lazy `persist` barrier
-    // mode, the eager modes have already run)
-    val out = barrier(labels)
-    out.count()
-    freeE()
-    out
   }
 
   /** Driver-side union-find for dimension-table-sized pair lists: one

@@ -189,7 +189,12 @@ object Scratch {
           (1L << 40).toString)
         val drvLabels = t("clusters_driver")(Dedup.dedupClusters(pairs))
         println(s"  labels=${drvLabels.count()}")
+        // hybrid arm — the DEFAULT config (2^20 gate): the sf5 graph's
+        // 5.8M edges exceed the gate, star rounds run until the list
+        // contracts under it, then the driver union-find finishes
         spark.conf.unset("spark.graft.dedup.clusters.driverMaxEdges")
+        val hybLabels = t("clusters_hybrid_default")(Dedup.dedupClusters(pairs))
+        println(s"  labels=${hybLabels.count()}")
       }
       spark.stop(); return
     }

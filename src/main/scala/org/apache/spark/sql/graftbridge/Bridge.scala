@@ -47,7 +47,11 @@ object Bridge {
     // on the sf25 component rounds); the one plan execution happens here
     val out = spark.internalCreateDataFrame(rdd, classic.schema)
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // if the materializing job itself fails, the partially-computed blocks
+    // would be owned by a frame the caller never receives — free them here
+    // so failed calls leak nothing
+    try out.count()
+    catch { case t: Throwable => out.unpersist(blocking = false); throw t }
     (out, () => { out.unpersist(blocking = false); () })
   }
 }

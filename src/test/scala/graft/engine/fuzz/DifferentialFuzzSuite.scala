@@ -149,8 +149,11 @@ class DifferentialFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterA
 
   test("differential fuzz: seeded random measure cases match the DuckDB twin") {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
-    val seed = sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
     val n = sys.env.get("SPARK_GRAFT_FUZZ_N").map(_.toInt).getOrElse(500)
+    // two passes: a pinned regression slice + the date-rotating main pass
+    val passes = FuzzSeeds.passes("SPARK_GRAFT_FUZZ_SEED", salt = 1,
+      pinned = FuzzSeeds.PinnedA, pinnedN = 60, n = n)
+    val total = passes.map(_._2).sum
     fixtureDf // force fixture before the oracle views the directory
     val oracle = new DuckOracle(fixtureDir)
     try {
@@ -158,8 +161,8 @@ class DifferentialFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterA
       var rejected = 0
       var invalidCaught = 0
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (i <- 0 until n) {
-        val fc = FuzzGen.genCase(new Random(seed + i * 7919L))
+      for ((sd, m) <- passes; i <- 0 until m) {
+        val fc = FuzzGen.genCase(new Random(sd + i * 7919L))
         runCase(fc, oracle) match {
           case Agreed => agreed += 1
           case Rejected(_) =>
@@ -174,7 +177,7 @@ class DifferentialFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterA
               case _ => ""
             }
             val minimal = shrink(fc.q, oracle)
-            failures += s"""case #$i$selfCheck: $detail
+            failures += s"""case #$i (replay: SPARK_GRAFT_FUZZ_SEED=$sd)$selfCheck: $detail
                |  original: ${fc.q}
                |  minimal:  $minimal
                |  twin SQL: ${scala.util.Try(FuzzTwin.sql(minimal)).getOrElse("<unrenderable>")}
@@ -183,13 +186,15 @@ class DifferentialFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterA
         }
       }
       info(s"fuzz: $agreed agreed, $rejected rejected " +
-        s"($invalidCaught deliberately invalid), ${failures.size} diverged (n=$n, seed=$seed)")
+        s"($invalidCaught deliberately invalid), ${failures.size} diverged " +
+        s"(passes=${passes.map { case (s, m) => s"$m@seed=$s" }.mkString(", ")}; " +
+        s"replay via SPARK_GRAFT_FUZZ_SEED)")
       assert(failures.isEmpty,
         s"\n${failures.size} divergence(s):\n${failures.mkString("\n")}")
       // the compare corpus must stay a corpus — validation rejections are
       // expected (entity-pin conflicts arise organically) but bounded
-      assert(agreed >= n * 55 / 100,
-        s"only $agreed/$n cases reached the differential compare")
+      assert(agreed >= total * 55 / 100,
+        s"only $agreed/$total cases reached the differential compare")
     } finally oracle.close()
   }
 }

@@ -172,14 +172,16 @@ class QlParityFuzzSuite extends SparkSpec {
     }
 
   test("QL parity: rendered fuzz cases round-trip Parser/Transformer to the same AST") {
-    val seed = sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
     val n = sys.env.get("SPARK_GRAFT_FUZZ_QL_N").map(_.toInt).getOrElse(1000)
+    val passes = FuzzSeeds.passes("SPARK_GRAFT_FUZZ_SEED", salt = 1,
+      pinned = FuzzSeeds.PinnedA, pinnedN = 100, n = n)
+    val total = passes.map(_._2).sum
     var rendered = 0
     var skipped = 0
     var bound = 0
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (i <- 0 until n) {
-      val fc = FuzzGen.genCase(new Random(seed + i * 7919L))
+    for ((sd, m) <- passes; i <- 0 until m) {
+      val fc = FuzzGen.genCase(new Random(sd + i * 7919L))
       renderQl(fc.q) match {
         case None => skipped += 1
         case Some(text) =>
@@ -210,9 +212,11 @@ class QlParityFuzzSuite extends SparkSpec {
           }
       }
     }
-    info(s"ql parity: $rendered rendered, $bound bound-variants, $skipped skipped (n=$n)")
+    info(s"ql parity: $rendered rendered, $bound bound-variants, $skipped skipped " +
+      s"(passes=${passes.map { case (s0, m) => s"$m@seed=$s0" }.mkString(", ")}; " +
+      s"replay via SPARK_GRAFT_FUZZ_SEED)")
     assert(failures.isEmpty, s"\n${failures.size} parity failure(s):\n${failures.mkString("\n")}")
-    assert(rendered >= n * 55 / 100, s"only $rendered/$n cases were QL-renderable")
+    assert(rendered >= total * 55 / 100, s"only $rendered/$total cases were QL-renderable")
   }
 
   // ---------- SHOW TOP N parity ----------
@@ -261,16 +265,18 @@ class QlParityFuzzSuite extends SparkSpec {
   }
 
   test("QL parity: SHOW TOP N renders round-trip to the same TopNQuery") {
-    val seed = sys.env.get("SPARK_GRAFT_TOPN_FUZZ_SEED").map(_.toLong).getOrElse(20260816L)
     val n = sys.env.get("SPARK_GRAFT_FUZZ_QL_N").map(_.toInt).getOrElse(1000)
+    val passes = FuzzSeeds.passes("SPARK_GRAFT_TOPN_FUZZ_SEED", salt = 2,
+      pinned = FuzzSeeds.PinnedB, pinnedN = 100, n = n)
+    val total = passes.map(_._2).sum
     var rendered = 0
     var rejected = 0
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (i <- 0 until n) {
+    for ((sd, m) <- passes; i <- 0 until m) {
       // the render covers Op.In separately: IN parses to QlIn, which the
       // transformer must reject on the TopN surface (topn.proto:66-67) —
       // those cases land in the invalid branch below
-      val fc = TopNFuzzGen.genCase(new Random(seed + i * 7919L))
+      val fc = TopNFuzzGen.genCase(new Random(sd + i * 7919L))
       val renderable = fc.q.conditions.forall(c =>
         c.op == Op.Eq || c.op == Op.Ne || c.op == Op.Lt)
       if (renderable) {
@@ -294,8 +300,10 @@ class QlParityFuzzSuite extends SparkSpec {
         }
       }
     }
-    info(s"topn ql parity: $rendered round-tripped, $rejected invalid-rejected (n=$n)")
+    info(s"topn ql parity: $rendered round-tripped, $rejected invalid-rejected " +
+      s"(passes=${passes.map { case (s0, m) => s"$m@seed=$s0" }.mkString(", ")}; " +
+      s"replay via SPARK_GRAFT_TOPN_FUZZ_SEED)")
     assert(failures.isEmpty, s"\n${failures.size} parity failure(s):\n${failures.mkString("\n")}")
-    assert(rendered >= n / 2, s"only $rendered/$n TopN cases round-tripped")
+    assert(rendered >= total / 2, s"only $rendered/$total TopN cases round-tripped")
   }
 }

@@ -41,10 +41,11 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     super.afterAll()
   }
 
-  private val seed =
-    sys.env.get("SPARK_GRAFT_SURFACE_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
-  private def cases(default: Int): Int =
-    sys.env.get("SPARK_GRAFT_SURFACE_FUZZ_N").map(_.toInt).getOrElse(default)
+  private def passes(default: Int): Seq[(Long, Int)] = {
+    val n = sys.env.get("SPARK_GRAFT_SURFACE_FUZZ_N").map(_.toInt).getOrElse(default)
+    FuzzSeeds.passes("SPARK_GRAFT_SURFACE_FUZZ_SEED", salt = 4,
+      pinned = FuzzSeeds.PinnedA, pinnedN = 40, n = n)
+  }
 
   private def collect(df: DataFrame): (Seq[String], Seq[Seq[CVal]]) = {
     val cols = df.columns.toSeq
@@ -138,19 +139,20 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private def critShrinks[Q](c: Option[Criteria], set: Option[Criteria] => Q): Seq[Q] =
     c.toSeq.flatMap(cr => (None +: subtrees(cr).map(Some(_))).map(set))
 
-  private def driveSurface[Q](label: String, n: Int, s: Surface[Q],
+  private def driveSurface[Q](label: String, ps: Seq[(Long, Int)], s: Surface[Q],
       gen: Random => SurfaceFuzzGen.SurfaceCase[Q], oracle: DuckOracle): Unit = {
     var agreed = 0
     var rejected = 0
+    val total = ps.map(_._2).sum
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (i <- 0 until n) {
-      val fc = gen(new Random(seed + i * 104729L))
+    for ((sd, m) <- ps; i <- 0 until m) {
+      val fc = gen(new Random(sd + i * 104729L))
       runCase(s, fc.q, fc.deliberatelyInvalid, oracle) match {
         case Agreed => agreed += 1
         case Rejected => rejected += 1
         case Diverged(detail) if failures.size < 5 =>
           val minimal = shrink(s, fc.q, oracle)
-          failures += s"""$label case #$i: $detail
+          failures += s"""$label case #$i (replay: SPARK_GRAFT_SURFACE_FUZZ_SEED=$sd): $detail
              |  original: ${fc.q}
              |  minimal:  $minimal
              |  twin SQL: ${scala.util.Try(s.twin(minimal)).getOrElse("<unrenderable>")}
@@ -159,10 +161,10 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       }
     }
     info(s"$label fuzz: $agreed agreed, $rejected rejected, " +
-      s"${failures.size} diverged (n=$n, seed=$seed)")
+      s"${failures.size} diverged (passes=${ps.map { case (s0, m) => s"$m@seed=$s0" }.mkString(", ")})")
     assert(failures.isEmpty,
       s"\n${failures.size} divergence(s):\n${failures.mkString("\n")}")
-    assert(agreed >= n * 4 / 5, s"only $agreed/$n $label cases reached the compare")
+    assert(agreed >= total * 4 / 5, s"only $agreed/$total $label cases reached the compare")
   }
 
   // ---------- stream ----------
@@ -183,7 +185,7 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     fixtures
     val oracle = new DuckOracle(SurfaceFuzzFixtures.Dir)
-    try driveSurface("stream", cases(300), streamSurface,
+    try driveSurface("stream", passes(300), streamSurface,
       SurfaceFuzzGen.genStreamCase, oracle)
     finally oracle.close()
   }
@@ -214,7 +216,7 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     fixtures
     val oracle = new DuckOracle(SurfaceFuzzFixtures.Dir)
-    try driveSurface("trace", cases(300), traceSurface,
+    try driveSurface("trace", passes(300), traceSurface,
       SurfaceFuzzGen.genTraceCase, oracle)
     finally oracle.close()
   }
@@ -235,7 +237,7 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     fixtures
     val oracle = new DuckOracle(SurfaceFuzzFixtures.Dir)
-    try driveSurface("property", cases(250), propertySurface,
+    try driveSurface("property", passes(250), propertySurface,
       SurfaceFuzzGen.genPropertyCase, oracle)
     finally oracle.close()
   }

@@ -163,7 +163,9 @@ object TopNFuzzTwin {
     }
   }
 
-  def sql(fc: TopNFuzzCase): String = {
+  /** `baseSql` overrides the raw-measure source — the composed fuzzer
+    * points it at the two-group union subquery (ComposedFuzzSuite). */
+  def sql(fc: TopNFuzzCase, baseSql: String = s"SELECT * FROM $Name"): String = {
     val TopNFuzzCase(pipe, q, _) = fc
     val float = isFloat(pipe)
     val groupSel = pipe.groupCols.map(g => s"$g, ").mkString
@@ -176,7 +178,7 @@ object TopNFuzzTwin {
     val agged =
       s"""SELECT ((ts // 1000000) // ${pipe.intervalMs}) * ${pipe.intervalMs} AS bucket_ms,
          |  ${groupSel}CAST(${pipe.entityCol} AS VARCHAR) AS entity, $sumExpr AS value
-         |FROM $Name GROUP BY ALL""".stripMargin
+         |FROM ($baseSql) AS __src GROUP BY ALL""".stripMargin
     val ranked =
       s"""SELECT *, row_number() OVER (PARTITION BY $bucketPart
          |  ORDER BY value ${rankDir(q.desc)}, entity ASC NULLS FIRST) AS __rk

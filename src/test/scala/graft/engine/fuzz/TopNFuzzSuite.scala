@@ -134,22 +134,24 @@ class TopNFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   test("differential fuzz: TopN pipeline cases match the DuckDB twin") {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
-    val seed = sys.env.get("SPARK_GRAFT_TOPN_FUZZ_SEED").map(_.toLong).getOrElse(20260816L)
     val n = sys.env.get("SPARK_GRAFT_TOPN_FUZZ_N").map(_.toInt).getOrElse(300)
+    val passes = FuzzSeeds.passes("SPARK_GRAFT_TOPN_FUZZ_SEED", salt = 2,
+      pinned = FuzzSeeds.PinnedB, pinnedN = 50, n = n)
+    val total = passes.map(_._2).sum
     fixtureDf
     val oracle = new DuckOracle(fixtureDir)
     try {
       var agreed = 0
       var rejected = 0
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (i <- 0 until n) {
-        val fc = TopNFuzzGen.genCase(new Random(seed + i * 7919L))
+      for ((sd, m) <- passes; i <- 0 until m) {
+        val fc = TopNFuzzGen.genCase(new Random(sd + i * 7919L))
         runCase(fc, oracle) match {
           case Agreed => agreed += 1
           case Rejected => rejected += 1
           case Diverged(detail) if failures.size < 5 =>
             val minimal = shrink(fc, oracle)
-            failures += s"""case #$i: $detail
+            failures += s"""case #$i (replay: SPARK_GRAFT_TOPN_FUZZ_SEED=$sd): $detail
                |  original: $fc
                |  minimal:  $minimal
                |  twin SQL: ${scala.util.Try(TopNFuzzTwin.sql(minimal)).getOrElse("<unrenderable>")}
@@ -158,10 +160,10 @@ class TopNFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         }
       }
       info(s"topn fuzz: $agreed agreed, $rejected rejected, " +
-        s"${failures.size} diverged (n=$n, seed=$seed)")
+        s"${failures.size} diverged (passes=${passes.map { case (s, m) => s"$m@seed=$s" }.mkString(", ")})")
       assert(failures.isEmpty,
         s"\n${failures.size} divergence(s):\n${failures.mkString("\n")}")
-      assert(agreed >= n * 4 / 5, s"only $agreed/$n cases reached the compare")
+      assert(agreed >= total * 4 / 5, s"only $agreed/$total cases reached the compare")
     } finally oracle.close()
   }
 }

@@ -159,22 +159,24 @@ class UnionFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   test("differential fuzz: multi-group union cases match the DuckDB twin") {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
-    val seed = sys.env.get("SPARK_GRAFT_UNION_FUZZ_SEED").map(_.toLong).getOrElse(20260816L)
     val n = sys.env.get("SPARK_GRAFT_UNION_FUZZ_N").map(_.toInt).getOrElse(300)
+    val passes = FuzzSeeds.passes("SPARK_GRAFT_UNION_FUZZ_SEED", salt = 3,
+      pinned = FuzzSeeds.PinnedB, pinnedN = 50, n = n)
+    val total = passes.map(_._2).sum
     mergedDf // force both fixtures before the oracle views the directory
     val oracle = new DuckOracle(fixtureDir)
     try {
       var agreed = 0
       var rejected = 0
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (i <- 0 until n) {
-        val fc = FuzzGen.genCase(new Random(seed + i * 104729L), UnionFuzzFixture.domain)
+      for ((sd, m) <- passes; i <- 0 until m) {
+        val fc = FuzzGen.genCase(new Random(sd + i * 104729L), UnionFuzzFixture.domain)
         runCase(fc, oracle) match {
           case Agreed => agreed += 1
           case Rejected => rejected += 1
           case Diverged(detail) if failures.size < 5 =>
             val minimal = shrink(fc.q, oracle)
-            failures += s"""case #$i: $detail
+            failures += s"""case #$i (replay: SPARK_GRAFT_UNION_FUZZ_SEED=$sd): $detail
                |  original: ${fc.q}
                |  minimal:  $minimal
                |  twin SQL: ${scala.util.Try(FuzzTwin.sql(minimal)).getOrElse("<unrenderable>")}
@@ -183,11 +185,11 @@ class UnionFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         }
       }
       info(s"union fuzz: $agreed agreed, $rejected rejected, " +
-        s"${failures.size} diverged (n=$n, seed=$seed)")
+        s"${failures.size} diverged (passes=${passes.map { case (s, m) => s"$m@seed=$s" }.mkString(", ")})")
       assert(failures.isEmpty,
         s"\n${failures.size} divergence(s):\n${failures.mkString("\n")}")
-      assert(agreed >= n * 55 / 100,
-        s"only $agreed/$n cases reached the differential compare")
+      assert(agreed >= total * 55 / 100,
+        s"only $agreed/$total cases reached the differential compare")
     } finally oracle.close()
   }
 }

@@ -141,4 +141,41 @@ class CorpusShapingPropertySpec extends SparkSpec {
     }, n = 6)
     finally spark.conf.unset("spark.graft.dedup.clusters.driverMaxEdges")
   }
+
+  test("dedupClusters: adaptive mid-run collapse matches brute-force union-find") {
+    import spark.implicits._
+    // a 12-node clique (66 canonical edges) guarantees the initial probe
+    // EXCEEDS driverMaxEdges=30, so the distributed rounds start; star
+    // rounds contract the clique to ~11 star edges, so the edge list dips
+    // under the gate mid-run and the collapse path (not the up-front
+    // driver path, not pure-distributed convergence) produces the labels.
+    // Random extra edges over 12..24 — self-loops allowed — exercise the
+    // isolated-node union through the collapsed driver call.
+    val clique = (for {
+      a <- 0L to 11L; b <- (a + 1) to 11L
+    } yield (a, b)).toList
+    val extraGen = for {
+      a <- Gen.choose(12L, 24L); b <- Gen.choose(12L, 24L)
+    } yield (math.min(a, b), math.max(a, b))
+    spark.conf.set("spark.graft.dedup.clusters.driverMaxEdges", "30")
+    try check(Prop.forAll(Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, extraGen))) { extra =>
+      val edges = clique ++ extra
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val members = nodes.groupBy(find)
+      val model = members.values.flatMap(ms => ms.map(_ -> ms.min)).toMap
+      val got = Dedup.dedupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == model
+    }, n = 8)
+    finally spark.conf.unset("spark.graft.dedup.clusters.driverMaxEdges")
+  }
 }

@@ -129,6 +129,21 @@ class CorpusShapingSuite extends SparkSpec {
     assert(counter.get() <= 6, s"jobs launched: ${counter.get()}")
   }
 
+  test("dedupClusters: owned round blocks freed on the non-convergence throw") {
+    import spark.implicits._
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    forceDistributed {
+      intercept[IllegalStateException](Dedup.dedupClusters(chain, maxIters = 1))
+    }
+    val lingering = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the ContextCleaner-scoped barrier() pair list may linger until GC;
+    // every OWNED round frame (e / half / next) must be freed by the
+    // failure path — CacheManager-held blocks would otherwise pin
+    // multi-million-edge lists for the application's lifetime
+    assert(lingering.size <= 1, s"owned blocks leaked: $lingering")
+  }
+
   test("scrubPii: redacts emails, IPs, long digit runs; counts match") {
     val docs = docsOf(Seq(
       1L -> "contact bob.smith+x@example.co.uk or 10.0.0.1 ref 1234567890",

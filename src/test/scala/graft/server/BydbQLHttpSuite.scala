@@ -1,0 +1,261 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.ql.{BydbQL, Lexer, Parser, QlSelect, QlShowTopN}
+import graft.sources.{Catalog, TableDef}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/**
+ * Wire-shape conformance for [[BydbQLHttp]]: exact-result checks over the
+ * driver testdata, then the WHOLE reference golden `.ql` corpus
+ * (test/cases/{measure,stream,trace,topn,property}/data/input — 289
+ * statements) replayed through the HTTP endpoint, asserting the bytes
+ * the wire returns encode exactly the outcome the library call produces
+ * (result parity for statements that execute, error parity for ones the
+ * validation layer rejects). Resources are registered from schemas
+ * DERIVED from the corpus itself (every identifier a family's statements
+ * mention becomes a column), so the large majority of statements
+ * genuinely execute rather than short-circuiting on resolution errors.
+ */
+class BydbQLHttpSuite extends SparkSpec {
+
+  private val now = Instant.parse("2024-01-20T00:00:00Z")
+
+  private def post(url: String, body: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    val os = conn.getOutputStream
+    try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    val status = conn.getResponseCode
+    val is = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text = try new String(is.readAllBytes(), StandardCharsets.UTF_8) finally is.close()
+    (status, text)
+  }
+
+  private def queryJson(ql: String, params: Seq[Any] = Nil): String =
+    "{\"query\": " + Json.render(ql) +
+      (if (params.isEmpty) "" else ", \"params\": " + Json.render(params.toList)) +
+      ", \"now\": " + Json.render(now.toString) + "}"
+
+  // ---------- exact results over driver testdata ----------
+
+  test("wire: measure query returns the library result byte-for-byte") {
+    val events = Catalog.load(spark, sf0001, "events")
+    val resources = Map("events" -> BydbQL.Resource(events,
+      Catalog.defs("events"), fields = Set("value")))
+    val server = BydbQLHttp.start(resources)
+    try {
+      val ql = "SELECT event_id, value FROM MEASURE events IN testdata " +
+        "TIME > '-30d' ORDER BY value DESC LIMIT 7"
+      val (status, body) = post(server.url, queryJson(ql))
+      assert(status == 200, body)
+      val expect = BydbQLHttp.resultJson(BydbQL.run(ql, resources, Nil, now), None)
+      assert(body == expect)
+      val parsed = Json.parse(body).asInstanceOf[Map[String, Any]]
+      assert(parsed("columns") == List("event_id", "value"))
+      assert(parsed("rows").asInstanceOf[List[_]].size == 7)
+    } finally server.stop()
+  }
+
+  test("wire: positional params bind through the endpoint") {
+    import spark.implicits._
+    val propLog = Seq(("m1", 2L, "cfg-a", false), ("m2", 1L, "cfg-b", false))
+      .toDF("id", "rev", "configuration", "deleted")
+    val resources = Map("ui_menu" -> BydbQL.Resource(propLog,
+      TableDef("ui_menu"), propertyIdCol = Some("id"),
+      propertyRevCol = Some("rev"), propertyDeletedCol = Some("deleted")))
+    val server = BydbQLHttp.start(resources)
+    try {
+      val (status, body) = post(server.url, queryJson(
+        "SELECT id FROM PROPERTY ui_menu IN sw WHERE configuration = ?", Seq("cfg-b")))
+      assert(status == 200, body)
+      val rows = Json.parse(body).asInstanceOf[Map[String, Any]]("rows")
+      assert(rows == List(List("m2")))
+    } finally server.stop()
+  }
+
+  test("wire: parse and validation failures map to 400 + error payload") {
+    val server = BydbQLHttp.start(Map.empty)
+    try {
+      val (s1, b1) = post(server.url, queryJson("SELECT FROM nothing"))
+      assert(s1 == 400 && b1.contains("error"), b1)
+      val (s2, b2) = post(server.url, queryJson(
+        "SELECT x FROM MEASURE nope IN g"))
+      assert(s2 == 400 && b2.contains("unknown resource"), b2)
+      val (s3, b3) = post(server.url, "{\"not\": \"a query\"}")
+      assert(s3 == 400 && b3.contains("missing string field"), b3)
+    } finally server.stop()
+  }
+
+  // ---------- golden corpus wire replay ----------
+
+  private val refRoot = new java.io.File("/root/reference/test/cases")
+  private val families = Seq("measure", "stream", "trace", "topn", "property")
+
+  /** One family's statements, license headers stripped. */
+  private def statements(fam: String): Seq[(String, String)] = {
+    val d = new java.io.File(refRoot, s"$fam/data/input")
+    d.listFiles().filter(_.getName.endsWith(".ql")).sortBy(_.getName).toSeq.map { f =>
+      val text = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filterNot(_.trim.startsWith("#")).mkString("\n").trim
+      (s"$fam/${f.getName}", text)
+    }
+  }
+
+  /** Every identifier a family's statements mention (tags, resources,
+    * groups — extra columns are harmless) → the derived schema. */
+  private def identsOf(stmts: Seq[String]): Seq[String] =
+    stmts.flatMap { s =>
+      try Lexer.lex(s).collect { case Lexer.TIdent(t, _) => t }
+      catch { case _: Throwable => Nil }
+    }.distinct.sorted
+
+  /** (name, group) pairs from each statement's parsed FROM clause —
+    * group-qualified registration keeps same-named resources of different
+    * models (the reference reuses `sw` for stream AND trace) apart. */
+  private def fromKeys(stmts: Seq[String]): Seq[(String, String)] =
+    stmts.flatMap { s =>
+      try Parser.parse(s) match {
+        case sel: QlSelect => sel.from.groups.map(g => (sel.from.name, g))
+        case top: QlShowTopN => top.from.groups.map(g => (top.from.name, g))
+      } catch { case _: Throwable => Nil }
+    }.distinct
+
+  private def stringFrame(cols: Seq[String], extraLong: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val fields = extraLong.map(StructField(_, LongType, nullable = false)) ++
+      cols.map(StructField(_, StringType, nullable = true))
+    val schema = StructType(fields)
+    val base = now.getEpochSecond * 1000000000L
+    val rows = (0 until 4).map { i =>
+      Row.fromSeq(extraLong.map {
+        case "__ts" => base - i * 60000000000L // inside TIME > '-15m' windows
+        case _ => i.toLong
+      } ++ cols.map(c => s"${c}_$i"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  test("wire parity: the reference golden .ql corpus replays through the endpoint " +
+      "with outcomes identical to the library call") {
+    val byFam = families.map(f => f -> statements(f)).toMap
+    val all = families.flatMap(byFam)
+    assert(all.size >= 280, s"corpus shrank: ${all.size}")
+
+    // derived registry: one resource per FROM name, schema = the family's
+    // whole identifier set (strings) + typed ts/version/keys
+    val registry = scala.collection.mutable.Map.empty[String, BydbQL.Resource]
+    def idents(fam: String) = identsOf(byFam(fam).map(_._2))
+
+    // measure: fields = identifiers that appear inside aggregate parens
+    locally {
+      val stmts = byFam("measure").map(_._2)
+      val aggField = "(?i)(?:SUM|MEAN|AVG|COUNT|MAX|MIN)\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)".r
+      val specField = "([A-Za-z0-9_]+)::(?i)field".r
+      val fields = stmts.flatMap(s => aggField.findAllMatchIn(s).map(_.group(1)) ++
+        specField.findAllMatchIn(s).map(_.group(1))).toSet
+      // aggregatable fields are LONG columns (ANSI mode hard-fails
+      // SUM over unparseable strings at runtime)
+      val df = stringFrame(idents("measure").filterNot(fields.contains),
+        Seq("__ts", "version") ++ fields.toSeq.sorted)
+      fromKeys(stmts).foreach { case (n, g) =>
+        registry(s"$g/$n") = BydbQL.Resource(df,
+          TableDef(n, tsCol = Some("__ts"), versionCol = Some("version")),
+          fields = fields)
+      }
+    }
+    locally {
+      val stmts = byFam("stream").map(_._2)
+      val df = stringFrame("__eid" +: idents("stream"), Seq("__ts"))
+      fromKeys(stmts).foreach { case (n, g) =>
+        registry(s"$g/$n") = BydbQL.Resource(df, TableDef(n, tsCol = Some("__ts")),
+          elementIdCol = Some("__eid"))
+      }
+    }
+    locally {
+      val stmts = byFam("trace").map(_._2)
+      val ids = idents("trace")
+      val df = stringFrame("__tid" +: ids, Seq("__ts"))
+      fromKeys(stmts).foreach { case (n, g) =>
+        registry(s"$g/$n") = BydbQL.Resource(df, TableDef(n, tsCol = Some("__ts")),
+          traceIdCol = Some("__tid"), spanStruct = ids.take(6))
+      }
+    }
+    locally {
+      val stmts = byFam("topn").map(_._2)
+      // SHOW TOP resources answer via the raw-measure rewrite; condition
+      // tags ride as bucket group columns so EQ conditions resolve
+      val condTag = "(?i)WHERE\\s+([A-Za-z0-9_]+)\\s*=".r
+      val groupCols = stmts.flatMap(s => condTag.findAllMatchIn(s).map(_.group(1)))
+        .distinct.sorted
+      val df = stringFrame(("__entity" +: idents("topn")).distinct, Seq("__ts", "__num"))
+      fromKeys(stmts).foreach { case (n, g) =>
+        registry(s"$g/$n") = BydbQL.Resource(df, TableDef(n, tsCol = Some("__ts")),
+          topNRule = Some(BydbQL.TopNRule("__ts", "__entity",
+            org.apache.spark.sql.functions.col("__num"), 60000L, 3, groupCols)))
+      }
+    }
+    locally {
+      val stmts = byFam("property").map(_._2)
+      val df = stringFrame(("id" +: idents("property")).distinct, Seq("__rev"))
+      fromKeys(stmts).foreach { case (n, g) =>
+        registry(s"$g/$n") = BydbQL.Resource(df, TableDef(n),
+          propertyIdCol = Some("id"), propertyRevCol = Some("__rev"))
+      }
+    }
+
+    val resources = registry.toMap
+    val server = BydbQLHttp.start(resources)
+    var executed = 0
+    var rejectedParity = 0
+    val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      for ((name, ql) <- all) {
+        val (status, body) = post(server.url, queryJson(ql))
+        // the whole library-side evaluation (plan AND collect — failures
+        // can surface at either point) in one try, rendered through the
+        // endpoint's own encoding
+        val lib: Either[Throwable, String] =
+          try {
+            val (df, _) = BydbQL.runTraced(ql, resources, Nil, now)
+            Right(BydbQLHttp.resultJson(df, None))
+          } catch { case t: Throwable => Left(t) }
+        lib match {
+          case Right(payload) =>
+            // trace field carries run-specific timings — compare the
+            // deterministic columns/rows payload only
+            val expect = Json.parse(payload).asInstanceOf[Map[String, Any]]
+            val got =
+              try Json.parse(body).asInstanceOf[Map[String, Any]]
+              catch { case t: Throwable => Map("error" -> t.getMessage) }
+            if (status != 200 ||
+                got.get("columns") != expect.get("columns") ||
+                got.get("rows") != expect.get("rows")) {
+              if (mismatches.size < 5)
+                mismatches += s"$name: wire != library\n  ql: $ql\n  status=$status body=${body.take(400)}"
+              else mismatches += s"$name (suppressed)"
+            } else executed += 1
+          case Left(t) =>
+            val wantMsg = s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"
+            if (status != 400 || !body.contains(Json.render(wantMsg).drop(1).dropRight(1).take(80))) {
+              if (mismatches.size < 5)
+                mismatches += s"$name: library threw [$wantMsg] but wire gave status=$status body=${body.take(400)}"
+              else mismatches += s"$name (suppressed)"
+            } else rejectedParity += 1
+        }
+      }
+    } finally server.stop()
+    info(s"golden wire replay: ${all.size} statements, $executed executed with " +
+      s"identical payloads, $rejectedParity rejected with identical errors")
+    assert(mismatches.isEmpty, s"\n${mismatches.size} parity failure(s):\n${mismatches.mkString("\n")}")
+    // the corpus must largely EXECUTE, not just error-match — the derived
+    // schemas are built so resolution succeeds
+    assert(executed >= all.size * 6 / 10, s"only $executed/${all.size} executed")
+  }
+}
