@@ -15,6 +15,12 @@ object Bench {
       // partitions to the target size instead of maximizing parallelism —
       // fewer, fuller reduce tasks per stage.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // NOTE a session-wide initialPartitionNum was tried for scale
+      // robustness and REJECTED: A/B/A/B at sf0.1 measured 78-90 s at the
+      // fixed core count vs 95-98 s at 136 initial partitions — per-map
+      // bucket overhead × hundreds of toy-scale shuffles. Scale-dependent
+      // partitioning lives IN the heavy operators instead, derived from
+      // their barriered inputs' measured bytes (Dedup.scaledPartitions).
       // Scan-split size matched to the LOCAL scale factors (Spark tuning
       // guidance: size maxPartitionBytes so every core gets work at the
       // target SF). The 128m default is right for a 100 TB cluster but

@@ -25,6 +25,30 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /**
+   * SIZE-DERIVED partition count for a heavy shuffle fed by a barriered
+   * frame: the MEASURED block-manager bytes of the materialized input
+   * divided by a per-partition budget, clamped to [session shuffle
+   * partitions, 4096]. This is the scale discipline
+   * `spark.sql.files.maxPartitionBytes` applies to scans, extended to
+   * the posting-join / banding exchanges whose inputs are lineage-cut
+   * barriers (their logical-plan stats are defaults, so AQE's initial
+   * partition count — the session shuffle setting — is all a fixed
+   * config would give them; a session-wide initialPartitionNum bump was
+   * measured 15-20% SLOWER on the toy-scale surface and rejected).
+   * Returns the session count unchanged for small inputs, so toy-scale
+   * plans keep their exact shape.
+   */
+  private[graft] def scaledPartitions(measured: DataFrame,
+      bytesPerPartition: Long = 8L << 20): Int = {
+    val spark = measured.sparkSession
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    org.apache.spark.sql.graftbridge.Bridge.materializedBytes(measured) match {
+      case Some(b) => math.max(base.toLong, math.min(4096L, b / bytesPerPartition)).toInt
+      case None => base
+    }
+  }
+
   /** Materialization barrier for intermediates reused across join sides,
     * selectable via `spark.graft.dedup.barrier`:
     *
@@ -312,13 +336,29 @@ object Dedup {
       TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
         .select(col(idCol).as("id"), col("fingerprint").as("fp")))
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val filtered = fps.join(
+    // SIZE-DERIVED sizing for the two exchanges that grow superlinearly
+    // in the posting list (join work is Σ df² per key; the pair-count
+    // aggregate's key space is every co-posting pair): at the session's
+    // fixed shuffle count a 250× corpus put >1 GB of sorter state per
+    // task and OOM'd an 8 g heap (sf25, 32 tasks), where per-byte
+    // sizing completes untouched-config. n == base leaves toy-scale
+    // plans EXACTLY as before (no extra exchange, partial agg intact).
+    val n = scaledPartitions(fps)
+    val base = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val filtered0 = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("df_"))
         .filter(col("df_") <= maxDocFreq && col("df_") >= 2).select("fp"),
       Seq("fp"))
-    filtered.select(col("fp"), col("id").as("id_a"))
+    val filtered = if (n > base) filtered0.repartition(n, col("fp")) else filtered0
+    val joined = filtered.select(col("fp"), col("id").as("id_a"))
       .join(filtered.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
+    // pre-partitioning the pair-count aggregate trades map-side combine
+    // (worthless here: co-posting pairs are nearly unique, so partial
+    // aggregation combines almost nothing) for an aggregate that runs at
+    // n partitions instead of the session count
+    val pairs = if (n > base) joined.repartition(n, col("id_a"), col("id_b")) else joined
+    pairs
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(broadcast(sizes.withColumnRenamed("id", "id_a")

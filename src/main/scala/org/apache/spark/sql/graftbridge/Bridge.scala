@@ -54,4 +54,27 @@ object Bridge {
     catch { case t: Throwable => out.unpersist(blocking = false); throw t }
     (out, () => { out.unpersist(blocking = false); () })
   }
+
+  /**
+   * MEASURED storage bytes of a materialized frame — the sum of the
+   * mem+disk block sizes of the persisted RDDs backing its leaf scans
+   * (localCheckpoint / materializeOwned both leave a LogicalRDD whose
+   * RDD is registered with the block manager). None when no persisted
+   * leaf backs the frame (e.g. the `persist`-mode barrier, which keeps
+   * the original plan) — callers fall back to a static partition count.
+   *
+   * This is the honest input to SIZE-DERIVED shuffle sizing: logical
+   * plan statistics for a lineage-cut leaf are just defaults, while the
+   * block manager reports what the data actually occupies.
+   */
+  def materializedBytes(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val ids = classic.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    val infos = classic.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+    if (infos.isEmpty) None
+    else Some(infos.map(i => i.memSize + i.diskSize).sum)
+  }
 }
