@@ -112,6 +112,17 @@ object Bench {
     // mostly compile time. Cold stays the headline (comparable across
     // rounds); warm is reported alongside.
     val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    // Cold passes (default 2, min taken per query): r14's driver bench
+    // swung +22% on UNTOUCHED code — individual cold queries spike 2-3×
+    // run-to-run (cleaner/GC churn) while the calibration anchors stay
+    // flat, so a single cold sample per query makes round-over-round
+    // deltas ±20% noise. The second pass re-traverses the WHOLE query
+    // list after the first completes (not back-to-back with its own
+    // first run — that is what the warm pass measures), matching the
+    // trend sweeps' min-of-2 discipline. Sweeps that already take min
+    // across separate JVM runs set SPARK_GRAFT_BENCH_COLD_PASSES=1.
+    val coldPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_PASSES", "2").toInt)
     def isolate(): Unit = {
       // UNTIMED inter-query isolation: drop storage blocks the finished
       // query left behind (dedup barriers localCheckpoint intermediates;
@@ -145,15 +156,33 @@ object Bench {
       val warm = if (warmPass) { val w = timeOnce(fn); isolate(); w } else cold
       (name, cold, warm)
     }
-    val results = timed.map { case (n, c, _) => n -> c }.toMap
+    // later cold passes: full-list re-traversals, per-query min
+    val coldRuns = scala.collection.mutable.Map(
+      timed.map { case (n, c, _) => n -> List(c) }.toSeq: _*)
+    for (_ <- 2 to coldPasses) selected.foreach { case (name, fn) =>
+      val t = timeOnce(fn); isolate()
+      coldRuns(name) = coldRuns(name) :+ t
+    }
+    val results = coldRuns.map { case (n, cs) => n -> cs.min }.toMap
     val warmResults = timed.map { case (n, _, w) => n -> w }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalWarm = if (warmResults.nonEmpty) warmResults.values.sum else 0.0
+    // Calibration anchors embedded in the output: the two fixed-shape
+    // queries the sweeps time around every run. With their per-pass raw
+    // times in the JSON, a round-over-round bench delta decomposes
+    // mechanically into box-speed drift (anchors moved) × code change
+    // (anchors flat, queries moved).
+    val anchorNames = Seq("q01_scan_timerange", "q35_lineitem_pricing")
+      .filter(coldRuns.contains)
+    val anchorsJson = anchorNames.map { n =>
+      "\"" + n + "\":[" + coldRuns(n).map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$om,""" +
+        s""""anchors":$anchorsJson,"cold_passes":$coldPasses,"sf":"$sfDir"}"""
     }
     // Full-precision per-query maps (cold + warm): one diagnostic stdout
     // line + a file (the trend tooling reads the file).
@@ -161,8 +190,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fullWarm = warmResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullRuns = coldRuns.map { case (k, cs) =>
+      "\"" + k + "\":[" + cs.mkString(",") + "]" }.mkString("{", ",", "}")
     val fullJson = s"""{"total":$total,"total_warm":$totalWarm,""" +
-      s""""queries":$full,"queries_warm":$fullWarm,"sf":"$sfDir"}"""
+      s""""queries":$full,"queries_warm":$fullWarm,"queries_cold_runs":$fullRuns,""" +
+      s""""anchors":$anchorsJson,"cold_passes":$coldPasses,"sf":"$sfDir"}"""
     println(s"BENCH_FULL $fullJson")
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")

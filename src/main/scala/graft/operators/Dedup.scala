@@ -492,8 +492,16 @@ object Dedup {
    */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    val driverMax = spark.conf
-      .get("spark.graft.dedup.clusters.driverMaxEdges", (1 << 20).toString).toLong
+    // clamped to Int.MaxValue-1 at READ time: limit() caps the probe at
+    // Int.MaxValue rows, so a gate at or above that could never observe
+    // an exceeding count — the probe would pass for ARBITRARILY large
+    // edge lists and the driver collect would be unbounded. Clamping the
+    // effective gate keeps its semantics exact over the supported range
+    // (a conf that large means "driver always" anyway — same intent,
+    // now with the probe still able to say no).
+    val driverMax = math.min(spark.conf
+      .get("spark.graft.dedup.clusters.driverMaxEdges", (1 << 20).toString).toLong,
+      (Int.MaxValue - 1).toLong)
     // materialize the pair list ONCE — the size probe, the driver collect,
     // and every distributed round read these blocks instead of re-running
     // the (expensive) pair-generation plan

@@ -21,7 +21,11 @@ import graft.ql.BydbQL
  *
  * Request:  {"query": "SELECT …", "params": [..], "now": "2024-…Z"?}
  * Response: 200 {"columns": [..], "rows": [[..]..], "trace": "…"?}
- *           400 {"error": "…"} for parse/validation/execution failures.
+ *           400 {"error": "…"} for parse/bind/validation failures (the
+ *               request is at fault),
+ *           500 {"error": "…"} for engine/execution faults (the server
+ *               is) — the reference gateway keeps the same user-error vs
+ *               server-fault split. Fatal JVM errors rethrow.
  */
 object BydbQLHttp {
 
@@ -70,10 +74,25 @@ object BydbQLHttp {
       val (df, trace) = BydbQL.runTraced(ql, resources, params, now)
       respond(ex, 200, resultJson(df, trace))
     } catch {
-      case t: Throwable =>
-        respond(ex, 400, obj("error" ->
+      // NonFatal only: OutOfMemoryError/InterruptedException and friends
+      // must propagate to the JVM, not be swallowed into a JSON body
+      case scala.util.control.NonFatal(t) =>
+        respond(ex, statusFor(t), obj("error" ->
           s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"))
     }
+  }
+
+  /** User error vs server fault. Everything the request can cause —
+    * malformed JSON, lex/parse errors ([[graft.ql.QlParseException]]),
+    * bind/validation rejections (the transformer throws
+    * IllegalArgumentException for every semantic rule) — is 400; a
+    * failure past validation (Spark execution, codegen, resource faults)
+    * is the engine's, so 500. */
+  private[graft] def statusFor(t: Throwable): Int = t match {
+    case _: graft.ql.QlParseException => 400
+    case _: IllegalArgumentException => 400 // includes NumberFormatException (bad JSON numbers)
+    case _: java.time.format.DateTimeParseException => 400 // malformed "now"
+    case _ => 500
   }
 
   private def obj(kv: (String, String)): String =
@@ -212,7 +231,11 @@ private[graft] object Json {
             case 'r' => sb += '\r'
             case 't' => sb += '\t'
             case 'u' =>
-              if (pos + 4 >= s.length) fail("bad \\u escape")
+              // exactly 4 ASCII hex digits — parseInt alone would accept
+              // '+'-prefixed or unicode-digit text jackson rejects
+              if (pos + 4 >= s.length ||
+                  !(1 to 4).forall(k => isHex(s.charAt(pos + k))))
+                fail("bad \\u escape")
               sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
               pos += 4
             case other => fail(s"bad escape '\\$other'")
@@ -224,16 +247,34 @@ private[graft] object Json {
       sb.toString
     }
 
+    // ASCII-only: Char.isDigit / Long.parseLong accept unicode digit
+    // blocks JSON (and jackson) reject
+    private def isDig(c: Char): Boolean = c >= '0' && c <= '9'
+    private def isHex(c: Char): Boolean =
+      isDig(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+    /** Strict RFC 8259 number grammar: -?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?.
+      * The earlier consume-then-parseDouble scan accepted "1." and "+5" —
+      * shapes jackson rejects; the codec fuzzer's differential caught it. */
     private def numV(): Any = {
       val start = pos
-      if (!eof && (s.charAt(pos) == '-' || s.charAt(pos) == '+')) pos += 1
+      if (!eof && s.charAt(pos) == '-') pos += 1
+      if (eof || !isDig(s.charAt(pos))) fail("expected value")
+      if (s.charAt(pos) == '0') pos += 1
+      else while (!eof && isDig(s.charAt(pos))) pos += 1
       var isDouble = false
-      while (!eof && (s.charAt(pos).isDigit || "eE.+-".indexOf(s.charAt(pos)) >= 0)) {
-        if (".eE".indexOf(s.charAt(pos)) >= 0) isDouble = true
-        pos += 1
+      if (!eof && s.charAt(pos) == '.') {
+        isDouble = true; pos += 1
+        if (eof || !isDig(s.charAt(pos))) fail("digits required after '.'")
+        while (!eof && isDig(s.charAt(pos))) pos += 1
+      }
+      if (!eof && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
+        isDouble = true; pos += 1
+        if (!eof && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
+        if (eof || !isDig(s.charAt(pos))) fail("digits required in exponent")
+        while (!eof && isDig(s.charAt(pos))) pos += 1
       }
       val text = s.substring(start, pos)
-      if (text.isEmpty) fail("expected value")
       if (isDouble) text.toDouble
       else try text.toLong catch { case _: NumberFormatException => text.toDouble }
     }

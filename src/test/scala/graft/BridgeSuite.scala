@@ -35,6 +35,24 @@ class BridgeSuite extends SparkSpec {
     assert(m.collect().map(_.toString).sorted.sameElements(want))
   }
 
+  test("materializedBytes: sees localCheckpoint blocks AND reliable-checkpoint files") {
+    val df = spark.range(0, 50000, 1, 4).toDF("id").withColumn("k", col("id") % 7)
+    val lc = df.localCheckpoint()
+    try assert(Bridge.materializedBytes(lc).exists(_ > 0),
+      "localCheckpoint blocks must be measurable")
+    finally lc.unpersist(blocking = false)
+    // checkpoint-mode barrier (the 1000-executor deployment setting): no
+    // block-manager storage — the bytes must come from the checkpoint
+    // files, or size-derived shuffle sizing silently degrades to the
+    // session constant exactly where it matters most
+    spark.sparkContext.setCheckpointDir("target/test-tmp/bridge-ckpt")
+    val ck = df.checkpoint()
+    assert(Bridge.materializedBytes(ck).exists(_ > 0),
+      "reliable-checkpoint leaves must report their file bytes")
+    // an un-materialized frame has no measured size — callers fall back
+    assert(Bridge.materializedBytes(df).isEmpty)
+  }
+
   test("materializeOwned: preserves schema incl. nullable arrays and nulls") {
     import spark.implicits._
     val df = Seq(

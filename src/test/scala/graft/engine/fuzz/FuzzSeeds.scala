@@ -20,7 +20,15 @@ object FuzzSeeds {
     * spread so consecutive days land far apart; per-suite salt decouples
     * the suites' case streams from each other). */
   def resolve(envVar: String, salt: Long): Long =
-    sys.env.get(envVar).map(_.toLong).getOrElse(
+    sys.env.get(envVar).map { raw =>
+      // name the env var on a typo'd override instead of dying with a
+      // bare NumberFormatException from somewhere inside a suite
+      try raw.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$envVar must be a long seed, got '$raw'")
+      }
+    }.getOrElse(
       java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay * 2654435761L + salt)
 
   /** The standard two passes: a small pinned-regression slice plus the

@@ -20,6 +20,12 @@ import scala.util.Random
  * compares one scalar — and saturating extreme time bounds) are skipped;
  * each suite asserts the renderable share stays a corpus (≥500 at the
  * default sizes).
+ *
+ * Half the round-tripped cases ALSO re-render with every WHERE literal
+ * (and, for property, every id literal) as a positional `?` parameter
+ * and round-trip through `BydbQL.bind` — the prepared-statement path the
+ * reference binder covers for all models (pkg/bydbql/binder.go); the
+ * measure/TopN bound variants live in [[QlParityFuzzSuite]].
  */
 class QlSurfaceParityFuzzSuite extends SparkSpec {
 
@@ -97,47 +103,61 @@ class QlSurfaceParityFuzzSuite extends SparkSpec {
   }.getOrElse("")
 
   /** Shared SELECT assembly for stream/trace: kind, projection (with the
-    * trace-only `()` empty form), time, where, order, limit, offset. */
+    * trace-only `()` empty form), time, where, order, limit, offset.
+    * `whereText` is pre-rendered (literal or `?`-parameterized form). */
   private def renderSelect(kind: String, name: String, groups: Seq[String],
       projection: Seq[String], emptyProj: Boolean, tr: Option[TimeRange],
-      criteria: Option[Criteria], orderBy: Option[OrderBy],
+      whereText: Option[String], orderBy: Option[OrderBy],
       limit: Int, offset: Int): Option[String] = {
     if (!timeOk(tr)) return None
-    val whereOpt: Option[Option[String]] = criteria.map(renderCond)
-    if (whereOpt.exists(_.isEmpty)) return None
     val proj =
       if (emptyProj) "()"
       else if (projection.isEmpty) "*"
       else projection.mkString(", ")
-    val where = whereOpt.flatten.map(w => s" WHERE $w").getOrElse("")
+    val where = whereText.map(w => s" WHERE $w").getOrElse("")
     val lim = if (limit > 0) s" LIMIT $limit" else ""
     val off = if (offset > 0) s" OFFSET $offset" else ""
     Some(s"SELECT $proj FROM $kind $name IN ${groups.mkString(", ")}" +
       renderTime(tr) + where + renderOrder(orderBy) + lim + off)
   }
 
-  def renderStreamQl(q: StreamQuery): Option[String] =
-    renderSelect("STREAM", q.name, q.groups, q.projection, emptyProj = false,
-      q.timeRange, q.criteria, q.orderBy, q.limit, q.offset)
+  /** Literal WHERE text for a query's criteria: None if the query HAS
+    * criteria that are unrenderable (the whole case is skipped). */
+  private def whereLiteral(criteria: Option[Criteria]): Option[Option[String]] = {
+    val rendered = criteria.map(renderCond)
+    if (rendered.exists(_.isEmpty)) None else Some(rendered.flatten)
+  }
+
+  def renderStreamQl(q: StreamQuery, where: Option[Option[String]] = None): Option[String] =
+    where.orElse(whereLiteral(q.criteria)).flatMap(w =>
+      renderSelect("STREAM", q.name, q.groups, q.projection, emptyProj = false,
+        q.timeRange, w, q.orderBy, q.limit, q.offset))
 
   /** Trace renders the empty projection as `()` (docs bydbql.md:952-967)
     * or `*` — both transform to Nil; `emptyProj` picks per case. */
-  def renderTraceQl(q: TraceQuery, emptyProj: Boolean): Option[String] =
-    renderSelect("TRACE", q.name, q.groups, q.projection,
-      emptyProj = emptyProj && q.projection.isEmpty,
-      q.timeRange, q.criteria, q.orderBy, q.limit, q.offset)
+  def renderTraceQl(q: TraceQuery, emptyProj: Boolean,
+      where: Option[Option[String]] = None): Option[String] =
+    where.orElse(whereLiteral(q.criteria)).flatMap(w =>
+      renderSelect("TRACE", q.name, q.groups, q.projection,
+        emptyProj = emptyProj && q.projection.isEmpty,
+        q.timeRange, w, q.orderBy, q.limit, q.offset))
 
   /** Property: ids render as top-level AND-chained `id = v` / `id IN (...)`
     * ahead of the residual criteria — the transformer's
-    * extractIDsAndCriteria walk re-captures them in render order. */
-  def renderPropertyQl(q: PropertyQuery): Option[String] = {
-    val idPart =
+    * extractIDsAndCriteria walk re-captures them in render order.
+    * `idText`/`where` override with pre-rendered (parameterized) forms. */
+  def renderPropertyQl(q: PropertyQuery, idText: Option[Option[String]] = None,
+      where: Option[Option[String]] = None): Option[String] = {
+    val idPart = idText.getOrElse {
       if (q.ids.isEmpty) None
       else if (q.ids.size == 1) Some(s"id = '${q.ids.head}'")
       else Some(q.ids.map(i => s"'$i'").mkString("id IN (", ", ", ")"))
-    val critPart: Option[Option[String]] = q.criteria.map(renderCond)
-    if (critPart.exists(_.isEmpty)) return None
-    val where = (idPart, critPart.flatten) match {
+    }
+    val critPart = where.orElse(whereLiteral(q.criteria)) match {
+      case None => return None
+      case Some(w) => w
+    }
+    val whereStr = (idPart, critPart) match {
       case (Some(a), Some(b)) => s" WHERE $a AND $b"
       case (Some(a), None) => s" WHERE $a"
       case (None, Some(b)) => s" WHERE $b"
@@ -146,7 +166,67 @@ class QlSurfaceParityFuzzSuite extends SparkSpec {
     val proj = if (q.projection.isEmpty) "*" else q.projection.mkString(", ")
     val lim = if (q.limit > 0) s" LIMIT ${q.limit}" else ""
     Some(s"SELECT $proj FROM PROPERTY ${q.name} IN ${q.groups.mkString(", ")}" +
-      where + renderOrder(q.orderBy) + lim)
+      whereStr + renderOrder(q.orderBy) + lim)
+  }
+
+  // ---------- positional-bind variants ----------
+
+  /** Every bindable WHERE literal becomes `?` (lex order = emission
+    * order); unbindable conds (NULL — bind() has no parameter form for
+    * it — MATCH analyzer/operator names, array literals) keep their
+    * literal render, mixed freely with the parameters. */
+  private def parameterize(c: Criteria,
+      params: scala.collection.mutable.ArrayBuffer[Any]): Option[String] = c match {
+    case And(l, r) =>
+      for (a <- parameterize(l, params); b <- parameterize(r, params)) yield s"($a AND $b)"
+    case Or(l, r) =>
+      for (a <- parameterize(l, params); b <- parameterize(r, params)) yield s"($a OR $b)"
+    case Cond(tag, op, values) =>
+      def bindable = values.forall {
+        case _: String | _: Long | _: Int | _: Double => true
+        case _ => false
+      }
+      def mark(vs: Seq[Any]): String = {
+        vs.foreach(params += _); Seq.fill(vs.size)("?").mkString("(", ", ", ")")
+      }
+      def one(v: Any): String = { params += v; "?" }
+      op match {
+        case Op.Eq if values.size == 1 && bindable => Some(s"$tag = ${one(values.head)}")
+        case Op.Ne if values.size == 1 && bindable => Some(s"$tag != ${one(values.head)}")
+        case Op.Lt if bindable => Some(s"$tag < ${one(values.head)}")
+        case Op.Gt if bindable => Some(s"$tag > ${one(values.head)}")
+        case Op.Le if bindable => Some(s"$tag <= ${one(values.head)}")
+        case Op.Ge if bindable => Some(s"$tag >= ${one(values.head)}")
+        case Op.In if bindable => Some(s"$tag IN ${mark(values)}")
+        case Op.NotIn if bindable => Some(s"$tag NOT IN ${mark(values)}")
+        case Op.Having if bindable => Some(s"$tag HAVING ${mark(values)}")
+        case Op.NotHaving if bindable => Some(s"$tag NOT HAVING ${mark(values)}")
+        case _ => renderCond(c)
+      }
+  }
+
+  /** The `?`-form statement + bind list for a case, or None when there is
+    * nothing to bind (no criteria and, for property, no ids). */
+  private def bindVariant[Q](q: Q,
+      params: scala.collection.mutable.ArrayBuffer[Any]): Option[String] = q match {
+    case s: StreamQuery =>
+      s.criteria.flatMap(c => parameterize(c, params).flatMap(w =>
+        renderStreamQl(s, where = Some(Some(w)))))
+    case t: TraceQuery =>
+      t.criteria.flatMap(c => parameterize(c, params).flatMap(w =>
+        renderTraceQl(t, emptyProj = false, where = Some(Some(w)))))
+    case p: PropertyQuery =>
+      if (p.ids.isEmpty && p.criteria.isEmpty) None
+      else {
+        val idText =
+          if (p.ids.isEmpty) None
+          else if (p.ids.size == 1) { params += p.ids.head; Some("id = ?") }
+          else Some(p.ids.map { i => params += i; "?" }.mkString("id IN (", ", ", ")"))
+        val wherePart = p.criteria.map(c => parameterize(c, params))
+        if (wherePart.exists(_.isEmpty)) None
+        else renderPropertyQl(p, idText = Some(idText), where = Some(wherePart.flatten))
+      }
+    case _ => None
   }
 
   // ---------- drive ----------
@@ -161,6 +241,7 @@ class QlSurfaceParityFuzzSuite extends SparkSpec {
     val total = passes.map(_._2).sum
     var rendered = 0
     var skipped = 0
+    var bound = 0
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((sd, m) <- passes; i <- 0 until m) {
       val rnd = new Random(sd + i * 104729L)
@@ -181,12 +262,31 @@ class QlSurfaceParityFuzzSuite extends SparkSpec {
                 s"transform threw: ${t.getMessage}\n  ql: $text"
             case _ => failures += s"$label case #$i (suppressed)"
           }
+          // prepared-statement variant on half the round-tripped cases
+          if (i % 2 == 0 && failures.isEmpty) {
+            val params = scala.collection.mutable.ArrayBuffer.empty[Any]
+            bindVariant(fc.q, params).foreach { ptext =>
+              val bgot = try {
+                val stmt = BydbQL.bind(Parser.parse(ptext), params.toSeq)
+                Right(Transformer.transform(stmt, schema, now))
+              } catch { case t: Throwable => Left(t) }
+              bound += 1
+              bgot match {
+                case Right(tq) if unwrap.isDefinedAt(tq) && unwrap(tq) == fc.q => ()
+                case other if failures.size < 5 =>
+                  failures += s"$label case #$i (replay: SPARK_GRAFT_SURFACE_FUZZ_SEED=$sd) " +
+                    s"bind mismatch:\n  ql: $ptext\n  params: $params\n  want: ${fc.q}\n  got:  $other"
+                case _ => failures += s"$label case #$i (bind, suppressed)"
+              }
+            }
+          }
       }
     }
-    info(s"$label ql parity: $rendered rendered, $skipped skipped " +
+    info(s"$label ql parity: $rendered rendered, $bound bound-variants, $skipped skipped " +
       s"(passes=${passes.map { case (s0, m) => s"$m@seed=$s0" }.mkString(", ")})")
     assert(failures.isEmpty, s"\n${failures.size} parity failure(s):\n${failures.mkString("\n")}")
     assert(rendered >= total / 2, s"only $rendered/$total $label cases were QL-renderable")
+    assert(bound >= 200, s"only $bound $label bound-variants round-tripped (want ≥200)")
   }
 
   test("QL parity: stream renders round-trip to the same StreamQuery") {

@@ -94,6 +94,30 @@ class BydbQLHttpSuite extends SparkSpec {
     } finally server.stop()
   }
 
+  test("wire: an injected execution fault returns 500 while user errors stay 400") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    // passes parse + validation (v is a real column), fails at EXECUTION:
+    // raise_error throws once the scan actually evaluates the projection
+    // 1h before `now` — the time window is [begin, end) with end = now
+    val nowNanos = (this.now.getEpochSecond - 3600L) * 1000000000L
+    val df = spark.range(2).select(
+      lit(nowNanos).as("__ts"), lit(1L).as("version"),
+      expr("cast(raise_error('injected execution fault') as string)").as("v"))
+    val resources = Map("broken" -> BydbQL.Resource(df,
+      TableDef("broken", tsCol = Some("__ts"), versionCol = Some("version"))))
+    val server = BydbQLHttp.start(resources)
+    try {
+      val (s1, b1) = post(server.url, queryJson(
+        "SELECT v FROM MEASURE broken IN g TIME > '-30d'"))
+      assert(s1 == 500, s"engine fault should be 500, got $s1: $b1")
+      assert(b1.contains("error") && b1.contains("injected execution fault"), b1)
+      // the same resource's VALIDATION failures remain the client's 400
+      val (s2, b2) = post(server.url, queryJson(
+        "SELECT nope FROM MEASURE broken IN g"))
+      assert(s2 == 400, s"validation error should stay 400, got $s2: $b2")
+    } finally server.stop()
+  }
+
   // ---------- golden corpus wire replay ----------
 
   private val refRoot = new java.io.File("/root/reference/test/cases")
@@ -243,7 +267,11 @@ class BydbQLHttpSuite extends SparkSpec {
             } else executed += 1
           case Left(t) =>
             val wantMsg = s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"
-            if (status != 400 || !body.contains(Json.render(wantMsg).drop(1).dropRight(1).take(80))) {
+            // the wire status must match the user-error vs server-fault
+            // classification of the library-side exception (all 91 golden
+            // rejects are validation rejections → 400)
+            val wantStatus = BydbQLHttp.statusFor(t)
+            if (status != wantStatus || !body.contains(Json.render(wantMsg).drop(1).dropRight(1).take(80))) {
               if (mismatches.size < 5)
                 mismatches += s"$name: library threw [$wantMsg] but wire gave status=$status body=${body.take(400)}"
               else mismatches += s"$name (suppressed)"

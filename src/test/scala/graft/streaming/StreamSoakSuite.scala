@@ -217,6 +217,103 @@ class StreamSoakSuite extends SparkSpec {
     assert(streamed == batch, s"topn soak: stream=$streamed batch=$batch")
   }
 
+  // ---------- wire reads during kill/recover ----------
+
+  private def postWire(url: String, body: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val status = conn.getResponseCode
+    val is = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text = try new String(is.readAllBytes(), "UTF-8") finally is.close()
+    (status, text)
+  }
+
+  /** Wire-shaped ids currently visible in the durable sink: the sink dir
+    * read through its file-sink metadata log, registered as a STREAM
+    * resource, queried over HTTP — the reference's liaison serves reads
+    * during ingest (docs/concept/data-model.md consistency note). */
+  private def wireIds(out: String): Set[String] = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(out)
+      .withColumn("__ts", expr("unix_micros(ts) * 1000"))
+    val resources = Map("soak" -> graft.ql.BydbQL.Resource(df,
+      graft.sources.TableDef("soak", tsCol = Some("__ts")),
+      elementIdCol = Some("element_id")))
+    val server = graft.server.BydbQLHttp.start(resources)
+    try {
+      val (status, body) = postWire(server.url,
+        "{\"query\": \"SELECT element_id FROM STREAM soak IN g\", " +
+          "\"now\": \"2024-01-20T00:00:00Z\"}")
+      assert(status == 200, s"wire read failed: $status $body")
+      graft.server.Json.parse(body).asInstanceOf[Map[String, Any]]("rows")
+        .asInstanceOf[List[List[Any]]].map(_.head.asInstanceOf[String]).toSet
+    } finally server.stop()
+  }
+
+  test("soak × wire: mid-kill wire reads see only committed micro-batches " +
+      "(and never an orphan data file outside the sink log)") {
+    import spark.implicits._
+    for (c <- 0 until 3) {
+      val seed = 9100L + c * 104729L
+      val rnd = new Random(seed)
+      withClue(s"cycle $c seed=$seed: ") {
+        val nIds = 12 + rnd.nextInt(12)
+        // no shuffle: split() slices contiguously, so batch k's id set is
+        // known exactly and "committed after k batches" is deterministic
+        val docs = (0 until nIds).map(i =>
+          SoakDoc(ts(1000L + i * 100), s"e$i", sentence(rnd, 5), positive = false))
+        val batches = split(rnd, docs, 4)
+        val ckpt = tmp("soakwire_ckpt")
+        val out = tmp("soakwire_out")
+        implicit val sqlCtx = spark.sqlContext
+        val src = MemoryStream[SoakDoc]
+        def start() = StreamDedup.dedupElements(src.toDF(), "ts", "1 hour",
+            Seq("element_id"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode(OutputMode.Append)
+          .start()
+        val killAt = math.max(1, batches.size - 1)
+        var q = start()
+        batches.take(killAt).foreach { b => src.addData(b); q.processAllAvailable() }
+        // the remaining data is ADDED but the query is stopped before a
+        // processAllAvailable — exactly the replay-on-recovery window
+        batches.drop(killAt).foreach(b => src.addData(b))
+        q.stop()
+
+        val committed = batches.take(killAt).flatten.map(_.element_id).toSet
+        // inject an ORPHAN parquet file into the sink dir — a dead task's
+        // output that never reached the file-sink metadata log; committed
+        // reads must not see it
+        val orphanDir = tmp("soakwire_orphan")
+        spark.read.parquet(out).limit(1)
+          .withColumn("element_id", lit("e_orphan"))
+          .coalesce(1).write.mode("overwrite").parquet(orphanDir)
+        val part = new java.io.File(orphanDir).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(out, "part-99999-orphan.snappy.parquet"))
+
+        val midKill = wireIds(out)
+        assert(midKill == committed,
+          s"mid-kill wire view != committed batches: wire=$midKill committed=$committed")
+        assert(!midKill.contains("e_orphan"), "wire read surfaced an uncommitted orphan file")
+
+        // recover: a NEW query on the same checkpoint+source replays the
+        // uncommitted tail exactly once
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        val after = wireIds(out)
+        val all = docs.map(_.element_id).toSet
+        assert(after == all, s"post-recovery wire view: $after != $all")
+      }
+    }
+  }
+
   test("soak: randomized split × kill/recover cycles over all four stream operators") {
     val seed = sys.env.get("SPARK_GRAFT_SOAK_SEED").map(_.toLong).getOrElse(20260815L)
     val cycles = sys.env.get("SPARK_GRAFT_SOAK_CYCLES").map(_.toInt).getOrElse(52)

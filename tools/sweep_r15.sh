@@ -4,6 +4,9 @@
 # on), so each bench_*.json carries `queries` (cold) AND `queries_warm`.
 # trend_r15.py publishes min-cold (cross-round comparable) and min-warm
 # (the steady-state/reused-plan number) side by side.
+# Driver-facing graft.Bench defaults to COLD_PASSES=2 (min-of-2 in-JVM);
+# the sweep pins 1 because run a/b already take the min across separate
+# JVMs - same discipline, half the wall.
 # Serial on purpose — timing purity (never co-tenant sbt with a timing
 # pass; verify skill).
 set -xe
@@ -14,6 +17,7 @@ mkdir -p "$T"
 calibrate() {  # $1 = tag
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_ONLY=q01_scan_timerange,q35_lineitem_pricing \
+    SPARK_GRAFT_BENCH_COLD_PASSES=1 \
     sbt -batch "runMain graft.Bench" >/dev/null 2>&1
   cp target/bench_full.json "$T/cal_spark_$1.json"
   python3 tools/time_oracle.py /root/testdata/sf0.1 \
@@ -39,6 +43,7 @@ for sf in sf01:/root/testdata/sf0.1 sf1:/root/repo/target/scale-sf1 sf5:/root/re
   calibrate "$name"
   for run in a b; do
     SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=8g \
+      SPARK_GRAFT_BENCH_COLD_PASSES=1 \
       sbt -batch "runMain graft.Bench" >/dev/null 2>&1
     cp target/bench_full.json "$T/bench_${name}_${run}.json"
     echo "BENCH ${name} ${run} done"
