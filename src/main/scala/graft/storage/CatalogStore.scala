@@ -130,11 +130,15 @@ object CatalogStore {
     * file-backed store approximates that by re-reading — every retry
     * observes either the old or the new entry, both valid linearization
     * points. Non-listing failures rethrow immediately. */
+  private def isStaleListing(t: Throwable): Boolean = t != null && (
+    t.isInstanceOf[java.io.FileNotFoundException] ||
+      Option(t.getMessage).exists(_.contains("FAILED_READ_FILE")) ||
+      // the dir passed fs.exists but the overwrite removed it before
+      // spark.read's own listing ran — same transient, different shape
+      Option(t.getMessage).exists(_.contains("PATH_NOT_FOUND")) ||
+      isStaleListing(t.getCause))
+
   private def retryingStaleRead[A](attempts: Int = 5)(read: => A): A = {
-    def isStaleListing(t: Throwable): Boolean = t != null && (
-      t.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(t.getMessage).exists(_.contains("FAILED_READ_FILE")) ||
-        isStaleListing(t.getCause))
     var left = attempts
     while (true) {
       try return read catch {
@@ -148,18 +152,51 @@ object CatalogStore {
 
   /** One entry by (group, name), if registered — a direct read of that
     * entry's own directory (the path is addressable), NOT a scan of the
-    * whole catalog: registry mutations stay O(1) in the resource count. */
+    * whole catalog: registry mutations stay O(1) in the resource count.
+    *
+    * Existence alone cannot distinguish "deleted" from "mid-save":
+    * `save()` overwrites by delete-then-write, so a concurrent reader can
+    * observe the directory briefly ABSENT (or present but still empty)
+    * during an update — the registry watch surfaced this as a false
+    * `deleted` event. The `.created` marker disambiguates: it is written
+    * once at [[create]], survives every overwrite, and is removed only by
+    * [[delete]] — so "marker present, entry unreadable" is a transient
+    * save window to ride out, and "marker absent" is a true None. A
+    * window that persists past the deadline means a save crashed between
+    * its delete and write — surfaced loudly rather than misread as a
+    * registry delete. */
   def get(spark: SparkSession, root: String, group: String, name: String): Option[CatalogEntry] = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val dir = new Path(entryPath(root, group, name))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
-    else retryingStaleRead() {
-      spark.read
-        .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
-        .json(dir.toString).as[CatalogEntry].collect().headOption
+    val marker = new Path(dir.toString + ".created")
+    val deadline = System.currentTimeMillis() + 2000L
+    while (true) {
+      // under CONTINUOUS save churn one read can straddle several
+      // consecutive overwrites and exhaust retryingStaleRead's fixed
+      // attempts — that exhaustion is the same transient the marker
+      // deadline loop already rides out, so fold it into this loop
+      // instead of letting it escape as an error
+      val read: Option[CatalogEntry] =
+        if (!fs.exists(dir)) None
+        else try retryingStaleRead() {
+          spark.read
+            .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
+            .json(dir.toString).as[CatalogEntry].collect().headOption
+        } catch { case t: Throwable if isStaleListing(t) => None }
+      read match {
+        case some @ Some(_) => return some
+        case None if !fs.exists(marker) => return None
+        case None if System.currentTimeMillis() >= deadline =>
+          throw new IllegalStateException(
+            s"catalog entry $group/$name unreadable: create marker present " +
+              "but no entry after 2s — a concurrent save may have crashed " +
+              "between its delete and write")
+        case None => Thread.sleep(20L)
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /**
