@@ -17,7 +17,8 @@ import graft.ql.BydbQL
  * minimal single-route shim on the JDK's built-in HttpServer — its value
  * is that the golden corpus and conformance harnesses can replay
  * statements WIRE-SHAPED (bytes in, bytes out) instead of via library
- * calls (BydbQLHttpSuite replays every reference `.ql` through it).
+ * calls (BydbQLHttpSuite replays every reference `.ql` through it, both
+ * sequentially and from 4 concurrent clients with parity asserted).
  *
  * Request:  {"query": "SELECT …", "params": [..], "now": "2024-…Z"?}
  * Response: 200 {"columns": [..], "rows": [[..]..], "trace": "…"?}
@@ -29,24 +30,36 @@ import graft.ql.BydbQL
  */
 object BydbQLHttp {
 
-  final class Server(private val http: HttpServer) {
+  final class Server(private val http: HttpServer,
+      private val pool: java.util.concurrent.ExecutorService) {
     def port: Int = http.getAddress.getPort
     def url: String = s"http://127.0.0.1:$port/api/v1/bydbql/query"
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { http.stop(0); pool.shutdownNow(); () }
   }
 
   /** Start serving on 127.0.0.1:`port` (0 = ephemeral). `defaultNow`
     * anchors relative times for requests that don't pass "now" —
-    * conformance replays pin it for reproducibility. */
+    * conformance replays pin it for reproducibility.
+    *
+    * CONCURRENT by default, like the reference liaison (a gRPC server
+    * serves queries on its own goroutine per call — banyand/liaison/grpc/
+    * measure.go:395): a small fixed pool of `threads`, each request a
+    * Spark job submitted from its own handler thread. Spark's scheduler
+    * multiplexes concurrent jobs from one session natively (FIFO
+    * interleaves at task granularity; each handler also tags its thread
+    * with the `graft-wire` scheduler pool so a session configured with
+    * FAIR mode isolates wire queries from batch work). The pool is FIXED
+    * — unlike the registry's long-polls, every request here does real
+    * executor work, so a bound is back-pressure, not a deadlock. */
   def start(resources: Map[String, BydbQL.Resource], port: Int = 0,
-      defaultNow: () => Instant = () => Instant.now()): Server = {
+      defaultNow: () => Instant = () => Instant.now(),
+      threads: Int = 8): Server = {
     val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, threads))
     http.createContext("/api/v1/bydbql/query", (ex: HttpExchange) => handle(ex, resources, defaultNow))
-    // requests execute Spark jobs — serialize them on one thread; the
-    // wire shim is a conformance surface, not a concurrency layer
-    http.setExecutor(null)
+    http.setExecutor(pool)
     http.start()
-    new Server(http)
+    new Server(http, pool)
   }
 
   private def handle(ex: HttpExchange, resources: Map[String, BydbQL.Resource],
@@ -71,6 +84,11 @@ object BydbQLHttp {
         case Some(s: String) => Instant.parse(s)
         case _ => defaultNow()
       }
+      // per-request scheduler-pool tag (thread-local): inert under the
+      // default FIFO scheduler, isolates wire traffic under FAIR mode
+      resources.values.headOption.foreach(
+        _.df.sparkSession.sparkContext.setLocalProperty(
+          "spark.scheduler.pool", "graft-wire"))
       val (df, trace) = BydbQL.runTraced(ql, resources, params, now)
       respond(ex, 200, resultJson(df, trace))
     } catch {

@@ -54,12 +54,16 @@ object SchemaRegistryHttp {
   }
 
   /** Serve the registry of `root` on 127.0.0.1:`port` (0 = ephemeral).
-    * A small pool, NOT the single-thread executor the query shim uses:
-    * await/watch are LONG-POLL endpoints — on one thread a pending watch
-    * would block the very update that releases it. */
+    * A CACHED pool, not a fixed one: await/watch are LONG-POLL endpoints
+    * that occupy a thread for their whole timeout, so any fixed bound N
+    * self-deadlocks at N pending watches — the (N+1)th request is the
+    * very PUT that would release them, queued behind them until timeout
+    * (the registry's mutations are driver-side metadata ops, so an
+    * unbounded pool can't amplify Spark work the way the query shim's
+    * could; SchemaRegistryHttpSuite pins the starvation case). */
   def start(spark: SparkSession, root: String, port: Int = 0): Server = {
     val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
     http.createContext("/api/v1/registry", (ex: HttpExchange) => handle(ex, spark, root))
     http.setExecutor(pool)
     http.start()
@@ -73,9 +77,17 @@ object SchemaRegistryHttp {
     implicitly[org.apache.spark.sql.Encoder[CatalogEntry]]
   }
 
-  private[graft] def entryToJson(spark: SparkSession, e: CatalogEntry): String = {
+  private[graft] def entryToJson(spark: SparkSession, e: CatalogEntry): String =
+    entriesToJson(spark, Seq(e)).head
+
+  /** Batch render: ONE Spark job for the whole list (order preserved —
+    * collect concatenates partitions in order). A per-entry `toJSON` loop
+    * is one driver-side Spark job per registered resource, which turns a
+    * 500-entry `GET /registry` into 500 jobs for kilobytes of metadata. */
+  private[graft] def entriesToJson(spark: SparkSession,
+      es: Seq[CatalogEntry]): Seq[String] = {
     import spark.implicits._
-    Seq(e).toDS().toJSON.collect().head
+    if (es.isEmpty) Nil else es.toDS().toJSON.collect().toSeq
   }
 
   private[graft] def entryFromJson(spark: SparkSession, body: String): CatalogEntry = {
@@ -83,12 +95,20 @@ object SchemaRegistryHttp {
     // FAILFAST: malformed JSON or type-mismatched fields must reject the
     // request, not deserialize a row of nulls. The decode failure is the
     // CLIENT's (a 400), so unwrap Spark's exception into the validation
-    // type the status mapper already classifies.
+    // type the status mapper already classifies. FAILFAST does NOT flag
+    // MISSING fields (they read as null), so before the typed decode the
+    // case-class defaults are restored for absent primitives (a null
+    // Boolean/Int hard-fails the encoder with a message that blames the
+    // whole body) and absent collections (a null Seq decodes fine but
+    // NPEs tdef/spec later) — a client may legitimately send only the
+    // fields it sets, exactly like the proto registry's unset fields.
     val rows = try {
       spark.read
         .schema(entryEncoder(spark).schema)
         .option("mode", "FAILFAST")
-        .json(Seq(body).toDS()).as[CatalogEntry].collect()
+        .json(Seq(body).toDS())
+        .na.fill(Map("tsIsNanos" -> true, "shardNum" -> 4, "segmentDays" -> 1))
+        .as[CatalogEntry].collect()
     } catch {
       case scala.util.control.NonFatal(t) =>
         throw new IllegalArgumentException(
@@ -96,7 +116,17 @@ object SchemaRegistryHttp {
     }
     if (rows.length != 1)
       throw new IllegalArgumentException("request body must be one catalog entry object")
-    rows.head
+    val e = rows.head
+    e.copy(
+      arrayTags = Option(e.arrayTags).getOrElse(Nil),
+      fields = Option(e.fields).getOrElse(Nil),
+      spanStruct = Option(e.spanStruct).getOrElse(Nil),
+      stageRoots = Option(e.stageRoots).getOrElse(Map.empty),
+      analyzerColumns = Option(e.analyzerColumns).getOrElse(Map.empty),
+      matchableWindowsMs = Option(e.matchableWindowsMs).getOrElse(Map.empty),
+      tagFamilies = Option(e.tagFamilies).getOrElse(Map.empty),
+      shardingKey = Option(e.shardingKey).getOrElse(Nil),
+      modRevision = Some(Option(e.modRevision).flatten.getOrElse(1L)))
   }
 
   private def rootMessage(t: Throwable): String = {
@@ -114,8 +144,7 @@ object SchemaRegistryHttp {
       val q = queryParams(ex)
       (ex.getRequestMethod, sub) match {
         case ("GET", Seq()) =>
-          val entries = CatalogStore.entries(spark, root)
-            .map(e => entryToJson(spark, e))
+          val entries = entriesToJson(spark, CatalogStore.entries(spark, root))
           respond(ex, 200, "{\"entries\": [" + entries.mkString(", ") + "]}")
         case ("GET", Seq(group, name)) =>
           CatalogStore.get(spark, root, group, name) match {
@@ -153,8 +182,17 @@ object SchemaRegistryHttp {
           val since = q.get("sinceRevision").map(_.toLong).getOrElse(0L)
           val timeout = q.get("timeoutMs").map(_.toLong).getOrElse(1000L)
           respond(ex, 200, watch(spark, root, group, name, since, timeout))
+        // 405 = known path shape, wrong method; anything else is an
+        // unknown resource path → 404 (a 405 on GET /registry/a would
+        // wrongly signal "valid resource, wrong verb")
+        case (m, Seq()) =>
+          respond(ex, 405, err(s"unsupported method $m on the registry list"))
+        case (m, Seq(_, _)) =>
+          respond(ex, 405, err(s"unsupported method $m on a registry entry"))
+        case (m, Seq(_, _, "await" | "watch")) =>
+          respond(ex, 405, err(s"unsupported method $m on a long-poll endpoint"))
         case (m, _) =>
-          respond(ex, 405, err(s"unsupported route: $m ${ex.getRequestURI.getPath}"))
+          respond(ex, 404, err(s"unknown path: $m ${ex.getRequestURI.getPath}"))
       }
     } catch {
       case scala.util.control.NonFatal(t) =>
@@ -203,6 +241,15 @@ object SchemaRegistryHttp {
     if (g != group || n != name)
       throw new IllegalArgumentException(
         s"body resource $g/$n does not match path $group/$name")
+    // FAILFAST only rejects malformed/mistyped fields — a MISSING field
+    // decodes to null. Required fields must reject HERE as the client's
+    // 400, or `{}` persists an entry whose null entity/tsCol NPEs the
+    // gate/open/query paths long after the write was accepted.
+    if (e.entity == null || e.entity.isEmpty)
+      throw new IllegalArgumentException(
+        "missing required field 'entity' (non-empty array)")
+    if (e.tsCol == null || e.tsCol.isEmpty)
+      throw new IllegalArgumentException("missing required field 'tsCol'")
     e.copy(group = group, name = name)
   }
 

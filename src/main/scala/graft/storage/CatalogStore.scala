@@ -116,12 +116,50 @@ object CatalogStore {
   private def entryPath(root: String, group: String, name: String): String =
     s"$root/$CatalogDir/${group}__$name"
 
-  /** Persist one resource's catalog entry under the layout root. */
+  /** Persist one resource's catalog entry under the layout root.
+    *
+    * Crash-safe overwrite, NOT Spark's delete-then-write `mode(overwrite)`:
+    * the entry renders through the same Spark JSON encoder reads use, but
+    * lands as a single file written to a dot-prefixed temp name (invisible
+    * to Spark's listing), atomically renamed to `entry-<rev>-<uuid>.json`,
+    * and only THEN are the previous entry files retired. A reader
+    * therefore always sees at least one complete entry during an update
+    * (old, new, or both — [[get]] picks the max revision), and a save that
+    * crashes mid-way leaves the old entry intact instead of the
+    * "marker present, entry unreadable" stuck state the delete-then-write
+    * shape could strand (the reference's etcd put is atomic; this is the
+    * file-backed equivalent). */
   def save(spark: SparkSession, root: String, e: CatalogEntry): Unit = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    Seq(e).toDS().coalesce(1).write.mode("overwrite")
-      .json(entryPath(root, e.group, e.name))
+    val json = Seq(e).toDS().toJSON.collect().head
+    val dir = new Path(entryPath(root, e.group, e.name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dir, s".tmp-$id")
+    val out = fs.create(tmp, false)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+    val fin = new Path(dir, f"entry-${e.revision}%019d-$id.json")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"rename $tmp -> $fin failed")
+    // the new entry is durable and visible: retire everything else in the
+    // dir (older entry files, orphaned temps, pre-round part-file layouts)
+    fs.listStatus(dir).foreach { st =>
+      if (st.getPath.getName != fin.getName) fs.delete(st.getPath, st.isDirectory)
+    }
   }
+
+  /** Pick the authoritative entry when a read races a save and observes
+    * both the old and the new file: max revision wins (ties — e.g. two
+    * re-`ingest` saves of the same schema — break on updated_at then
+    * arbitrary-but-deterministic field order). Rows with a null
+    * group/name are PERMISSIVE-mode corruption artifacts of a torn
+    * concurrent write and are never authoritative. */
+  private def freshest(rows: Seq[CatalogEntry]): Option[CatalogEntry] =
+    rows.filter(r => r.group != null && r.name != null)
+      .sortBy(r => (r.revision, r.updatedAtMs.getOrElse(0L)))
+      .lastOption
 
   /** Retry a catalog read that raced a concurrent `save` overwrite: the
     * read plans against a file listing, overwrite deletes those parts, and
@@ -154,17 +192,20 @@ object CatalogStore {
     * entry's own directory (the path is addressable), NOT a scan of the
     * whole catalog: registry mutations stay O(1) in the resource count.
     *
-    * Existence alone cannot distinguish "deleted" from "mid-save":
-    * `save()` overwrites by delete-then-write, so a concurrent reader can
-    * observe the directory briefly ABSENT (or present but still empty)
-    * during an update — the registry watch surfaced this as a false
-    * `deleted` event. The `.created` marker disambiguates: it is written
-    * once at [[create]], survives every overwrite, and is removed only by
-    * [[delete]] — so "marker present, entry unreadable" is a transient
-    * save window to ride out, and "marker absent" is a true None. A
-    * window that persists past the deadline means a save crashed between
-    * its delete and write — surfaced loudly rather than misread as a
-    * registry delete. */
+    * Existence alone cannot distinguish "deleted" from "mid-create":
+    * [[create]] stamps its `.created` marker before [[save]] lands the
+    * first entry file, so a concurrent reader can observe the directory
+    * present but still empty for that (now sub-second, driver-side)
+    * window — the registry watch once surfaced this as a false `deleted`
+    * event. The marker disambiguates: it is written once at [[create]],
+    * survives every overwrite, and is removed only by [[delete]] — so
+    * "marker present, entry unreadable" is a transient create window to
+    * ride out, and "marker absent" is a true None. UPDATES have no such
+    * window at all since save() became write-new-then-retire-old: a
+    * reader always sees at least one complete entry file mid-update. A
+    * window that persists past the deadline means a create crashed
+    * between its marker and first save — surfaced loudly rather than
+    * misread as a registry delete. */
   def get(spark: SparkSession, root: String, group: String, name: String): Option[CatalogEntry] = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
@@ -181,9 +222,9 @@ object CatalogStore {
       val read: Option[CatalogEntry] =
         if (!fs.exists(dir)) None
         else try retryingStaleRead() {
-          spark.read
+          freshest(spark.read
             .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
-            .json(dir.toString).as[CatalogEntry].collect().headOption
+            .json(dir.toString).as[CatalogEntry].collect().toSeq)
         } catch { case t: Throwable if isStaleListing(t) => None }
       read match {
         case some @ Some(_) => return some
@@ -387,6 +428,10 @@ object CatalogStore {
       spark.read
         .schema(implicitly[org.apache.spark.sql.Encoder[CatalogEntry]].schema)
         .json(dirs: _*).as[CatalogEntry].collect().toSeq
+        // a scan racing a save can see both the old and new entry file of
+        // one resource — collapse to the freshest, same rule as get()
+        .groupBy(e => (e.group, e.name)).values
+        .flatMap(rows => freshest(rows.toSeq)).toSeq
         .sortBy(e => (e.group, e.name))
     }
   }

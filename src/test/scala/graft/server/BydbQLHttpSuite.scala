@@ -166,14 +166,11 @@ class BydbQLHttpSuite extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  test("wire parity: the reference golden .ql corpus replays through the endpoint " +
-      "with outcomes identical to the library call") {
-    val byFam = families.map(f => f -> statements(f)).toMap
-    val all = families.flatMap(byFam)
-    assert(all.size >= 280, s"corpus shrank: ${all.size}")
-
-    // derived registry: one resource per FROM name, schema = the family's
-    // whole identifier set (strings) + typed ts/version/keys
+  /** Derived registry shared by the sequential-parity and concurrency
+    * replays: one resource per FROM name, schema = the family's whole
+    * identifier set (strings) + typed ts/version/keys. */
+  private def derivedRegistry(
+      byFam: Map[String, Seq[(String, String)]]): Map[String, BydbQL.Resource] = {
     val registry = scala.collection.mutable.Map.empty[String, BydbQL.Resource]
     def idents(fam: String) = identsOf(byFam(fam).map(_._2))
 
@@ -233,8 +230,15 @@ class BydbQLHttpSuite extends SparkSpec {
           propertyIdCol = Some("id"), propertyRevCol = Some("__rev"))
       }
     }
+    registry.toMap
+  }
 
-    val resources = registry.toMap
+  test("wire parity: the reference golden .ql corpus replays through the endpoint " +
+      "with outcomes identical to the library call") {
+    val byFam = families.map(f => f -> statements(f)).toMap
+    val all = families.flatMap(byFam)
+    assert(all.size >= 280, s"corpus shrank: ${all.size}")
+    val resources = derivedRegistry(byFam)
     val server = BydbQLHttp.start(resources)
     var executed = 0
     var rejectedParity = 0
@@ -285,5 +289,67 @@ class BydbQLHttpSuite extends SparkSpec {
     // the corpus must largely EXECUTE, not just error-match — the derived
     // schemas are built so resolution succeeds
     assert(executed >= all.size * 6 / 10, s"only $executed/${all.size} executed")
+  }
+
+  /** Deterministic response identity: columns/rows/error only — `trace`
+    * carries run-specific timings, and error payloads embed Spark plan
+    * dumps whose expression IDs (`#123`, `x_42`) come from a global
+    * counter, so those are normalized (the rows/columns of every
+    * EXECUTED statement stay compared exactly). */
+  private def canonical(body: String): String = {
+    val m = try Json.parse(body).asInstanceOf[Map[String, Any]]
+      catch { case _: Throwable => return body }
+    val err = m.get("error").map(e =>
+      String.valueOf(e).replaceAll("#\\d+", "#N").replaceAll("_\\d+", "_N")).orNull
+    Json.render(List(m.getOrElse("columns", null), m.getOrElse("rows", null), err))
+  }
+
+  test("wire concurrency: 4 concurrent clients replaying the golden corpus " +
+      "observe exactly the sequential responses (3 seeds)") {
+    // The reference liaison serves concurrent queries as a matter of
+    // course (one goroutine per gRPC call); the shim's pool makes the
+    // engine's shared state — one SparkSession, artifact caches, TopN
+    // buffers, the resource map — visible to 4 request threads at once.
+    // Sequential replay is the truth; any divergence under concurrency
+    // (wrong rows, cross-request bleed, 500s from racy state) fails.
+    val byFam = families.map(f => f -> statements(f)).toMap
+    val all = families.flatMap(byFam)
+    val resources = derivedRegistry(byFam)
+    val server = BydbQLHttp.start(resources)
+    try {
+      val expected = all.map { case (name, ql) =>
+        val (st, body) = post(server.url, queryJson(ql))
+        name -> ((st, canonical(body)))
+      }.toMap
+      for (seed <- Seq(1, 2, 3)) {
+        val rnd = new scala.util.Random(seed)
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+        rnd.shuffle(all).foreach(queue.add)
+        val divergences = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val threads = (0 until 4).map { _ =>
+          new Thread(() => {
+            var item = queue.poll()
+            while (item != null) {
+              val (name, ql) = item
+              try {
+                val (st, body) = post(server.url, queryJson(ql))
+                val (wantSt, wantBody) = expected(name)
+                if (st != wantSt || canonical(body) != wantBody)
+                  divergences.add(s"$name: seed $seed status $st vs $wantSt\n" +
+                    s"  got:  ${canonical(body).take(300)}\n  want: ${wantBody.take(300)}")
+              } catch {
+                case t: Throwable => divergences.add(s"$name: seed $seed threw $t")
+              }
+              item = queue.poll()
+            }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join(600000))
+        assert(divergences.isEmpty,
+          s"\n${divergences.size} concurrent divergence(s):\n" +
+            divergences.toArray.take(5).mkString("\n"))
+      }
+    } finally server.stop()
   }
 }

@@ -197,11 +197,12 @@ class SchemaRegistryHttpSuite extends SparkSpec {
   }
 
   test("watch never misreads a concurrent save's overwrite window as a delete") {
-    // CatalogStore.save overwrites delete-then-write, so a reader can
-    // transiently observe the entry directory ABSENT mid-update; the
-    // first version of the watch reported that window as a `deleted`
-    // event (caught by this suite's flake). get() now rides the window
-    // out via the create marker — churn updates against concurrent
+    // CatalogStore.save once overwrote delete-then-write, so a reader
+    // could transiently observe the entry directory ABSENT mid-update;
+    // the first version of the watch reported that window as a `deleted`
+    // event (caught by this suite's flake). save is now write-new-then-
+    // retire-old (no absent window) and get() rides any residual create
+    // window out via the marker — churn updates against concurrent
     // watch polls and assert no false delete ever surfaces.
     val root = tmpRoot()
     val server = SchemaRegistryHttp.start(spark, root)
@@ -225,6 +226,109 @@ class SchemaRegistryHttpSuite extends SparkSpec {
       // and a never-registered resource long-polls to timeout, not deleted
       val nv = parse(req("GET", s"$base/g5/ghost/watch?sinceRevision=0&timeoutMs=120")._2)
       assert(nv("event") == "timeout", nv.toString)
+    } finally server.stop()
+  }
+
+  test("missing required fields reject 400 at the boundary, never persist") {
+    // FAILFAST only rejects malformed/mistyped bodies; a MISSING field
+    // decodes to null — `{}` used to persist an entry with null
+    // entity/tsCol that NPE'd gate/open/query paths much later
+    val root = tmpRoot()
+    val server = SchemaRegistryHttp.start(spark, root)
+    try {
+      val base = server.url
+      val (s1, b1) = req("POST", s"$base/gv/m", Some("{}"))
+      assert(s1 == 400 && b1.contains("entity"), s"$s1 $b1")
+      val (s2, b2) = req("POST", s"$base/gv/m",
+        Some("""{"entity": ["svc"]}"""))
+      assert(s2 == 400 && b2.contains("tsCol"), s"$s2 $b2")
+      val (s3, b3) = req("POST", s"$base/gv/m",
+        Some("""{"entity": [], "tsCol": "ts"}"""))
+      assert(s3 == 400 && b3.contains("entity"), s"$s3 $b3")
+      // nothing persisted by any of the rejected writes
+      assert(req("GET", s"$base/gv/m")._1 == 404)
+      assert(CatalogStore.get(spark, root, "gv", "m").isEmpty)
+      // and the minimal VALID body is accepted
+      val (s4, b4) = req("POST", s"$base/gv/m",
+        Some("""{"entity": ["svc"], "tsCol": "ts"}"""))
+      assert(s4 == 200, s"$s4 $b4")
+    } finally server.stop()
+  }
+
+  test("unknown paths are 404; known shapes with a wrong method are 405") {
+    val root = tmpRoot()
+    val server = SchemaRegistryHttp.start(spark, root)
+    try {
+      val base = server.url
+      // wrong method on valid shapes → 405
+      assert(req("DELETE", base)._1 == 405)
+      assert(req("OPTIONS", s"$base/g/n")._1 == 405)
+      assert(req("POST", s"$base/g/n/await?revision=1")._1 == 405)
+      assert(req("POST", s"$base/g/n/watch")._1 == 405)
+      // unknown path shapes → 404, regardless of method
+      assert(req("GET", s"$base/alone")._1 == 404)
+      assert(req("GET", s"$base/g/n/unknown")._1 == 404)
+      assert(req("POST", s"$base/g/n/await/extra")._1 == 404)
+    } finally server.stop()
+  }
+
+  test("pending long-polls do not starve the mutation that releases them") {
+    // a FIXED pool of N self-deadlocks at N pending watches: the PUT that
+    // would release them queues behind them until their timeouts expire.
+    // With the cached pool, 4 pending watches + 1 CRUD must all complete
+    // promptly — the watches via the update event, not their 8 s timeout.
+    val root = tmpRoot()
+    val server = SchemaRegistryHttp.start(spark, root)
+    try {
+      val base = server.url
+      req("POST", s"$base/gs/m?nowMs=1000", Some(entry("gs", "m")))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Any]]()
+      val watchers = (0 until 4).map { _ =>
+        new Thread(() => {
+          val (_, raw) = req("GET", s"$base/gs/m/watch?sinceRevision=1&timeoutMs=8000")
+          results.add(parse(raw)); ()
+        })
+      }
+      watchers.foreach(_.start())
+      Thread.sleep(300) // all four long-polls parked on pool threads
+      val t0 = System.nanoTime()
+      val (u, ub) = req("PUT", s"$base/gs/m?nowMs=2000",
+        Some(entry("gs", "m", fields = Seq("value", "x"))))
+      val putMs = (System.nanoTime() - t0) / 1e6
+      assert(u == 200, ub)
+      assert(putMs < 4000, s"PUT starved behind pending watches: $putMs ms")
+      watchers.foreach(_.join(8000))
+      assert(results.size == 4, s"watchers still parked: ${results.size}/4")
+      results.forEach(ev => assert(ev("event") == "updated", ev.toString))
+    } finally server.stop()
+  }
+
+  test("the list endpoint renders the whole catalog in O(1) Spark jobs") {
+    val root = tmpRoot()
+    val server = SchemaRegistryHttp.start(spark, root)
+    try {
+      val base = server.url
+      (0 until 10).foreach(i =>
+        assert(req("POST", s"$base/gl/m$i?nowMs=${1000 + i}",
+          Some(entry("gl", s"m$i")))._1 == 200))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val (st, raw) = req("GET", base)
+        Thread.sleep(500) // listener events are async — let the bus drain
+        assert(st == 200)
+        val names = parse(raw)("entries").asInstanceOf[List[Map[String, Any]]]
+          .map(_("name"))
+        assert(names == (0 until 10).map(i => s"m$i").toList, names.toString)
+        // one read over all entry dirs + one batch render (+ slack): a
+        // per-entry render loop would be ≥ 10 jobs here
+        assert(jobs.get() <= 4, s"list ran ${jobs.get()} Spark jobs for 10 entries")
+      } finally spark.sparkContext.removeSparkListener(listener)
     } finally server.stop()
   }
 

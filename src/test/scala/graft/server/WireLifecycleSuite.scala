@@ -1,0 +1,271 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.storage.{CatalogStore, CatalogEntry, Layout, SchemaGate}
+import graft.ql.BydbQL
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-lifecycle integration over BOTH wire surfaces in one process —
+ * the reference's primary standalone e2e shape
+ * (test/integration/standalone/: register a measure via the registry,
+ * write data points, query via the liaison, update the schema, block on
+ * the revision barrier, query again — the liaison gates queries on the
+ * schema revision, banyand/liaison/grpc/measure.go:450-460):
+ *
+ *   1. the measure schema is CREATED over the wire (SchemaRegistryHttp
+ *      POST), never by a library call;
+ *   2. the write uses the entry FETCHED over the wire (GET →
+ *      entryFromJson → LayoutSpec) — the wire-registered schema drives
+ *      shard routing and segmenting;
+ *   3. queries run through BydbQLHttp over resources opened FROM the
+ *      catalog the wire created, with byte-payload parity asserted
+ *      against the direct library call;
+ *   4. a gated query carrying the client's wire-read revision SUCCEEDs
+ *      through the same [[SchemaGate]] predicate the await endpoint
+ *      serves; an entity change is rejected 400 with the stored schema
+ *      untouched; an accepted update bumps the revision;
+ *   5. a client that already holds revision 2 blocks on `await` until a
+ *      concurrent writer applies it, then the REOPENED resources make
+ *      the new schema queryable (a field added by the update becomes
+ *      aggregatable — the same statement that was a 400 before the
+ *      update answers 200 after it).
+ *
+ * The whole loop runs under three different seeds (data, row counts,
+ * timestamps all derived from the seed).
+ */
+class WireLifecycleSuite extends SparkSpec {
+
+  private val now = Instant.parse("2024-01-20T00:00:00Z")
+
+  private def tmpRoot(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/test-tmp")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, "lifecycle").toString
+  }
+
+  private def http(method: String, url: String, body: Option[String] = None): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+    val status = conn.getResponseCode
+    val is = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text = try new String(is.readAllBytes(), StandardCharsets.UTF_8) finally is.close()
+    (status, text)
+  }
+
+  private def queryJson(ql: String): String =
+    "{\"query\": " + Json.render(ql) + ", \"now\": " + Json.render(now.toString) + "}"
+
+  private def parse(s: String): Map[String, Any] =
+    Json.parse(s).asInstanceOf[Map[String, Any]]
+
+  test("registry → write → query → update → await → re-query, wire end to end (3 seeds)") {
+    for (seed <- Seq(11, 22, 33)) {
+      val root = tmpRoot()
+      val registry = SchemaRegistryHttp.start(spark, root)
+      try {
+        val base = registry.url
+        val rnd = new scala.util.Random(seed)
+        val group = s"it$seed"
+
+        // -- 1. create the schema over the wire ------------------------
+        val created = CatalogEntry(group = group, name = "metrics",
+          entity = Seq("svc"), tsCol = "__ts", shardNum = 2,
+          fields = Seq("value"))
+        val (cs, cb) = http("POST", s"$base/$group/metrics?nowMs=1000",
+          Some(SchemaRegistryHttp.entryToJson(spark, created)))
+        assert(cs == 200, s"seed $seed: create failed: $cb")
+        assert(parse(cb)("modRevision") == 1L)
+
+        // -- 2. write through the WIRE-FETCHED schema ------------------
+        val (gs, gb) = http("GET", s"$base/$group/metrics")
+        assert(gs == 200, gb)
+        val fetched = SchemaRegistryHttp.entryFromJson(spark, gb)
+        assert(fetched.revision == 1L && fetched.entity == Seq("svc"))
+        val n = 40 + rnd.nextInt(40)
+        val rows = (0 until n).map { i =>
+          (s"svc-${rnd.nextInt(4)}",
+            (now.getEpochSecond - 60 - rnd.nextInt(3000)) * 1000000000L,
+            rnd.nextInt(100).toLong, rnd.nextInt(50).toLong)
+        }
+        import spark.implicits._
+        val df = rows.toDF("svc", "__ts", "value", "load")
+        Layout.append(df, root, fetched.spec)
+
+        // -- 3. query over the wire, parity vs the library call --------
+        val resources = CatalogStore.open(spark, root)
+        assert(resources.contains("metrics"), resources.keys.toString)
+        val query = BydbQLHttp.start(resources)
+        val ql = s"SELECT svc, SUM(value) FROM MEASURE metrics IN $group " +
+          "TIME > '-30d' GROUP BY svc, value"
+        try {
+          val (qs, qb) = http("POST", query.url, Some(queryJson(ql)))
+          assert(qs == 200, s"seed $seed: $qb")
+          val lib = BydbQLHttp.resultJson(
+            BydbQL.run(ql, resources, Nil, now), None)
+          val got = parse(qb); val want = parse(lib)
+          assert(got("columns") == want("columns") && got("rows") == want("rows"),
+            s"seed $seed wire/library divergence:\n  wire: $qb\n  lib:  $lib")
+          // and the sums are the data's truth, not just internally consistent
+          val truth = df.groupBy("svc").agg(sum("value")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val wireSums = got("rows").asInstanceOf[List[List[Any]]]
+            .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+          assert(wireSums == truth, s"seed $seed: $wireSums vs $truth")
+
+          // a field NOT yet in the schema is the client's 400
+          val preUpdate = s"SELECT svc, SUM(load) FROM MEASURE metrics IN $group " +
+            "TIME > '-30d' GROUP BY svc, load"
+          val (ps, pb) = http("POST", query.url, Some(queryJson(preUpdate)))
+          assert(ps == 400, s"seed $seed: pre-update SUM(load) should reject, got $ps $pb")
+
+          // -- 4. gated query at the wire-read revision; apply-rollback --
+          val (st, gatedDf) = SchemaGate.gatedQuery(spark, root, Seq(group),
+            "metrics", Map(group -> fetched.revision)) {
+            BydbQL.run(ql, resources, Nil, now)
+          }
+          assert(st == Map(group -> SchemaGate.Succeed) && gatedDf.isDefined)
+
+          val (rs, rb) = http("PUT", s"$base/$group/metrics?nowMs=2000",
+            Some(SchemaRegistryHttp.entryToJson(spark,
+              created.copy(entity = Seq("other")))))
+          assert(rs == 400 && rb.contains("immutable"), s"$rs $rb")
+          assert(parse(http("GET", s"$base/$group/metrics")._2)("modRevision") == 1L,
+            "rejected update must leave the schema untouched")
+
+          // -- 5. concurrent accepted update + the revision barrier -----
+          val writer = new Thread(() => {
+            Thread.sleep(150)
+            http("PUT", s"$base/$group/metrics?nowMs=3000",
+              Some(SchemaRegistryHttp.entryToJson(spark,
+                created.copy(fields = Seq("value", "load")))))
+            ()
+          })
+          writer.start()
+          val t0 = System.nanoTime()
+          val (as2, ab2) = http("GET",
+            s"$base/$group/metrics/await?revision=2&timeoutMs=5000")
+          val waited = (System.nanoTime() - t0) / 1e6
+          writer.join()
+          assert(as2 == 200 && parse(ab2)("status") == "STATUS_SUCCEED", ab2)
+          assert(parse(ab2)("revision") == 2L, ab2)
+          assert(waited >= 100, s"barrier returned before the writer applied ($waited ms)")
+
+          // a client still on revision 1 is now EXPIRED on the query path
+          val (st1, none1) = SchemaGate.gatedQuery(spark, root, Seq(group),
+            "metrics", Map(group -> 1L)) { BydbQL.run(ql, resources, Nil, now) }
+          assert(st1 == Map(group -> SchemaGate.ExpiredSchema) && none1.isEmpty)
+        } finally query.stop()
+
+        // -- re-open: the updated schema is live; the 400 became a 200 --
+        val reopened = CatalogStore.open(spark, root)
+        val query2 = BydbQLHttp.start(reopened)
+        try {
+          val postUpdate = s"SELECT svc, SUM(load) FROM MEASURE metrics IN $group " +
+            "TIME > '-30d' GROUP BY svc, load"
+          val (qs2, qb2) = http("POST", query2.url, Some(queryJson(postUpdate)))
+          assert(qs2 == 200, s"seed $seed: post-update SUM(load) failed: $qb2")
+          val truth = df.groupBy("svc").agg(sum("load")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val wireSums = parse(qb2)("rows").asInstanceOf[List[List[Any]]]
+            .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+          assert(wireSums == truth, s"seed $seed post-update: $wireSums vs $truth")
+        } finally query2.stop()
+      } finally registry.stop()
+    }
+  }
+
+  test("registry churn × gated queries: no reader ever observes a half-applied schema (3 seeds)") {
+    // 12 wire PUTs race concurrent readers that (a) GET the entry and
+    // check its content matches EXACTLY one published revision — fields
+    // are a deterministic function of the revision, so any torn read
+    // (new revision with old fields, or vice versa) fails; (b) run a
+    // gated query at the revision they just read — legal outcomes are
+    // SUCCEED or EXPIRED_SCHEMA (another update landed in between),
+    // never NOT_FOUND (a save window misread as a delete) or a throw;
+    // (c) query through the wire shim, asserting stable 200s mid-churn.
+    def fieldsAt(rev: Long): Seq[String] =
+      "value" +: (2L to rev).map(i => s"f$i")
+
+    for (seed <- Seq(7, 8, 9)) {
+      val root = tmpRoot()
+      val registry = SchemaRegistryHttp.start(spark, root)
+      val group = s"churn$seed"
+      try {
+        val base = registry.url
+        val e0 = CatalogEntry(group = group, name = "m", entity = Seq("svc"),
+          tsCol = "__ts", fields = fieldsAt(1))
+        http("POST", s"$base/$group/m?nowMs=1000",
+          Some(SchemaRegistryHttp.entryToJson(spark, e0)))
+        import spark.implicits._
+        val df = (0 until 30).map(i =>
+          (s"svc-${i % 3}", (now.getEpochSecond - 60 - i) * 1000000000L, i.toLong))
+          .toDF("svc", "__ts", "value")
+        Layout.append(df, root, e0.spec)
+        val resources = CatalogStore.open(spark, root)
+        val query = BydbQLHttp.start(resources)
+        val ql = s"SELECT svc, SUM(value) FROM MEASURE m IN $group " +
+          "TIME > '-30d' GROUP BY svc, value"
+        val truth = canonicalRows(
+          http("POST", query.url, Some(queryJson(ql)))._2)
+
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val writer = new Thread(() => (2L to 13L).foreach { r =>
+          val (st, b) = http("PUT", s"$base/$group/m?nowMs=${1000 + r}",
+            Some(SchemaRegistryHttp.entryToJson(spark, e0.copy(fields = fieldsAt(r)))))
+          if (st != 200) failures.add(s"PUT rev $r failed: $st $b")
+        })
+        val readers = (0 until 2).map { rid =>
+          new Thread(() => (0 until 15).foreach { k =>
+            try {
+              val (gs, gb) = http("GET", s"$base/$group/m")
+              if (gs != 200) failures.add(s"reader $rid GET $gs: $gb")
+              else {
+                val got = SchemaRegistryHttp.entryFromJson(spark, gb)
+                if (got.fields != fieldsAt(got.revision))
+                  failures.add(s"reader $rid TORN read: rev ${got.revision} " +
+                    s"with fields ${got.fields}")
+                val (st, res) = SchemaGate.gatedQuery(spark, root, Seq(group),
+                  "m", Map(group -> got.revision)) {
+                  BydbQL.run(ql, resources, Nil, now)
+                }
+                st(group) match {
+                  case SchemaGate.Succeed =>
+                    if (res.isEmpty) failures.add(s"reader $rid SUCCEED without a result")
+                  case SchemaGate.ExpiredSchema => () // raced a newer PUT: legal
+                  case other => failures.add(s"reader $rid gate status $other at rev ${got.revision}")
+                }
+              }
+              val (qs, qb) = http("POST", query.url, Some(queryJson(ql)))
+              if (qs != 200 || canonicalRows(qb) != truth)
+                failures.add(s"reader $rid wire query diverged mid-churn: $qs ${qb.take(200)}")
+            } catch {
+              case t: Throwable => failures.add(s"reader $rid threw at poll $k: $t")
+            }
+          })
+        }
+        writer.start(); readers.foreach(_.start())
+        writer.join(120000); readers.foreach(_.join(120000))
+        try {
+          assert(failures.isEmpty, s"seed $seed:\n" +
+            failures.toArray.take(6).mkString("\n"))
+          val fin = SchemaRegistryHttp.entryFromJson(spark,
+            http("GET", s"$base/$group/m")._2)
+          assert(fin.revision == 13L && fin.fields == fieldsAt(13L), fin.toString)
+        } finally query.stop()
+      } finally registry.stop()
+    }
+  }
+
+  private def canonicalRows(body: String): Any =
+    parse(body).getOrElse("rows", body)
+}
