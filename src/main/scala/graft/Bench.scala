@@ -112,15 +112,20 @@ object Bench {
     // mostly compile time. Cold stays the headline (comparable across
     // rounds); warm is reported alongside.
     val warmPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
-    // Cold passes (default 2, min taken per query): r14's driver bench
-    // swung +22% on UNTOUCHED code — individual cold queries spike 2-3×
-    // run-to-run (cleaner/GC churn) while the calibration anchors stay
-    // flat, so a single cold sample per query makes round-over-round
-    // deltas ±20% noise. The second pass re-traverses the WHOLE query
-    // list after the first completes (not back-to-back with its own
-    // first run — that is what the warm pass measures), matching the
-    // trend sweeps' min-of-2 discipline. Sweeps that already take min
-    // across separate JVM runs set SPARK_GRAFT_BENCH_COLD_PASSES=1.
+    // Cold passes (default 2): r14's driver bench swung +22% on
+    // UNTOUCHED code — individual cold queries spike 2-3× run-to-run
+    // (cleaner/GC churn) while the calibration anchors stay flat. The
+    // second pass re-traverses the WHOLE query list after the first
+    // completes, as a NOISE DIAGNOSTIC: it runs in a JVM whose codegen
+    // cache and JIT are warmed by pass 1, so its times sit between true
+    // cold and warm and are NOT equivalent to a separate-JVM cold run —
+    // which is why the HEADLINE `value`/`queries` stay the pass-1
+    // single-cold numbers (comparable with every prior round and with
+    // the sweeps' per-JVM passes) and the per-query min across passes is
+    // published separately as `value_min`/`queries_min`. A headline
+    // min(cold, warmed-retraversal) would bias low (r15's did; the r16
+    // advisor flagged it). Sweeps set SPARK_GRAFT_BENCH_COLD_PASSES=1 —
+    // their min across separate JVMs is the genuinely-cold min.
     val coldPasses = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_PASSES", "2").toInt)
     def isolate(): Unit = {
@@ -156,16 +161,20 @@ object Bench {
       val warm = if (warmPass) { val w = timeOnce(fn); isolate(); w } else cold
       (name, cold, warm)
     }
-    // later cold passes: full-list re-traversals, per-query min
+    // later cold passes: full-list re-traversals (codegen/JIT-warmed —
+    // diagnostic only, never folded into the headline)
     val coldRuns = scala.collection.mutable.Map(
       timed.map { case (n, c, _) => n -> List(c) }.toSeq: _*)
     for (_ <- 2 to coldPasses) selected.foreach { case (name, fn) =>
       val t = timeOnce(fn); isolate()
       coldRuns(name) = coldRuns(name) :+ t
     }
-    val results = coldRuns.map { case (n, cs) => n -> cs.min }.toMap
+    // headline: pass-1 true-cold; min-across-passes published alongside
+    val results = timed.map { case (n, c, _) => n -> c }.toMap
+    val resultsMin = coldRuns.map { case (n, cs) => n -> cs.min }.toMap
     val warmResults = timed.map { case (n, _, w) => n -> w }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalMin = if (resultsMin.nonEmpty) resultsMin.values.sum else 0.0
     val totalWarm = if (warmResults.nonEmpty) warmResults.values.sum else 0.0
     // Calibration anchors embedded in the output: the two fixed-shape
     // queries the sweeps time around every run. With their per-pass raw
@@ -182,7 +191,8 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$om,""" +
-        s""""anchors":$anchorsJson,"cold_passes":$coldPasses,"sf":"$sfDir"}"""
+        s""""value_min":${f"$totalMin%.3f"},"anchors":$anchorsJson,""" +
+        s""""cold_passes":$coldPasses,"sf":"$sfDir"}"""
     }
     // Full-precision per-query maps (cold + warm): one diagnostic stdout
     // line + a file (the trend tooling reads the file).
@@ -190,10 +200,13 @@ object Bench {
       .mkString("{", ",", "}")
     val fullWarm = warmResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullMin = resultsMin.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullRuns = coldRuns.map { case (k, cs) =>
       "\"" + k + "\":[" + cs.mkString(",") + "]" }.mkString("{", ",", "}")
-    val fullJson = s"""{"total":$total,"total_warm":$totalWarm,""" +
-      s""""queries":$full,"queries_warm":$fullWarm,"queries_cold_runs":$fullRuns,""" +
+    val fullJson = s"""{"total":$total,"total_min":$totalMin,"total_warm":$totalWarm,""" +
+      s""""queries":$full,"queries_min":$fullMin,"queries_warm":$fullWarm,""" +
+      s""""queries_cold_runs":$fullRuns,""" +
       s""""anchors":$anchorsJson,"cold_passes":$coldPasses,"sf":"$sfDir"}"""
     println(s"BENCH_FULL $fullJson")
     try {

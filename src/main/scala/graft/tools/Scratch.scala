@@ -28,6 +28,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // generic conf overrides for A/B arms, e.g.
+    // SCRATCH_CONF=spark.graft.dedup.winnow.prefixFilter=off
+    sys.env.get("SCRATCH_CONF").foreach(_.split(",").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     // SCRATCH_NO_PREPARE skips the full artifact build — the sf25
     // documents-only spot-check runs queries whose inputs either read the
     // scale dir directly or materialize on demand inside the query fn
@@ -133,6 +139,31 @@ object Scratch {
         t("q70_query_fn")(fa(spark, sfDir).queryExecution.toRdd.count())
         t("q71_query_fn")(graft.SparkEntry.queries("q71_property_repair_plan")(
           spark, sfDir).queryExecution.toRdd.count())
+      }
+      spark.stop(); return
+    }
+    if (sys.env.contains("SCRATCH_WINNOW")) {
+      // q78 funnel breakdown (r15 verdict #3): co-posting rows the
+      // unfiltered self-join would generate vs prefix postings vs
+      // candidate pairs vs emitted — plus the full-query wall. Drives
+      // the BASELINE.md prefix-filter analysis.
+      import graft.operators.Dedup
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      (1 to 2).foreach { round =>
+        println(s"--- round $round")
+        val funnel = t("funnel")(Dedup.winnowingPairsFunnel(
+          docs, "doc_id", "text"))
+        println("  " + funnel.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString(" "))
+        val n = t("q78_full")(Dedup.winnowingPairs(docs, "doc_id", "text")
+          .queryExecution.toRdd.count())
+        println(s"  pairs=$n")
       }
       spark.stop(); return
     }
@@ -435,6 +466,15 @@ object Scratch {
           Thread.sleep(300)
           stages.forEach(s => println(s"  $s"))
         }
+        // UNTIMED inter-run isolation, same as Bench.isolate(): drop the
+        // finished run's barrier blocks and let the ContextCleaner see
+        // them — without this, run i+1 of a barrier-heavy query starts
+        // against run i's resident localCheckpoint blocks (measured:
+        // q78 at sf25 completed run 1 and OOM'd run 2).
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
+        try System.gc() catch { case _: Throwable => () }
       }
       if (sys.env.contains("SCRATCH_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")

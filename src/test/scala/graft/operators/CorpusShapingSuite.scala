@@ -422,6 +422,99 @@ class CorpusShapingSuite extends SparkSpec {
     assert(pairs.head._4 >= 0.25 && pairs.head._4 <= 1.0)
   }
 
+  /** The pre-prefix-filter winnow pair join, verbatim (explode → df cap →
+    * full posting self-join → count → normalize): the differential oracle
+    * for the PPJoin prefix filter's losslessness. */
+  private def naiveWinnowPairs(docs: org.apache.spark.sql.DataFrame,
+      threshold: Double, minShared: Int, maxDocFreq: Int): Set[(Long, Long, Long, Double)] = {
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 16, 8)
+      .select(col("doc_id").as("id"), col("fingerprint").as("fp"))
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val filtered = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= maxDocFreq && col("df_") >= 2).select("fp"),
+      Seq("fp"))
+    filtered.select(col("fp"), col("id").as("id_a"))
+      .join(filtered.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn("__sim", col("n_shared").cast("double") /
+        (col("size_a") + col("size_b") - col("n_shared")))
+      .filter(col("__sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("__sim"), 6).as("winnow_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
+  test("winnowingPairs: prefix-filtered join is LOSSLESS vs the full posting self-join " +
+      "(seeded random corpora × parameter grid)") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "theta", "kappa", "lambda", "sigma", "omega", "quartz", "nebula",
+      "raven", "cobalt", "ember")
+    for (seed <- Seq(101, 202, 303)) {
+      val rnd = new scala.util.Random(seed)
+      // hot boilerplate shared by MANY docs (drives posting df toward and
+      // past the cap — the exact term the prefix filter attacks), near-dup
+      // clusters from small perturbations, singletons, and sub-window docs
+      val boiler = (1 to 12).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      val base = (0 until 8).map(_ =>
+        (1 to 20).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      var id = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      base.foreach { b =>
+        val copies = 1 + rnd.nextInt(5)
+        (0 until copies).foreach { _ =>
+          id += 1
+          val perturbed = if (rnd.nextBoolean()) b
+            else b + " " + words(rnd.nextInt(words.size))
+          rows += ((id, s"$boiler $perturbed"))
+        }
+      }
+      (0 until 6).foreach { _ =>
+        id += 1
+        rows += ((id, (1 to 15).map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+      }
+      id += 1; rows += ((id, "tiny")) // below k+w-1 chars: empty fp set
+      val docs = docsOf(rnd.shuffle(rows.toSeq))
+      for ((t, ms, cap) <- Seq((0.25, 3, 128), (0.15, 1, 8), (0.5, 2, 4),
+          (0.05, 1, 128), (0.9, 1, 64))) {
+        val want = naiveWinnowPairs(docs, t, ms, cap)
+        // both arms of the adaptive switch on the same corpus: the
+        // prefix-filtered plan (the scale path) and the direct self-join
+        // (the toy path) must emit identical pairs
+        for (mode <- Seq("on", "off")) {
+          spark.conf.set("spark.graft.dedup.winnow.prefixFilter", mode)
+          try {
+            val got = Dedup.winnowingPairs(docs, "doc_id", "text",
+              k = 16, w = 8, threshold = t, minShared = ms, maxDocFreq = cap)
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+              .toSet
+            assert(got == want,
+              s"seed $seed mode=$mode t=$t minShared=$ms cap=$cap: " +
+                s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+          } finally spark.conf.unset("spark.graft.dedup.winnow.prefixFilter")
+        }
+      }
+    }
+  }
+
+  test("winnowingPairsFunnel: prefix candidates are a subset of unfiltered co-postings " +
+      "and a superset of emitted pairs") {
+    val boiler = (1 to 30).map(i => s"wq$i xv$i").mkString(" ")
+    val docs = docsOf((1L to 12L).map(i =>
+      i -> s"$boiler variant tail number $i with extra ${"pad " * i.toInt}"))
+    val f = Dedup.winnowingPairsFunnel(docs, "doc_id", "text")
+    assert(f("prefix_rows") > 0 && f("prefix_rows") <= f("posting_rows"), f.toString)
+    assert(f("candidate_pairs") <= f("coposting_rows_unfiltered"), f.toString)
+    assert(f("emitted_pairs") <= f("candidate_pairs"), f.toString)
+  }
+
   test("qualityModelScore: exact integer logit, threshold cut matches by hand") {
     // one token "the": n_tokens=1, mean_token_len=3, punct_ratio=0,
     // stopword_ratio=1 → z = -2 + 4·1 + 0.25·3 + (-3)·0 + 0.01·1 = 2.76
