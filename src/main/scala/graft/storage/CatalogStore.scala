@@ -232,8 +232,9 @@ object CatalogStore {
         case None if System.currentTimeMillis() >= deadline =>
           throw new IllegalStateException(
             s"catalog entry $group/$name unreadable: create marker present " +
-              "but no entry after 2s — a concurrent save may have crashed " +
-              "between its delete and write")
+              "but no entry after 2s — a create crashed before its first " +
+              "save; delete() clears the stuck marker and makes the " +
+              "resource re-creatable")
         case None => Thread.sleep(20L)
       }
     }
@@ -335,7 +336,15 @@ object CatalogStore {
     * and [[gcTombstones]] purges it after retention. */
   def delete(spark: SparkSession, root: String, group: String, name: String,
       nowMs: Long = System.currentTimeMillis()): Boolean = {
-    val lastRev = get(spark, root, group, name).map(_.revision)
+    // delete is the REPAIR PATH for a crashed create (marker stamped,
+    // entry never written — get() surfaces that state as an
+    // IllegalStateException after its deadline): fold it into "no
+    // readable entry" so the delete below clears the stuck marker and
+    // the resource becomes re-creatable, instead of the repair action
+    // itself throwing.
+    val lastRev =
+      try get(spark, root, group, name).map(_.revision)
+      catch { case _: IllegalStateException => None }
     val p = new org.apache.hadoop.fs.Path(entryPath(root, group, name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // drop the create-lock marker too, so delete → create is re-creatable

@@ -236,4 +236,37 @@ class CatalogStoreSuite extends SparkSpec {
     assert(again.revision == 2L)
     assert(again.createdAtMs.contains(2L))
   }
+
+  test("a crashed create (marker without entry) is repaired by delete, then re-creatable") {
+    val root = tmp("catalog")
+    // simulate a create that crashed between its atomic marker and the
+    // first save: the marker file exists, the entry dir was never written
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$root/_graft_catalog/testdata__events.created")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(marker.getParent)
+    assert(fs.createNewFile(marker))
+
+    // readers surface the stuck state loudly (never as a silent None)...
+    val e = intercept[IllegalStateException] {
+      CatalogStore.get(spark, root, "testdata", "events")
+    }
+    assert(e.getMessage.contains("delete() clears the stuck marker"), e.getMessage)
+    // ...and a create attempt is blocked LOUDLY too (its existence probe
+    // hits the same stuck-state surface), never silently overwriting
+    intercept[IllegalStateException] {
+      CatalogStore.create(spark, root, entry, nowMs = 1L)
+    }
+
+    // the REPAIR PATH: delete() must not itself throw on the stuck state;
+    // it clears the marker (nothing existed, so no tombstone)
+    assert(!CatalogStore.delete(spark, root, "testdata", "events", nowMs = 2L))
+    assert(!fs.exists(marker))
+    assert(CatalogStore.deleteTime(spark, root, "testdata", "events").isEmpty)
+
+    // and the resource is re-creatable afterwards
+    val made = CatalogStore.create(spark, root, entry, nowMs = 3L)
+    assert(made.revision == 1L)
+    assert(CatalogStore.get(spark, root, "testdata", "events").isDefined)
+  }
 }
