@@ -29,7 +29,11 @@ object CorpusStats {
   /** The pipeline-wide tokenization (same as quality scoring / n-gram
     * dedup): lowercase alnum runs, everything else a separator. */
   def tokensAlnum(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+    // native single-pass kernel (r16 optimization round): the previous
+    // `filter(split(lower(text), "[^a-z0-9]+"), …)` ran the filter lambda
+    // INTERPRETED per token and allocated the empty-part intermediates;
+    // byte-identical output (differential-tested)
+    graft.functions.TextStatsFunctions.alnumTokens(text)
 
   /** One materialization of (id, token array) feeding model-build AND
     * scoring subtrees — one pass over the raw text, doc-sized payload

@@ -102,6 +102,25 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Per-band LSH bucket hashes over a signature array: band b's bucket =
+    * `xxhash64(b, sig[b·r+1], …, sig[b·r+r])` — a plan-time-unrolled
+    * array of codegen'd multi-arg hashes over the raw longs. Equal band
+    * slices collide under ANY deterministic function, so candidate recall
+    * is identical to the previous form (`xxhash64(b, concat_ws(",",
+    * slice(sig,…).cast("array<string>")))`), which ran INTERPRETED
+    * (transform HOF) and allocated a string array + joined string per
+    * band per doc; accidental (unequal-slice) collisions differ between
+    * the two functions at the shared 2⁻⁶⁴ rate and are removed by the
+    * exact verification both paths end with (r16 optimization round).
+    * Shared by [[minhashLshPairs]] and [[minhashLshFunnel]] so the funnel
+    * can never drift from the query's banding. */
+  private def bandHashArray(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val lanes = (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1))
+      xxhash64((lit(b) +: lanes): _*)
+    }: _*)
+
   /**
    * MinHash + LSH near-dup pairs: signature split into `bands` bands of
    * `rowsPerBand` rows; docs sharing any band-hash become candidates;
@@ -143,9 +162,7 @@ object Dedup {
     // payload through the shuffle. The 8-byte size rides along to feed
     // the size-ratio gate below.
     val buckets = sigs.select(col("id"), col("sz"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))))
+        posexplode(bandHashArray(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // Drop singleton buckets before the self-join.
     val hot = buckets.groupBy("band", "bucket")
@@ -194,9 +211,7 @@ object Dedup {
     val sh = mat.select("id", "sh")
     val sigs = mat.select(col("id"), size(col("sh")).as("sz"), col("sig"))
     val buckets = sigs.select(col("id"), col("sz"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))))
+        posexplode(bandHashArray(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val hot = buckets.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)

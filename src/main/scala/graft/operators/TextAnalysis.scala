@@ -11,16 +11,25 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Native kernel
+    * ([[graft.functions.TextStatsImpl.wsTokenCount]]) — one compiled char
+    * scan; `size(filter(split(text, "\\s+"), ...))` split-allocated the
+    * parts array and ran the filter lambda INTERPRETED per token (r16
+    * optimization round; byte-identical, differential-tested). */
   def tokenCountWs(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+    graft.functions.TextStatsFunctions.wsTokenCount(text)
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, and single
     * punctuation marks each count as one token (GPT-2-style pre-split,
-    * without the merges table). regexp_extract_all, not lookarounds —
-    * RE2-compatible so the same pattern runs in any engine. */
+    * without the merges table). The CONTRACT pattern is
+    * `[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]` (RE2-compatible — no lookarounds
+    * — so the same pattern runs in any engine, and the oracle twins keep
+    * using it); the engine runs the equivalent single-pass native kernel
+    * ([[graft.functions.TextStatsImpl.bpeishTokenCount]]) instead of
+    * `size(regexp_extract_all(...))`, which materialized every match as a
+    * string (r16 optimization round; byte-identical, differential-tested). */
   def tokenCountBpeish(text: Column): Column =
-    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+    graft.functions.TextStatsFunctions.bpeishTokenCount(text)
 
   /** Common-English stopword list used by quality scoring + language id. */
   val enStop: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in",
@@ -32,19 +41,16 @@ object TextAnalysis {
    * common C4/Gopher-style filters; rows are later thresholded downstream.
    */
   def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
-    // ONE traversal of the token array accumulating (count, total length,
-    // stopword hits). Writing each feature against `toks` directly would
-    // re-tokenize per feature: lambda-containing subtrees get no codegen
-    // subexpression elimination, so the split would run 4-5× per row.
-    // The shared accumulator survives as its own projection because
-    // CollapseProject refuses to duplicate non-cheap expressions referenced
-    // more than once — codegen evaluates it exactly once per row.
-    val acc0 = struct(lit(0).as("n"), lit(0L).as("len"), lit(0).as("stop"))
-    val stats = aggregate(toks, acc0, (a, t) => struct(
-      (a("n") + 1).as("n"),
-      (a("len") + length(t)).as("len"),
-      (a("stop") + when(t.isin(enStop.map(lit): _*), 1).otherwise(0)).as("stop")))
+    // ONE compiled traversal accumulating (count, total length, stopword
+    // hits) — [[graft.functions.TextStatsImpl.qualityStats]]. The prior
+    // form (an `aggregate` HOF over the split array) already collapsed the
+    // 4-5 per-feature tokenizations into one pass, but HOFs evaluate
+    // INTERPRETED and allocated an accumulator struct per token (r16
+    // optimization round; byte-identical, differential-tested). The
+    // accumulator still survives as its own projection — CollapseProject
+    // refuses to duplicate non-cheap expressions referenced more than
+    // once — so the kernel runs exactly once per row.
+    val stats = graft.functions.TextStatsFunctions.qualityStats(text)
     val s = col("__qstats")
     df.withColumn("__qstats", stats)
       .withColumn("n_chars_m", length(text))
@@ -136,29 +142,19 @@ object TextAnalysis {
    * multiset; argmax with fixed language order (en,fr,de,es) as tiebreak;
    * "und" (undetermined) when no marker hits at all.
    */
-  def languageId(text: Column): Column = {
-    val ordered = Seq("en", "fr", "de", "es")
-    val toks = filter(split(lower(text), "[^\\p{L}]+"), t => t =!= lit(""))
-    // ONE traversal: per-language marker counts accumulate in a struct;
-    // the argmax runs in aggregate()'s finish lambda, where the
-    // accumulator is a BOUND variable — referencing its fields repeatedly
-    // is free. The naive form (a size(filter(...)) per language, compared
-    // pairwise) embeds the tokenization in every comparison and runs the
-    // split ~20× per row (no subexpression elimination across
-    // lambda-containing subtrees); this form runs it once. Measured 2.6×
-    // faster at 10× sf0.1, byte-identical output.
-    val zero = struct(ordered.map(l => lit(0).as(l)): _*)
-    val merge = (acc: Column, tok: Column) => struct(ordered.map { l =>
-      (acc(l) + when(tok.isin(langMarkers(l).map(lit): _*), 1).otherwise(0)).as(l)
-    }: _*)
-    aggregate(toks, zero, merge, acc => {
-      val best = ordered.map(acc(_)).reduce(greatest(_, _))
-      // first language (in fixed order) reaching the max score wins
-      ordered.foldRight(lit("und"): Column) { case (l, el) =>
-        when(acc(l) === best && best > 0, lit(l)).otherwise(el)
-      }
-    })
-  }
+  def languageId(text: Column): Column =
+    // ONE compiled pass over the lowercased string
+    // ([[graft.functions.TextStatsImpl.langId]]): letter-run tokens,
+    // per-language marker counts, argmax with the fixed (en,fr,de,es)
+    // tie order, "und" on zero hits. History: the naive per-language
+    // size(filter(...)) form ran the split ~20× per row; r11 collapsed
+    // it into one `aggregate` HOF traversal (2.6× at 10× sf0.1); r16
+    // replaced the HOF — which evaluates INTERPRETED and allocates a
+    // 4-field accumulator struct per token — with the native kernel
+    // (measured 4.0× on the sf1 q30 wall vs the HOF — 2.65 → 0.66 s
+    // min-of-3 back-to-back stash A/B — byte-identical,
+    // differential-tested incl. adversarial unicode).
+    graft.functions.TextStatsFunctions.langId(text)
 
   /** Canonical-form fingerprint: lowercase, collapse non-alphanumerics to
     * single spaces, trim, md5 — catches case/punctuation/whitespace-only
@@ -247,7 +243,7 @@ object TextAnalysis {
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       "need 0 < stride <= chunkSize")
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val toks = graft.functions.TextStatsFunctions.wsTokens(col(textCol))
     val n = col("__n")
     // number of windows: 1 when the doc fits one, else ceil((n-size)/stride)+1
     val nChunks = when(n <= chunkSize, lit(1))
@@ -290,37 +286,26 @@ object TextAnalysis {
    * speed like the other quality features.
    */
   def repetitionSignals(df: DataFrame, text: Column): DataFrame = {
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
-    def dupFrac(arr: Column): Column = {
-      val n = size(arr)
-      round(when(n > 0,
-        lit(1.0) - size(array_distinct(arr)).cast("double") / n)
+    // total/distinct 1/2/3-gram counts in ONE compiled pass
+    // ([[graft.functions.TextStatsImpl.repetitionCounts]]; grams WITH
+    // multiplicity, joined by single spaces — the same values the prior
+    // zip_with/slice/array_distinct chain produced, but that chain ran
+    // INTERPRETED and array_distinct re-hashed each materialized gram
+    // array per row; r16 optimization round, byte-identical,
+    // differential-tested). The `1 - distinct/total` fractions stay in
+    // Catalyst so the double division and round(…, 6) are bit-identical
+    // to the original expression tree.
+    def dupFrac(total: Column, distinct: Column): Column =
+      round(when(total > 0,
+        lit(1.0) - distinct.cast("double") / total)
         .otherwise(lit(0.0)), 6)
-    }
-    val t = col("__rtoks")
-    val n = size(t)
-    // n-grams WITH multiplicity (the distinct-shingle kernel can't see
-    // repeats): zip shifted slices of one token array; slice lengths clamp
-    // at 0 for docs shorter than the gram order. Each gram array lands in
-    // its OWN projection column before dupFrac reads it twice (numerator
-    // array_distinct + denominator size): lambda subtrees get no CSE, and
-    // CollapseProject keeps a multiply-referenced non-cheap alias in its
-    // own project, so the zip_with chain runs once per row, not twice.
-    // 3-grams likewise extend the materialized 2-grams instead of
-    // re-concatenating from scratch.
-    val len2 = greatest(n - 1, lit(0))
-    val len3 = greatest(n - 2, lit(0))
-    val grams2 = zip_with(slice(t, lit(1), len2), slice(t, lit(2), len2),
-      (a, b) => concat_ws(" ", a, b))
-    val grams3 = zip_with(slice(col("__g2"), lit(1), len3),
-      slice(t, lit(3), len3), (ab, c) => concat_ws(" ", ab, c))
-    df.withColumn("__rtoks", toks)
-      .withColumn("__g2", grams2)
-      .withColumn("__g3", grams3)
-      .withColumn("dup_word_frac", dupFrac(t))
-      .withColumn("dup_2gram_frac", dupFrac(col("__g2")))
-      .withColumn("dup_3gram_frac", dupFrac(col("__g3")))
-      .drop("__rtoks", "__g2", "__g3")
+    val s = col("__rstats")
+    df.withColumn("__rstats",
+        graft.functions.TextStatsFunctions.repetitionCounts(text))
+      .withColumn("dup_word_frac", dupFrac(s("n1"), s("d1")))
+      .withColumn("dup_2gram_frac", dupFrac(s("n2"), s("d2")))
+      .withColumn("dup_3gram_frac", dupFrac(s("n3"), s("d3")))
+      .drop("__rstats")
   }
 
   /** PII-bearing spans a scrub pass redacts: emails, dotted-quad IPs, long
@@ -459,7 +444,7 @@ object TextAnalysis {
   def windowDedup(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame = {
     require(windowTokens > 0, "windowTokens must be > 0")
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val toks = graft.functions.TextStatsFunctions.wsTokens(col(textCol))
     val windows = df.select(col(idCol).as("id"), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
@@ -518,17 +503,22 @@ object TextAnalysis {
     require(spanTokens > 1, "spanTokens must be > 1")
     import org.apache.spark.sql.expressions.Window
     val L = spanTokens
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val toks = graft.functions.TextStatsFunctions.wsTokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
+    // Span keys via the fused kernel ([[graft.functions.TextStatsImpl
+    // .spanHashes]]): same 60-bit md5-prefix value as the contract form
+    // `conv(substring(md5(array_join(slice(__toks, p+1, L), ' ')), 1, 15),
+    // 16, 10)` (which the oracle twins keep), but computed with ONE reused
+    // digest and builder per task — the prior per-position chain allocated
+    // a slice array, a joined string, a 32-char hex string, and a decimal
+    // string (conv) for every token position (r16 optimization round;
+    // byte-identical, differential-tested).
     val occ = base.filter(col("__n") >= L)
-      .select(col("id"), explode(sequence(lit(0), col("__n") - L)).as("p"),
-        col("__toks"))
-      .select(col("id"), col("p"),
-        conv(substring(md5(array_join(
-          slice(col("__toks"), col("p") + 1, lit(L)), " ")), 1, 15),
-          16, 10).cast("long").as("k"))
+      .select(col("id"), explode(
+        graft.functions.TextStatsFunctions.spanHashes(col("__toks"), L)).as("__s"))
+      .select(col("id"), col("__s.p").as("p"), col("__s.k").as("k"))
     val victims = occ
       .withColumn("__rn", row_number().over(
         Window.partitionBy("k").orderBy(col("id"), col("p"))))
