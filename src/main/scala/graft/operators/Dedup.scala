@@ -49,6 +49,30 @@ object Dedup {
     }
   }
 
+  /** Broadcast a per-document dimension frame (e.g. the (id, set_size)
+    * table of an inverted-index join) ONLY while the corpus is provably
+    * small enough, measured — like [[scaledPartitions]] — from the
+    * barriered posting frame's block-manager bytes. A per-doc table is
+    * CORPUS-sized: at 100 TB it is billions of rows, far past Spark's
+    * 8 GB / 512M-row broadcast-relation cap, so a hard `broadcast()` hint
+    * here is a scale-killer that no ≤sf25 sweep can surface (the r16
+    * optimization-round review caught it; guide §3.1). The gate keeps the
+    * broadcast (and the exact bench-scale plan shape) while the measured
+    * postings stay under `spark.graft.dedup.broadcastGateBytes` (default
+    * 1 GiB — postings carry ~100× more bytes than the size table they
+    * bound, so the table is ~10 MB at the gate), and falls back to a
+    * plain equi-join (AQE picks the strategy from runtime sizes) beyond
+    * it. */
+  private def broadcastIfBounded(dim: DataFrame, measuredPostings: DataFrame)
+      : DataFrame = {
+    val maxBytes = dim.sparkSession.conf
+      .get("spark.graft.dedup.broadcastGateBytes", (1L << 30).toString).toLong
+    org.apache.spark.sql.graftbridge.Bridge.materializedBytes(measuredPostings) match {
+      case Some(b) if b > maxBytes => dim
+      case _ => broadcast(dim)
+    }
+  }
+
   /** Materialization barrier for intermediates reused across join sides,
     * selectable via `spark.graft.dedup.barrier`:
     *
@@ -308,10 +332,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("set_size", "size_a")), Seq("id_a"))
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("set_size", "size_b")), Seq("id_b"))
+      .join(broadcastIfBounded(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), sh), Seq("id_a"))
+      .join(broadcastIfBounded(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), sh), Seq("id_b"))
       .withColumn("jaccard_raw", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")))
       // threshold on the raw value, round only for output
@@ -426,12 +450,15 @@ object Dedup {
         .filter(col("df_") <= maxDocFreq && col("df_") >= 2),
       Seq("fp"))
 
+    // size-table joins go through the measured broadcast gate (per-doc
+    // tables are corpus-sized — see broadcastIfBounded); the fps barrier
+    // is the measured source
     def tail(counted: DataFrame, szs: DataFrame): DataFrame = counted
       .filter(col("n_shared") >= minShared)
-      .join(broadcast(szs.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("set_size", "size_a")), Seq("id_a"))
-      .join(broadcast(szs.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("set_size", "size_b")), Seq("id_b"))
+      .join(broadcastIfBounded(szs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), fps), Seq("id_a"))
+      .join(broadcastIfBounded(szs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), fps), Seq("id_b"))
       .withColumn("__sim", col("n_shared").cast("double") /
         (col("size_a") + col("size_b") - col("n_shared")))
       .filter(col("__sim") >= threshold)
@@ -481,7 +508,7 @@ object Dedup {
     // completes.
     val sizesM = barrier(sizes)
     val prefixes = scaled(capped, col("id"))
-      .join(broadcast(sizesM), Seq("id"))
+      .join(broadcastIfBounded(sizesM, fps), Seq("id"))
       .withColumn("__theta", greatest(lit(minShared.toLong),
         ceil(col("set_size") * threshold - lit(1e-9))))
       .withColumn("__rn", row_number().over(byDoc.orderBy(col("df_"), col("fp"))))
