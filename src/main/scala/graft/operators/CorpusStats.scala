@@ -29,11 +29,16 @@ object CorpusStats {
   /** The pipeline-wide tokenization (same as quality scoring / n-gram
     * dedup): lowercase alnum runs, everything else a separator. */
   def tokensAlnum(text: Column): Column =
-    // native single-pass kernel (r16 optimization round): the previous
-    // `filter(split(lower(text), "[^a-z0-9]+"), …)` ran the filter lambda
-    // INTERPRETED per token and allocated the empty-part intermediates;
-    // byte-identical output (differential-tested)
-    graft.functions.TextStatsFunctions.alnumTokens(text)
+    // NOTE (r16 optimization round): the native alnumTokens kernel was
+    // A/B'd here and MEASURED 2.2-2.4x SLOWER through the bm25 pipeline
+    // (q82 0.94 -> 2.24 s, q88 1.24 -> 2.15 s at sf1, min-of-4, three
+    // independent sessions; stage profile showed every consumer stage of
+    // the tokenized barrier slower, not the tokenize itself; an element-
+    // nullability flip changed nothing) - so this stays the split+filter
+    // form the engine has always shipped. The kernel remains available
+    // (TextStatsFunctions.alnumTokens, parity-tested) if a future profile
+    // disagrees.
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
 
   /** One materialization of (id, token array) feeding model-build AND
     * scoring subtrees — one pass over the raw text, doc-sized payload
