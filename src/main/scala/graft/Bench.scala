@@ -189,9 +189,21 @@ object Bench {
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+      // Per-query min-across-passes for the SAME keys, in the SAME order
+      // as `queries` (an aligned value array — a keyed map would double
+      // the per-entry cost and halve how many queries fit the ~1900-char
+      // stdout budget). Published because the pass-1 cold samples carry
+      // 2-7× GC/cleaner spikes (r16: q72 13.4 s cold vs 2.4 s at 8 cores
+      // on the identical binary) and the driver's per-query comparison
+      // reads only this truncated line — the spike-resistant statistic
+      // must live here, not just in bench_full.json. `value`/`queries`
+      // stay pass-1 single-cold (r14-era comparable); additions only.
+      val qmins = entries.map { case (k, _) =>
+        f"${resultsMin.getOrElse(k, 0.0)}%.3f" }.mkString("[", ",", "]")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$om,""" +
-        s""""value_min":${f"$totalMin%.3f"},"anchors":$anchorsJson,""" +
+        s""""value_min":${f"$totalMin%.3f"},"queries_min_vals":$qmins,""" +
+        s""""anchors":$anchorsJson,""" +
         s""""cold_passes":$coldPasses,"sf":"$sfDir"}"""
     }
     // Full-precision per-query maps (cold + warm): one diagnostic stdout
