@@ -155,7 +155,7 @@ class ComposedFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     mergedDf
     val seed = seedOf
-    val cases = slice[FuzzGen.FuzzCase](new Random(seed), nOf(150),
+    val cases = slice[FuzzGen.FuzzCase](new Random(seed), nOf(60),
       r => FuzzGen.genCase(r, UnionFuzzFixture.domain), _.q.indexMode)
     val oracle = new DuckOracle(fixtureDir)
     try drive[FuzzGen.FuzzCase]("indexmode×union", cases, seed,
@@ -168,7 +168,7 @@ class ComposedFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     mergedDf
     val seed = seedOf
-    val cases = slice[FuzzGen.FuzzCase](new Random(seed + 1), nOf(150),
+    val cases = slice[FuzzGen.FuzzCase](new Random(seed + 1), nOf(60),
       r => FuzzGen.genCase(r, UnionFuzzFixture.domain),
       fc => fc.q.offset > 0 && fc.q.limit > 0 && fc.q.limit <= 200)
     val oracle = new DuckOracle(fixtureDir)
@@ -182,7 +182,7 @@ class ComposedFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     mergedDf
     val seed = seedOf
-    val cases = slice[TopNFuzzCase](new Random(seed + 2), nOf(150),
+    val cases = slice[TopNFuzzCase](new Random(seed + 2), nOf(60),
       TopNFuzzGen.genCase,
       fc => fc.pipe.groupCols.nonEmpty && fc.q.conditions.nonEmpty && fc.q.agg.isDefined)
     val oracle = new DuckOracle(fixtureDir)

@@ -185,7 +185,7 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     fixtures
     val oracle = new DuckOracle(SurfaceFuzzFixtures.Dir)
-    try driveSurface("stream", passes(300), streamSurface,
+    try driveSurface("stream", passes(100), streamSurface,
       SurfaceFuzzGen.genStreamCase, oracle)
     finally oracle.close()
   }
@@ -216,7 +216,7 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     fixtures
     val oracle = new DuckOracle(SurfaceFuzzFixtures.Dir)
-    try driveSurface("trace", passes(300), traceSurface,
+    try driveSurface("trace", passes(100), traceSurface,
       SurfaceFuzzGen.genTraceCase, oracle)
     finally oracle.close()
   }
@@ -237,7 +237,7 @@ class SurfaceFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
     fixtures
     val oracle = new DuckOracle(SurfaceFuzzFixtures.Dir)
-    try driveSurface("property", passes(250), propertySurface,
+    try driveSurface("property", passes(80), propertySurface,
       SurfaceFuzzGen.genPropertyCase, oracle)
     finally oracle.close()
   }

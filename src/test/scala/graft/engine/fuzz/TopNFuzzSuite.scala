@@ -134,7 +134,9 @@ class TopNFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   test("differential fuzz: TopN pipeline cases match the DuckDB twin") {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
-    val n = sys.env.get("SPARK_GRAFT_TOPN_FUZZ_N").map(_.toInt).getOrElse(300)
+    // default sized for the driver's verify window (see
+    // DifferentialFuzzSuite); full depth: SPARK_GRAFT_TOPN_FUZZ_N=300
+    val n = sys.env.get("SPARK_GRAFT_TOPN_FUZZ_N").map(_.toInt).getOrElse(100)
     val passes = FuzzSeeds.passes("SPARK_GRAFT_TOPN_FUZZ_SEED", salt = 2,
       pinned = FuzzSeeds.PinnedB, pinnedN = 50, n = n)
     val total = passes.map(_._2).sum

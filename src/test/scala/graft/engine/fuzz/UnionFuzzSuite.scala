@@ -159,7 +159,9 @@ class UnionFuzzSuite extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   test("differential fuzz: multi-group union cases match the DuckDB twin") {
     assume(pythonDuckAvailable, "python3+duckdb unavailable — differential oracle skipped")
-    val n = sys.env.get("SPARK_GRAFT_UNION_FUZZ_N").map(_.toInt).getOrElse(300)
+    // default sized for the driver's verify window (see
+    // DifferentialFuzzSuite); full depth: SPARK_GRAFT_UNION_FUZZ_N=300
+    val n = sys.env.get("SPARK_GRAFT_UNION_FUZZ_N").map(_.toInt).getOrElse(100)
     val passes = FuzzSeeds.passes("SPARK_GRAFT_UNION_FUZZ_SEED", salt = 3,
       pinned = FuzzSeeds.PinnedB, pinnedN = 50, n = n)
     val total = passes.map(_._2).sum
