@@ -242,10 +242,6 @@ object TextStatsImpl {
       n, d1.size, math.max(n - 1, 0), d2.size, math.max(n - 2, 0), d3.size))
   }
 
-  private val spanStructArray = ArrayType(StructType(Seq(
-    StructField("p", IntegerType, nullable = false),
-    StructField("k", LongType, nullable = false))), containsNull = false)
-
   /** Stride-1 span hashes over a PRE-SPLIT token array — the posting
     * generator of [[graft.operators.TextAnalysis.spanDedup]]: for every
     * position p in [0, n−L], the 60-bit md5 prefix of the L tokens
@@ -281,7 +277,9 @@ object TextStatsImpl {
 }
 
 /** wsTokenCount(text) → int. */
-case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
+case class WsTokenCountExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.ExpectsStringInput {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     TextStatsImpl.wsTokenCount(input.asInstanceOf[UTF8String])
@@ -292,7 +290,9 @@ case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
 }
 
 /** wsTokens(text) → array<string> (whitespace tokens, original casing). */
-case class WsTokensExpr(child: Expression) extends UnaryExpression {
+case class WsTokensExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.ExpectsStringInput {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextStatsImpl.wsTokens(input.asInstanceOf[UTF8String])
@@ -303,7 +303,9 @@ case class WsTokensExpr(child: Expression) extends UnaryExpression {
 }
 
 /** alnumTokens(text) → array<string> (lowercase alnum tokens). */
-case class AlnumTokensExpr(child: Expression) extends UnaryExpression {
+case class AlnumTokensExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.ExpectsStringInput {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextStatsImpl.alnumTokens(input.asInstanceOf[UTF8String])
@@ -314,7 +316,9 @@ case class AlnumTokensExpr(child: Expression) extends UnaryExpression {
 }
 
 /** bpeishTokenCount(text) → int. */
-case class BpeishTokenCountExpr(child: Expression) extends UnaryExpression {
+case class BpeishTokenCountExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.ExpectsStringInput {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     TextStatsImpl.bpeishTokenCount(input.asInstanceOf[UTF8String])
@@ -325,7 +329,9 @@ case class BpeishTokenCountExpr(child: Expression) extends UnaryExpression {
 }
 
 /** langId(text) → string (en|fr|de|es|und). */
-case class LangIdExpr(child: Expression) extends UnaryExpression {
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.ExpectsStringInput {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     TextStatsImpl.langId(input.asInstanceOf[UTF8String])
@@ -337,7 +343,9 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
 
 /** qualityStats(text) → struct<n:int, len:bigint, stop:int> — the
   * accumulator the quality-features projection reads fields from. */
-case class QualityStatsExpr(child: Expression) extends UnaryExpression {
+case class QualityStatsExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.ExpectsStringInput {
   override def dataType: DataType = StructType(Seq(
     StructField("n", IntegerType, nullable = false),
     StructField("len", LongType, nullable = false),
@@ -352,7 +360,9 @@ case class QualityStatsExpr(child: Expression) extends UnaryExpression {
 
 /** repetitionCounts(text) → struct<n1,d1,n2,d2,n3,d3: int> — total and
   * distinct 1/2/3-gram counts. */
-case class RepetitionCountsExpr(child: Expression) extends UnaryExpression {
+case class RepetitionCountsExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.ExpectsStringInput {
   override def dataType: DataType = StructType(Seq(
     StructField("n1", IntegerType, nullable = false),
     StructField("d1", IntegerType, nullable = false),
@@ -370,7 +380,7 @@ case class RepetitionCountsExpr(child: Expression) extends UnaryExpression {
 
 /** spanHashes(tokenArray, L) → array<struct<p:int, k:long>>. */
 case class SpanHashesExpr(child: Expression, spanTokens: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graftbridge.ExpectsStringArrayInput {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("p", IntegerType, nullable = false),
     StructField("k", LongType, nullable = false))), containsNull = false)

@@ -68,8 +68,14 @@ object Dedup {
     val maxBytes = dim.sparkSession.conf
       .get("spark.graft.dedup.broadcastGateBytes", (1L << 30).toString).toLong
     org.apache.spark.sql.graftbridge.Bridge.materializedBytes(measuredPostings) match {
-      case Some(b) if b > maxBytes => dim
-      case _ => broadcast(dim)
+      case Some(b) if b <= maxBytes => broadcast(dim)
+      // FAIL CLOSED when the size cannot be measured (barrier mode
+      // `persist`, or a frame with no materialized leaf): an unbounded
+      // broadcast in exactly the configs where bytes are unknowable is
+      // the scale-killer this gate exists to prevent — return the frame
+      // un-hinted and let AQE pick the strategy from runtime sizes
+      // (r16 ADVICE).
+      case _ => dim
     }
   }
 

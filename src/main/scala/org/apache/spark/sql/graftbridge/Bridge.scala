@@ -97,3 +97,23 @@ object Bridge {
     if (total > 0) Some(total) else None
   }
 }
+
+/** Analysis-time input typing for graft's custom kernels.
+  * `AbstractDataType` is `private[sql]`, so expression classes living in
+  * `graft.functions` cannot write an `inputTypes` override themselves;
+  * these two mixins (inside the sql namespace like [[Bridge]]) give them
+  * the same analysis-time type errors the builtin expressions they
+  * replaced produced, instead of a runtime ClassCastException inside
+  * codegen (r16 ADVICE). */
+trait ExpectsStringInput
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}
+
+trait ExpectsStringArrayInput
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+}
