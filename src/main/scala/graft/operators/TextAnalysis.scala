@@ -432,36 +432,51 @@ object TextAnalysis {
    * reassemble the surviving windows into the deduplicated text.
    * Documents whose every window is a repeat disappear from the output.
    *
-   * Scale shape: two shuffles — one groupBy on the window text (its hash
-   * key; partial-aggregated `min(struct(id, idx))` picks first occurrence
-   * without a corpus-wide window function) and one groupBy on id to
-   * reassemble (per-doc window counts are small, so the `collect_list`
-   * buffer is bounded by document length, not corpus size). The minimum
-   * shuffle count for any global-unit dedup.
+   * Scale shape (guide §8 — decide with small rows, move big rows once):
+   * the corpus text never crosses an exchange. The first-occurrence
+   * decision groups on a 128-bit md5 digest of the window text — ~30 B
+   * of key + (id, widx) per window instead of the window text itself
+   * (the pre-r17 shape shuffled the text through BOTH its exchanges) —
+   * the survivor (id, widx) pairs fold into per-doc kept-index lists
+   * (both exchanges carry a few fixed-width columns per window), and one
+   * id-equi-join back to the tokenized scan rebuilds the surviving text
+   * map-side. The digest must be ≥128 bits: a collision here silently
+   * DELETES a window (unlike the dedup candidate keys, where a collision
+   * only adds a verifiable candidate), and at 10¹² windows a 60/64-bit
+   * key expects thousands of collisions while 128-bit expects ~10⁻¹³.
+   * Cost: the corpus is tokenized twice (two scans) — map work that runs
+   * at scan speed — in exchange for never shuffling corpus bytes; the
+   * join's small side is per-doc-bounded and AQE picks its strategy.
    *
    * @return (id, n_kept, text_dedup)
    */
   def windowDedup(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame = {
     require(windowTokens > 0, "windowTokens must be > 0")
+    val W = windowTokens
     val toks = graft.functions.TextStatsFunctions.wsTokens(col(textCol))
-    val windows = df.select(col(idCol).as("id"), toks.as("__toks"))
+    // one scan + tokenize, shared by the window pass and the reassembly
+    // join (the same barrier discipline as the dedup posting frames)
+    val base = Dedup.barrier(df.select(col(idCol).as("id"), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
-      .filter(col("__n") > 0)
+      .filter(col("__n") > 0))
+    val windows = base
       .select(col("id"), col("__toks"), explode(sequence(lit(0),
-        ceil(col("__n").cast("double") / windowTokens).cast("int") - 1)).as("widx"))
+        ceil(col("__n").cast("double") / W).cast("int") - 1)).as("widx"))
       .select(col("id"), col("widx"),
-        array_join(slice(col("__toks"), col("widx") * windowTokens + 1,
-          lit(windowTokens)), " ").as("wtext"))
-    val firstSeen = windows.groupBy("wtext")
+        unhex(md5(array_join(slice(col("__toks"), col("widx") * W + 1,
+          lit(W)), " "))).as("__wkey"))
+    val firstSeen = windows.groupBy("__wkey")
       .agg(min(struct(col("id"), col("widx"))).as("__keep"))
-      .select(col("__keep.id").as("id"), col("__keep.widx").as("widx"),
-        col("wtext"))
-    firstSeen.groupBy("id")
+      .select(col("__keep.id").as("id"), col("__keep.widx").as("widx"))
+    val keptPerDoc = firstSeen.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("widx"), col("wtext")))),
-          s => s("wtext")), " ").as("text_dedup"))
+        array_sort(collect_list(col("widx"))).as("__kw"))
+    base.join(keptPerDoc, Seq("id"))
+      .select(col("id"), col("n_kept"),
+        array_join(transform(col("__kw"),
+          w => array_join(slice(col("__toks"), w * W + 1, lit(W)), " ")),
+          " ").as("text_dedup"))
   }
 
   /**
