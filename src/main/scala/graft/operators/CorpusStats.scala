@@ -286,9 +286,18 @@ object CorpusStats {
       terms: Seq[String], kTop: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val base = tokenized(df, idCol, textCol).select(
-      col("id"), size(col("toks")).as("dl"),
-      filter(col("toks"), t => t.isin(terms.map(lit): _*)).as("__qt"))
+    // Project BEFORE the barrier (guide §2.3): every downstream consumer
+    // needs only (id, doc length, query-term occurrences), so that is
+    // what gets materialized — ~20 B/doc instead of the full token
+    // arrays (the pre-r17 shape barriered (id, toks) and each of the
+    // THREE consumer subtrees re-ran size()/the interpreted isin-filter
+    // HOF over the stored corpus-sized arrays; the tf subtree alone is
+    // planned twice, for scoring and for df). The tokenize + filter now
+    // run exactly once per document, at barrier build.
+    val base = Dedup.barrier(
+      df.select(col(idCol).as("id"), tokensAlnum(col(textCol)).as("toks"))
+        .select(col("id"), size(col("toks")).as("dl"),
+          filter(col("toks"), t => t.isin(terms.map(lit): _*)).as("__qt")))
     // corpus stats over ALL docs (N and avgdl include non-matching docs)
     val stats = base.agg(count(lit(1)).as("__ndocs"), sum("dl").as("__sumdl"))
     val tf = base.select(col("id"), col("dl"), explode(col("__qt")).as("tok"))
