@@ -29,16 +29,21 @@ object CorpusStats {
   /** The pipeline-wide tokenization (same as quality scoring / n-gram
     * dedup): lowercase alnum runs, everything else a separator. */
   def tokensAlnum(text: Column): Column =
-    // NOTE (r16 optimization round): the native alnumTokens kernel was
-    // A/B'd here and MEASURED 2.2-2.4x SLOWER through the bm25 pipeline
-    // (q82 0.94 -> 2.24 s, q88 1.24 -> 2.15 s at sf1, min-of-4, three
-    // independent sessions; stage profile showed every consumer stage of
-    // the tokenized barrier slower, not the tokenize itself; an element-
-    // nullability flip changed nothing) - so this stays the split+filter
-    // form the engine has always shipped. The kernel remains available
-    // (TextStatsFunctions.alnumTokens, parity-tested) if a future profile
-    // disagrees.
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+    // NOTE (r16/r17 optimization rounds): in r16 the native kernel
+    // measured 2.2-2.4x SLOWER than split+filter through the bm25
+    // pipeline (q82 0.94 -> 2.24 s at sf1) - but only under the OLD bm25
+    // shape, whose barrier materialized the full (id, toks) arrays and
+    // whose three consumer subtrees re-evaluated size()/the isin-filter
+    // over the stored corpus-sized arrays; the regression lived in those
+    // consumer stages, not the tokenize pass. r17 moved the bm25
+    // projection BEFORE the barrier (it now stores (id, dl, __qt)) and
+    // the same A/B flipped sign: kernel >= parity at sf1 (q82 0.87-1.06
+    // vs 0.96-1.03 s, two alternations) and ahead at sf5-docs (q82 1.26
+    // vs 1.35, q110 0.84 vs 0.94, min-of-3 stash A/B). One compiled
+    // scan, no interpreted filter lambda, no empty-part intermediates;
+    // byte-identical (TextKernelsParitySuite). The split+filter form
+    // remains the oracle/portability contract.
+    graft.functions.TextStatsFunctions.alnumTokens(text)
 
   /** One materialization of (id, token array) feeding model-build AND
     * scoring subtrees — one pass over the raw text, doc-sized payload
