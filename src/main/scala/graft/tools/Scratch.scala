@@ -39,6 +39,35 @@ object Scratch {
     // scale dir directly or materialize on demand inside the query fn
     if (!sys.env.contains("SCRATCH_NO_PREPARE"))
       graft.SparkEntry.prepare(spark, sfDir)
+    if (sys.env.contains("SCRATCH_MEDIA_SKEW")) {
+      // r17 item: is the q115/q116 banded candidate join SKEWED? Print
+      // the post-prune bucket-size distribution per bucket table (the
+      // self-join cost is Σ n² per (kind, block, bkey) bucket) so the
+      // salt/split decision rests on measured bucket mass, not a guess.
+      import org.apache.spark.sql.functions._
+      implicit val sp: SparkSession = spark
+      import graft.operators.{Dedup, Multimodal}
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      val blobs = Multimodal.blobsWithReencodes(docs, "doc_id", "text", 5)
+      val sigs = Dedup.barrier(
+        Multimodal.perceptualSignature(blobs).select("kind", "sig").distinct()
+          .withColumn("__rid", col("sig")))
+      val blocks = Multimodal.bandedBlocks(sigs, "__rid", 5, 2)
+      val sizes = blocks.groupBy("kind", "block", "bkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      val hist = sizes.groupBy("n").agg(count(lit(1)).as("buckets"))
+        .orderBy(col("n").desc)
+      println("bucket-size histogram (size -> buckets), top 30:")
+      hist.limit(30).collect().foreach(r =>
+        println(s"  n=${r.getLong(0)} buckets=${r.getLong(1)}"))
+      val agg = sizes.agg(count(lit(1)).as("nb"), max("n").as("mx"),
+        expr("percentile(n, 0.5)").as("p50"),
+        expr("percentile(n, 0.99)").as("p99"),
+        sum(expr("n * (n - 1) / 2")).as("candidate_pairs")).collect()(0)
+      println(s"buckets=${agg.get(0)} max=${agg.get(1)} p50=${agg.get(2)} " +
+        s"p99=${agg.get(3)} candidatePairs=${agg.get(4)}")
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_MEDIA")) {
       // media near-dup ablation: where do q115/q116 spend their wall?
       import org.apache.spark.sql.functions._
