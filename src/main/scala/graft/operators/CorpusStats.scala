@@ -490,10 +490,18 @@ object CorpusStats {
    * Plan shape at 100 TB: encode is map-side; the per-shard cumulative
    * offset is ONE window per hash shard (no corpus-wide sort); each
    * document then explodes into only the 1 + n/seqTokens sequences it
-   * intersects, carrying exactly its slice of ids — every token ships
-   * through the one groupBy exchange ONCE, which is the floor for a job
-   * whose output is the tokens themselves. Parallelism is the shard
-   * count on the window and the (shard, seq) key space on the assembly.
+   * intersects, carrying exactly its slice of ids into the (shard, seq)
+   * assembly exchange. The encodes DO also ride the window exchange
+   * (compact int arrays) — the r17 optimization round A/B'd the
+   * window-over-ints alternative (barrier the encode, window over
+   * (id, shard, n), join offsets back by id, the q76 digest treatment)
+   * and it measured 2x SLOWER at sf5-docs (6.5 vs 3.1 s, 5-run min,
+   * same box-hour; ~parity at sf1): the barrier materializes the
+   * corpus-scale encodes the direct shape never stores, and that write
+   * outgrows the saved shuffle of already-compact ids. Two int-array
+   * exchange crossings is the measured optimum here. Parallelism is the
+   * shard count on the window and the (shard, seq) key space on the
+   * assembly.
    *
    * Determinism: shard = md5(id), order = id, piece positions within a
    * sequence are disjoint offsets — `array_sort` on (pos, …) structs
